@@ -1,0 +1,335 @@
+"""Bucketed copy-on-write lake table with manifest commits — the MERGE
+INTO sink.
+
+Stands in for an Iceberg table (Iceberg jars aren't in this sandbox;
+the layout below is deliberately Iceberg-shaped so the production path
+is a drop-in ``MERGE INTO``):
+
+- data files live under ``data/v{N}/bucket={b}/``, hash-bucketed on the
+  key ``(repo, path)`` — the analogue of Iceberg's bucket partition
+  transform. A merge only rewrites **touched buckets**; untouched
+  buckets are carried forward by reference in the manifest, so merge
+  cost scales with the change set, not the table (copy-on-write).
+- a numbered JSON manifest per commit under ``_commits/`` records the
+  live file set, the field-id table schema (see
+  :mod:`debezium_spark.schema_evolution`), cumulative per-partition
+  offsets, and ``last_batch_id``. Commit = write-temp + atomic rename —
+  the analogue of an Iceberg snapshot commit.
+- **fencing**: batch ids are monotone; re-delivery of an
+  already-committed batch (``foreachBatch`` crash-replay) is detected
+  against ``last_batch_id`` and skipped — this upgrades the reference's
+  at-least-once offset flush (``embedded/EmbeddedEngine.java:815-905``)
+  to exactly-once table effect.
+- per-batch lineage rows under ``_lineage/`` (events applied, max LSN
+  per source partition — the analogue of Debezium's
+  SnapshotMeter/StreamingMeter JMX metrics,
+  ``pipeline/meters/StreamingMeter.java:30-66``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_spark.schema_evolution import TableSchema
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self._manifest_cache: dict[int, dict] = {}
+
+    # -- layout helpers ------------------------------------------------
+    @property
+    def _commits_dir(self) -> str:
+        return os.path.join(self.root, "_commits")
+
+    @property
+    def _lineage_dir(self) -> str:
+        return os.path.join(self.root, "_lineage")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._commits_dir, f"{version:08d}.json")
+
+    # -- lifecycle -----------------------------------------------------
+    def create(self, schema: TableSchema | None = None) -> dict:
+        os.makedirs(self._commits_dir, exist_ok=True)
+        os.makedirs(self._lineage_dir, exist_ok=True)
+        schema = schema or TableSchema()
+        manifest = {
+            "version": 0,
+            "batch_id": None,
+            "last_batch_id": -1,
+            "files": {},
+            "schema": schema.columns,
+            "schema_version": schema.version,
+            "offsets": {},
+            "metrics": {},
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        return manifest
+
+    def exists(self) -> bool:
+        return os.path.isdir(self._commits_dir) and bool(os.listdir(self._commits_dir))
+
+    def current_version(self) -> int:
+        names = [n for n in os.listdir(self._commits_dir) if n.endswith(".json")]
+        if not names:
+            raise FileNotFoundError(f"no commits in {self._commits_dir}")
+        return max(int(n.split(".")[0]) for n in names)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v not in self._manifest_cache:
+            with open(self._manifest_path(v)) as f:
+                self._manifest_cache[v] = json.load(f)
+        return self._manifest_cache[v]
+
+    def _write_manifest(self, manifest: dict) -> None:
+        v = manifest["version"]
+        tmp = os.path.join(self._commits_dir, f".tmp.{v}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, self._manifest_path(v))  # atomic commit
+        self._manifest_cache[v] = manifest
+
+    def table_schema(self, version: int | None = None) -> TableSchema:
+        m = self.manifest(version)
+        return TableSchema(m["schema"], m["schema_version"])
+
+    # -- read ----------------------------------------------------------
+    def _bucket_col(self, repo="repo", path="path"):
+        return F.pmod(F.xxhash64(F.col(repo), F.col(path)), self.n_buckets).cast("int")
+
+    def read_state(
+        self,
+        buckets: list[int] | None = None,
+        logical: bool = True,
+        with_sys: bool = False,
+    ) -> DataFrame:
+        """Current table state. ``logical=True`` projects physical file
+        columns to logical names/types (field-id rename + widen at read,
+        Iceberg-style); ``logical=False`` keeps physical names (used by
+        merge so rewritten files stay in physical space). ``with_sys``
+        includes the hidden ``_lsn`` column (the LSN that wrote each
+        row — the merge guard)."""
+        man = self.manifest()
+        schema = self.table_schema()
+        entries = [
+            e
+            for b, e in man["files"].items()
+            if buckets is None or int(b) in buckets
+        ]
+        sys_cols = [("_lsn", "bigint")] if with_sys else []
+        if not entries:
+            ddl = ", ".join(
+                [
+                    f"`{c['name' if logical else 'physical']}` {c['type']}"
+                    for c in schema.columns
+                ]
+                + [f"`{n}` {t}" for n, t in sys_cols]
+            )
+            return self.spark.createDataFrame([], ddl)
+
+        by_version: dict[int, list[str]] = {}
+        for e in entries:
+            by_version.setdefault(e["version"], []).append(
+                os.path.join(self.root, e["path"])
+            )
+
+        parts = []
+        for v, paths in by_version.items():
+            file_schema = TableSchema(
+                self.manifest(v)["schema"], self.manifest(v)["schema_version"]
+            )
+            present = {c["physical"]: c for c in file_schema.columns}
+            df = self.spark.read.parquet(*paths)
+            cols = []
+            for c in schema.columns:
+                name = c["name"] if logical else c["physical"]
+                if c["physical"] in present:
+                    cols.append(F.col(c["physical"]).cast(c["type"]).alias(name))
+                else:
+                    cols.append(F.lit(None).cast(c["type"]).alias(name))
+            for n, t in sys_cols:
+                cols.append(F.col(n).cast(t).alias(n))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- merge (the MERGE INTO analogue) --------------------------------
+    def merge(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        offsets: dict | None = None,
+        lineage_rows: list[dict] | None = None,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Apply a compacted change set — LSN-guarded MERGE.
+
+        ``changes`` columns: ``op``, ``lsn`` + the **physical** schema
+        columns; ``op == 'd'`` deletes the key, anything else upserts:
+
+            MERGE INTO t USING changes ON (repo, path)
+              WHEN MATCHED AND op='d' AND changes.lsn > t._lsn THEN DELETE
+              WHEN MATCHED AND changes.lsn > t._lsn THEN UPDATE SET *
+              WHEN NOT MATCHED AND op<>'d' THEN INSERT *
+
+        Exactly-once is belt-and-braces: (1) monotone ``batch_id``
+        fencing skips whole re-delivered batches; (2) the per-row LSN
+        guard (state keeps the hidden ``_lsn`` of the event that wrote
+        each row) makes any stale or duplicated event a no-op, so even
+        out-of-order batch delivery converges to the same final state.
+        Only touched buckets are read and rewritten (copy-on-write);
+        on Iceberg both sides are bucket-partitioned, so this join is a
+        storage-partitioned join with no shuffle of the big side.
+        """
+        man = self.manifest()
+        if batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "version": man["version"], "batch_id": batch_id}
+
+        schema = self.table_schema()
+        new_version = man["version"] + 1
+        changes = changes.withColumn("bucket", self._bucket_col())
+        # Touched buckets: tiny (≤ n_buckets ints) — safe to collect.
+        touched = sorted(
+            r["bucket"] for r in changes.select("bucket").distinct().collect()
+        )
+        n_changes = 0
+        files = dict(man["files"])
+        if touched:
+            old = self.read_state(buckets=touched, logical=False, with_sys=True)
+            phys = [c["physical"] for c in schema.columns]
+            types = {c["physical"]: c["type"] for c in schema.columns}
+            non_key = [p for p in phys if p not in ("repo", "path")]
+            o = old.select(
+                "repo",
+                "path",
+                F.col("_lsn").alias("__o_lsn"),
+                *[F.col(p).alias(f"__o_{p}") for p in non_key],
+            )
+            c = changes.select(
+                "repo",
+                "path",
+                F.col("lsn").alias("__c_lsn"),
+                F.col("op").alias("__c_op"),
+                *[
+                    F.col(p).cast(types[p]).alias(f"__c_{p}")
+                    for p in non_key
+                ],
+            )
+            n_changes = c.count()
+            j = o.join(c, ["repo", "path"], "full_outer")
+            take = F.col("__c_lsn").isNotNull() & (
+                F.col("__o_lsn").isNull() | (F.col("__c_lsn") > F.col("__o_lsn"))
+            )
+            deleted = take & (F.col("__c_op") == "d")
+            survives = ~deleted & (F.col("__o_lsn").isNotNull() | take)
+            new_state = j.filter(survives).select(
+                "repo",
+                "path",
+                *[
+                    F.when(take, F.col(f"__c_{p}"))
+                    .otherwise(F.col(f"__o_{p}"))
+                    .alias(p)
+                    for p in non_key
+                ],
+                F.when(take, F.col("__c_lsn"))
+                .otherwise(F.col("__o_lsn"))
+                .cast("bigint")
+                .alias("_lsn"),
+            )
+            new_state = new_state.withColumn("bucket", self._bucket_col())
+            out_dir = os.path.join(self.root, f"data/v{new_version}")
+            (
+                new_state.repartition(max(len(touched), 1), "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            written = {
+                int(n.split("=")[1])
+                for n in os.listdir(out_dir)
+                if n.startswith("bucket=")
+            }
+            for b in touched:
+                if b in written:
+                    files[str(b)] = {
+                        "path": f"data/v{new_version}/bucket={b}",
+                        "version": new_version,
+                    }
+                else:
+                    # bucket emptied out entirely (all keys deleted)
+                    files.pop(str(b), None)
+
+        new_offsets = dict(man["offsets"])
+        for k, v in (offsets or {}).items():
+            new_offsets[str(k)] = max(int(v), int(new_offsets.get(str(k), -1)))
+        manifest = {
+            "version": new_version,
+            "batch_id": batch_id,
+            "last_batch_id": batch_id,
+            "files": files,
+            "schema": schema.columns,
+            "schema_version": schema.version,
+            "offsets": new_offsets,
+            "metrics": {**(metrics or {}), "changes": n_changes},
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        if lineage_rows:
+            self._append_lineage(batch_id, lineage_rows)
+        return {"skipped": False, "version": new_version, "batch_id": batch_id}
+
+    # -- schema evolution ------------------------------------------------
+    def apply_schema_change(self, change: dict) -> dict:
+        """Commit a schema-only change (add / rename / widen) — no data
+        rewrite, field-ids keep old files readable (Iceberg semantics;
+        reference: schema-history replay,
+        ``relational/history/SchemaHistory.java:34-101``)."""
+        man = self.manifest()
+        schema = self.table_schema().apply_change(change)
+        manifest = {
+            **man,
+            "version": man["version"] + 1,
+            "batch_id": None,
+            "schema": schema.columns,
+            "schema_version": schema.version,
+            "metrics": {"schema_change": change["change_type"]},
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        return manifest
+
+    # -- offsets / lineage -------------------------------------------------
+    def committed_offsets(self) -> dict[int, int]:
+        return {int(k): int(v) for k, v in self.manifest()["offsets"].items()}
+
+    def last_batch_id(self) -> int:
+        return int(self.manifest()["last_batch_id"])
+
+    def _append_lineage(self, batch_id: int, rows: list[dict]) -> None:
+        path = os.path.join(self._lineage_dir, f"{batch_id:08d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, path)
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for n in sorted(os.listdir(self._lineage_dir)):
+            if n.endswith(".json"):
+                with open(os.path.join(self._lineage_dir, n)) as f:
+                    rows.extend(json.loads(line) for line in f if line.strip())
+        return rows

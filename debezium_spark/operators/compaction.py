@@ -1,0 +1,94 @@
+"""Last-writer-wins per-key compaction — the core apply kernel.
+
+Reference semantics: within one source partition, events are totally
+ordered by LSN (single-threaded coordinator,
+``pipeline/ChangeEventSourceCoordinator.java:106``; FIFO queue,
+``connector/base/ChangeEventQueue.java:36-106``), and a key never spans
+partitions, so the newest event per key (max LSN) determines the final
+row — exactly what Kafka log compaction would leave. After Spark's
+parallel shuffle this order must be *re-derived from LSN inside each
+key group* — never from arrival order (SURVEY §4).
+
+Two kernels, identical results (tests assert equality):
+
+- ``max_by`` (default): ``groupBy(key).agg(max_by(struct(*), lsn))``.
+  One shuffle with **map-side partial aggregation** — each task reduces
+  its slice of a hot key locally before the exchange, so even a
+  pathological million-update key costs O(1) post-shuffle memory. This
+  is the scale-optimal plan (whole-stage codegen, no Python).
+- ``pandas``: ``groupBy(key).applyInPandas`` with vectorized
+  ``sort_values`` + tail(1) — the shape the north-star names; kept for
+  parity and as the template for richer per-key folds. An optional
+  salted two-phase variant pre-reduces hot keys on (key, salt) before
+  the final per-key group (SURVEY §2.3 PartitionRouting → salting).
+
+Input contract: envelope rows after ``drop_tombstones`` +
+``pk_change_split`` + ``normalize_target_key`` (every row's ``key`` is
+the row it affects). Output: one row per key —
+``(repo, path, lsn, op, after)`` where ``op = 'd'`` means the key ends
+deleted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compact_max_by(df: DataFrame) -> DataFrame:
+    """LWW via max_by aggregate (partial-agg friendly; default kernel)."""
+    winner = F.max_by(
+        F.struct(
+            F.col("lsn"), F.col("op"), F.col("after"), F.col("schema_version")
+        ),
+        F.col("lsn"),
+    ).alias("w")
+    return (
+        df.groupBy(F.col("key.repo").alias("repo"), F.col("key.path").alias("path"))
+        .agg(winner)
+        .select("repo", "path", "w.lsn", "w.op", "w.after", "w.schema_version")
+    )
+
+
+def compact_apply_in_pandas(df: DataFrame, salt: int = 0) -> DataFrame:
+    """LWW via groupBy.applyInPandas (vectorized pandas fold per key).
+
+    ``salt > 0`` enables the two-phase skew defense: phase 1 reduces on
+    (key, salt-of-lsn) so a hot key's events split across ``salt``
+    groups; phase 2 reduces the ≤salt survivors per key.
+    """
+    slim = df.select(
+        F.col("key.repo").alias("repo"),
+        F.col("key.path").alias("path"),
+        "lsn",
+        "op",
+        "after",
+        "schema_version",
+    )
+    out_schema = slim.schema
+
+    def last_writer(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: no iterrows (input_hint: no per-row Python)
+        return pdf.sort_values("lsn", kind="stable").tail(1)
+
+    if salt > 0:
+        pre = slim.withColumn("__salt", F.pmod(F.col("lsn"), salt).cast("int"))
+        pre = (
+            pre.groupBy("repo", "path", "__salt")
+            .applyInPandas(
+                lambda pdf: pdf.sort_values("lsn", kind="stable").tail(1),
+                schema=pre.schema,
+            )
+            .drop("__salt")
+        )
+        slim = pre
+    return slim.groupBy("repo", "path").applyInPandas(last_writer, schema=out_schema)
+
+
+def compact(df: DataFrame, kernel: str = "max_by", salt: int = 0) -> DataFrame:
+    if kernel == "max_by":
+        return compact_max_by(df)
+    if kernel == "pandas":
+        return compact_apply_in_pandas(df, salt=salt)
+    raise ValueError(f"unknown compaction kernel {kernel!r}")

@@ -1,0 +1,291 @@
+"""Single-message-transform (SMT) library re-expressed as DataFrame ops.
+
+Each function maps 1:1 to a reference transform or dispatcher step
+(file:line cited per function); all are pure column expressions — they
+run JVM-side inside whole-stage codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from debezium_spark.envelope import OP_CREATE, OP_DELETE, OP_UPDATE
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher-stage filters (pipeline/EventDispatcher.java)
+# ---------------------------------------------------------------------------
+
+def drop_tombstones(df: DataFrame) -> DataFrame:
+    """Drop Kafka-log-compaction tombstones; the table effect of a delete
+    is the ``d`` event itself (EventDispatcher.java:496-508). Analogue of
+    ExtractNewRecordState's drop-tombstones mode."""
+    return df.filter(~F.col("is_tombstone"))
+
+
+def skip_operations(df: DataFrame, skipped: tuple[str, ...]) -> DataFrame:
+    """``skipped.operations`` filter (EventDispatcher.java:147-148,294-301)."""
+    return df.filter(~F.col("op").isin(list(skipped)))
+
+
+def table_filter(
+    df: DataFrame, include_regex: str | None = None, exclude_regex: str | None = None
+) -> DataFrame:
+    """Table include/exclude filtering (relational/RelationalTableFilters.java:1-127,
+    Selectors.java:1-335). Catalyst pushes this to the scan."""
+    out = df
+    if include_regex:
+        out = out.filter(F.col("source.table").rlike(include_regex))
+    if exclude_regex:
+        out = out.filter(~F.col("source.table").rlike(exclude_regex))
+    return out
+
+
+def skip_unchanged_updates(df: DataFrame) -> DataFrame:
+    """Suppress UPDATEs whose images are identical
+    (RelationalChangeRecordEmitter.java:110-119, skip-messages-without-change)."""
+    unchanged = (F.col("op") == OP_UPDATE) & F.col("before").eqNullSafe(
+        F.col("after")
+    )
+    return df.filter(~unchanged)
+
+
+# ---------------------------------------------------------------------------
+# PK-change split + key normalization
+# ---------------------------------------------------------------------------
+
+def pk_change_split(df: DataFrame) -> DataFrame:
+    """An UPDATE whose key changed becomes DELETE(old key) + CREATE(new
+    key) (RelationalChangeRecordEmitter.java:171-185; headers
+    ``__debezium.oldkey/newkey`` become the two rows' keys here).
+
+    The CREATE gets ``lsn + 1`` so per-key LSN order stays strict; the
+    generator leaves odd LSN slots free for exactly this.
+    """
+    cols = df.columns
+    is_pk_change = (
+        (F.col("op") == OP_UPDATE)
+        & F.col("before").isNotNull()
+        & (
+            (F.col("before.repo") != F.col("after.repo"))
+            | (F.col("before.path") != F.col("after.path"))
+        )
+    )
+
+    def ev(**overrides) -> Column:
+        return F.struct(*[overrides.get(c, F.col(c)).alias(c) for c in cols])
+
+    delete_part = ev(
+        op=F.lit(OP_DELETE),
+        after=F.lit(None).cast(df.schema["after"].dataType),
+        key=F.struct(
+            F.col("before.repo").alias("repo"), F.col("before.path").alias("path")
+        ),
+    )
+    create_part = ev(
+        op=F.lit(OP_CREATE),
+        lsn=F.col("lsn") + 1,
+        before=F.lit(None).cast(df.schema["before"].dataType),
+        key=F.struct(
+            F.col("after.repo").alias("repo"), F.col("after.path").alias("path")
+        ),
+    )
+    arr = F.when(is_pk_change, F.array(delete_part, create_part)).otherwise(
+        F.array(ev())
+    )
+    return df.select(F.inline(arr))
+
+
+def normalize_target_key(df: DataFrame) -> DataFrame:
+    """Set ``key`` to the row the event *affects*: before-image key for
+    deletes, after-image key otherwise (TableSchema.keyFromColumnData,
+    relational/TableSchema.java:126). Run after :func:`pk_change_split`."""
+    key = (
+        F.when(
+            F.col("op") == OP_DELETE,
+            F.struct(F.col("before.repo").alias("repo"), F.col("before.path").alias("path")),
+        )
+        .when(
+            F.col("after").isNotNull(),
+            F.struct(F.col("after.repo").alias("repo"), F.col("after.path").alias("path")),
+        )
+        .otherwise(F.col("key"))
+    )
+    return df.withColumn("key", key)
+
+
+# ---------------------------------------------------------------------------
+# ExtractNewRecordState family (transforms/ExtractNewRecordState.java:1-303)
+# ---------------------------------------------------------------------------
+
+def extract_new_record_state(
+    df: DataFrame,
+    delete_mode: str = "drop",
+    add_op: bool = True,
+    add_ts_ms: bool = True,
+    add_source_fields: tuple[str, ...] = (),
+    row_fields: tuple[str, ...] = ("repo", "path", "commit", "lang", "content"),
+) -> DataFrame:
+    """Unwrap the envelope to a flat row ("flatten/unwrap" SMT).
+
+    delete_mode: ``drop`` (delete.handling.mode=drop) | ``rewrite``
+    (keep delete rows built from ``before`` with ``__deleted = true``,
+    extractnewstate/DefaultDeleteHandlingStrategy.java:1-92).
+    """
+    df = drop_tombstones(df)
+    if delete_mode == "drop":
+        df = df.filter(F.col("op") != OP_DELETE)
+        image = F.col("after")
+    elif delete_mode == "rewrite":
+        image = F.when(F.col("op") == OP_DELETE, F.col("before")).otherwise(
+            F.col("after")
+        )
+    else:
+        raise ValueError(f"unknown delete_mode {delete_mode!r}")
+
+    cols = [image.getField(f).alias(f) for f in row_fields]
+    if add_op:
+        cols.append(F.col("op").alias("__op"))
+    if add_ts_ms:
+        cols.append(F.col("ts_ms").alias("__ts_ms"))
+    for sf_ in add_source_fields:
+        cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
+    if delete_mode == "rewrite":
+        cols.append((F.col("op") == OP_DELETE).alias("__deleted"))
+    return df.select(*cols)
+
+
+def extract_changed_record_state(
+    df: DataFrame,
+    row_fields: tuple[str, ...] = ("repo", "path", "commit", "lang", "content"),
+) -> DataFrame:
+    """Header listing changed column names = diff(before, after)
+    (transforms/ExtractChangedRecordState.java:1-113). Pure array ops."""
+    changed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col("before").getField(f).eqNullSafe(
+                        F.col("after").getField(f)
+                    ),
+                    F.lit(f),
+                )
+                for f in row_fields
+            ]
+        )
+    )
+    return df.withColumn("__changed", changed)
+
+
+# ---------------------------------------------------------------------------
+# Column mappers (relational/mapping/ColumnMappers.java:55-74)
+# ---------------------------------------------------------------------------
+
+def truncate_image_field(df: DataFrame, image_col: str, field: str, n: int) -> DataFrame:
+    """``column.truncate.to.N.chars`` (relational/mapping/TruncateStrings.java)."""
+    return df.withColumn(
+        image_col,
+        F.when(
+            F.col(image_col).isNotNull(),
+            F.col(image_col).withField(field, F.substring(F.col(f"{image_col}.{field}"), 1, n)),
+        ),
+    )
+
+
+def mask_image_field(df: DataFrame, image_col: str, field: str, mask: str = "***") -> DataFrame:
+    """``column.mask.with.N.chars`` (relational/mapping/MaskStrings.java)."""
+    return df.withColumn(
+        image_col,
+        F.when(
+            F.col(image_col).isNotNull(),
+            F.col(image_col).withField(field, F.lit(mask)),
+        ),
+    )
+
+
+def hash_mask_image_field(
+    df: DataFrame, image_col: str, field: str, salt: str, bits: int = 256
+) -> DataFrame:
+    """``column.mask.hash.SHA-256.with.salt.S`` (MaskStrings.java HashValueConverter)."""
+    return df.withColumn(
+        image_col,
+        F.when(
+            F.col(image_col).isNotNull(),
+            F.col(image_col).withField(
+                field, F.sha2(F.concat(F.lit(salt), F.col(f"{image_col}.{field}")), bits)
+            ),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Routing / partitioning
+# ---------------------------------------------------------------------------
+
+def partition_routing(df: DataFrame, n_partitions: int, *cols: str) -> DataFrame:
+    """Stable partition = abs(hash(fields)) % N
+    (transforms/partitions/PartitionRouting.java:48-57,239-241)."""
+    return df.withColumn(
+        "__partition",
+        F.pmod(F.abs(F.xxhash64(*[F.col(c) for c in cols])), n_partitions).cast("int"),
+    )
+
+
+def by_logical_table_router(
+    df: DataFrame, topic_regex: str, topic_replacement: str, add_shard_to_key: bool = False
+) -> DataFrame:
+    """Merge sharded tables into one logical route
+    (transforms/ByLogicalTableRouter.java:58-113)."""
+    out = df.withColumn(
+        "__route", F.regexp_replace(F.col("source.table"), topic_regex, topic_replacement)
+    )
+    if add_shard_to_key:
+        out = out.withColumn("__dbz__physicalTableIdentifier", F.col("source.table"))
+    return out
+
+
+def content_based_router(df: DataFrame, route_expr: str) -> DataFrame:
+    """Route by SQL expression over the record — Spark SQL replaces the
+    reference's scripting engine (transforms/ContentBasedRouter.java)."""
+    return df.withColumn("__route", F.expr(route_expr))
+
+
+def scripting_filter(df: DataFrame, predicate_expr: str) -> DataFrame:
+    """Keep records where the expression holds
+    (debezium-scripting .../transforms/Filter.java)."""
+    return df.filter(F.expr(predicate_expr))
+
+
+# ---------------------------------------------------------------------------
+# Transaction metadata (pipeline/txmetadata/TransactionMonitor.java:36-64,108-158)
+# ---------------------------------------------------------------------------
+
+def transaction_metadata(df: DataFrame) -> DataFrame:
+    """Per-event ``transaction{id, total_order, data_collection_order}``.
+
+    total_order = event's position within its transaction;
+    data_collection_order = position within (tx, table). Window over
+    (txId) ordered by lsn — groups are transaction-sized (small), so no
+    skew concern.
+    """
+    from pyspark.sql import Window as W
+
+    w_tx = W.partitionBy("source.txId").orderBy("lsn")
+    w_tbl = W.partitionBy("source.txId", "source.table").orderBy("lsn")
+    return df.withColumn(
+        "transaction",
+        F.struct(
+            F.col("source.txId").alias("id"),
+            F.row_number().over(w_tx).cast("long").alias("total_order"),
+            F.row_number().over(w_tbl).cast("long").alias("data_collection_order"),
+        ),
+    )
+
+
+def timezone_converter(df: DataFrame, ts_col: str, target_tz: str) -> DataFrame:
+    """Convert temporal fields across timezones (transforms/TimezoneConverter.java:1-505)."""
+    return df.withColumn(
+        f"{ts_col}_{target_tz.replace('/', '_')}",
+        F.from_utc_timestamp(F.to_timestamp(F.col(ts_col) / 1000.0), target_tz),
+    )

@@ -1,0 +1,247 @@
+"""The CDC engine — snapshot → stream → exactly-once apply.
+
+API shape mirrors the reference's embedded engine
+(``debezium-api/src/main/java/io/debezium/engine/DebeziumEngine.java:
+45,106-167,191-251``): build with config, ``run()`` does snapshot then
+streams; each applied micro-batch ends with an atomic commit that
+records offsets (≙ ``RecordCommitter.markBatchFinished`` →
+``commitOffsets``, ``embedded/EmbeddedEngine.java:819-905``) — except
+ours is transactional with the data write (manifest commit), so the
+at-least-once window the reference documents becomes exactly-once
+table effect.
+
+Per-batch dataflow (SURVEY §7.1)::
+
+    events[lsn_lo, lsn_hi)                           (pruned parquet scan)
+      → table filter / tombstone drop / skipped-ops  (codegen filters)
+      → PK-change split → target-key normalize
+      → LWW compaction per (repo, path)              (one shuffle,
+                                                      map-side combine)
+      → schema-align (event-version gated columns → physical superset)
+      → LakeTable.merge (LSN-guarded, bucket COW, fenced commit)
+      → lineage rows per source partition
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_spark.lake import LakeTable
+from debezium_spark.operators.compaction import compact
+from debezium_spark.operators.transforms import (
+    drop_tombstones,
+    normalize_target_key,
+    pk_change_split,
+    skip_operations,
+    table_filter,
+)
+from debezium_spark.schema_evolution import SchemaTracker
+from debezium_spark.sources.changelog import (
+    lsn_bounds,
+    read_changelog_range,
+    stream_changelog,
+)
+from debezium_spark.sources.snapshot import snapshot_envelopes
+
+
+@dataclass
+class EngineConfig:
+    changelog_path: str
+    lake_root: str
+    source_table_path: str | None = None
+    schema_changes: list[dict] = field(default_factory=list)
+    n_buckets: int = 32
+    batch_lsn_span: int = 4096  # LSN units per micro-batch (≙ max.batch.size)
+    compaction_kernel: str = "max_by"  # or "pandas"
+    salt: int = 0
+    partitions: int = 4
+    snapshot_mode: str = "initial"  # always|initial|never|initial_only
+    table_include_regex: str | None = None
+    skipped_operations: tuple[str, ...] = ()
+
+
+class Engine:
+    SNAPSHOT_BATCH_ID = 0
+
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.lake = LakeTable(spark, cfg.lake_root, n_buckets=cfg.n_buckets)
+        self.tracker = SchemaTracker(cfg.schema_changes)
+        if not self.lake.exists():
+            self.lake.create()
+
+    # -- snapshot phase (batch 0) ---------------------------------------
+    def snapshot(self) -> dict | None:
+        """Initial consistent snapshot. Snapshot-mode semantics per
+        ``connector/postgresql/PostgresConnectorConfig.java:195-225``:
+        skipped if already done (``initial``) or disabled (``never``)."""
+        mode = self.cfg.snapshot_mode
+        already = self.lake.last_batch_id() >= self.SNAPSHOT_BATCH_ID
+        if mode == "never" or (mode in ("initial", "initial_only") and already):
+            return None
+        if self.cfg.source_table_path is None:
+            return None
+        source = self.spark.read.parquet(self.cfg.source_table_path)
+        events = snapshot_envelopes(source, partitions=self.cfg.partitions)
+        return self._apply_batch(events, self.SNAPSHOT_BATCH_ID, phase="snapshot")
+
+    # -- streaming phase (batches 1..N) ----------------------------------
+    def stream(self, max_batches: int | None = None) -> list[dict]:
+        """Batch-replay loop over the LSN-ordered log. Deterministic
+        batch boundaries (lsn windows) make restart resume exact: batch
+        k covers ``[lo + k*span, lo + (k+1)*span)``; resume starts at
+        ``last_batch_id`` (re-running a half-applied batch is safe —
+        fenced + LSN-guarded)."""
+        if self.cfg.snapshot_mode == "initial_only":
+            return []
+        lo, hi = lsn_bounds(self.spark, self.cfg.changelog_path)
+        span = self.cfg.batch_lsn_span
+        results = []
+        k = max(self.lake.last_batch_id(), 0)  # next stream batch index
+        n_done = 0
+        while lo + k * span <= hi:
+            if max_batches is not None and n_done >= max_batches:
+                break
+            batch_lo = lo + k * span
+            batch_hi = batch_lo + span
+            events = read_changelog_range(
+                self.spark, self.cfg.changelog_path, batch_lo, batch_hi
+            )
+            results.append(
+                self._apply_batch(events, k + 1, phase="stream", lsn_hi=batch_hi)
+            )
+            k += 1
+            n_done += 1
+        return results
+
+    def run(self, max_batches: int | None = None) -> list[dict]:
+        res = []
+        snap = self.snapshot()
+        if snap:
+            res.append(snap)
+        res.extend(self.stream(max_batches=max_batches))
+        return res
+
+    # -- structured-streaming front-end -----------------------------------
+    def run_streaming(
+        self, checkpoint_dir: str, max_files_per_trigger: int = 1
+    ) -> None:
+        """Drive the same apply through Structured Streaming
+        ``foreachBatch`` (file source over the log directory). Epoch ids
+        are the fencing batch ids; checkpoint + fenced merge give
+        exactly-once across restarts. Used when the log arrives
+        incrementally rather than as a replayable table."""
+        stream = stream_changelog(
+            self.spark, self.cfg.changelog_path, max_files_per_trigger
+        )
+
+        def apply(batch_df: DataFrame, epoch_id: int) -> None:
+            self._apply_batch(batch_df, int(epoch_id) + 1, phase="stream")
+
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- the per-batch pipeline -------------------------------------------
+    def _apply_batch(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        phase: str = "stream",
+        lsn_hi: int | None = None,
+    ) -> dict:
+        if batch_id <= self.lake.last_batch_id():
+            return {"skipped": True, "batch_id": batch_id}
+
+        # 1. per-source-partition offset frontier + lineage (collects
+        #    ≤ partitions rows — the StreamingMeter analogue)
+        lineage = [
+            {
+                "batch_id": batch_id,
+                "phase": phase,
+                "partition_id": r["partition_id"],
+                "events": r["events"],
+                "max_lsn": r["max_lsn"],
+            }
+            for r in events.groupBy("partition_id")
+            .agg(F.count("*").alias("events"), F.max("lsn").alias("max_lsn"))
+            .collect()
+        ]
+
+        # 2. schema changes falling inside this batch window are applied
+        #    to the table schema first (historized-schema replay,
+        #    relational/history/SchemaHistory.java:34-101).
+        if lsn_hi is None and lineage:
+            lsn_hi = max(r["max_lsn"] for r in lineage) + 1
+        if lsn_hi is not None:
+            current_v = self.lake.table_schema().version
+            for v in sorted(self.tracker.changes_by_version):
+                ch = self.tracker.changes_by_version[v]
+                if ch["lsn"] < lsn_hi and v > current_v:
+                    self.lake.apply_schema_change(ch)
+
+        # 3. dispatcher-stage filters + per-record transforms
+        ev = events
+        if self.cfg.table_include_regex:
+            ev = table_filter(ev, include_regex=self.cfg.table_include_regex)
+        ev = drop_tombstones(ev)
+        if self.cfg.skipped_operations:
+            ev = skip_operations(ev, self.cfg.skipped_operations)
+        ev = pk_change_split(ev)
+        ev = normalize_target_key(ev)
+
+        if not lineage:
+            # empty batch — still commit the fence so batch ids advance
+            return self.lake.merge(
+                self._align(compact(ev.limit(0), self.cfg.compaction_kernel)),
+                batch_id,
+            )
+        offsets = {r["partition_id"]: r["max_lsn"] for r in lineage}
+
+        # 4. LWW compaction + schema alignment + fenced LSN-guarded merge
+        compacted = compact(ev, self.cfg.compaction_kernel, salt=self.cfg.salt)
+        changes = self._align(compacted)
+        return self.lake.merge(
+            changes,
+            batch_id,
+            offsets=offsets,
+            lineage_rows=lineage,
+            metrics={"phase": phase, "events": sum(r["events"] for r in lineage)},
+        )
+
+    def _align(self, compacted: DataFrame) -> DataFrame:
+        """Project compaction winners onto the lake's physical superset
+        schema, gating each column by the event's schema version —
+        events that predate an ADD COLUMN contribute NULL for it
+        (mixed-schema batches, SURVEY §7.4)."""
+        schema = self.lake.table_schema()
+        cols = [F.col("op"), F.col("lsn")]
+        for c in schema.columns:
+            p = c["physical"]
+            if p in ("repo", "path"):
+                cols.append(F.col(p).cast(c["type"]).alias(p))
+                continue
+            val = F.col("after").getField(p)
+            try:
+                va = self.tracker.added_at_version(p)
+            except KeyError:
+                va = 0
+            if va > 0:
+                val = F.when(F.col("schema_version") >= va, val)
+            cols.append(val.cast(c["type"]).alias(p))
+        return compacted.select(*cols)
+
+    # -- introspection ------------------------------------------------------
+    def final_state(self) -> DataFrame:
+        return self.lake.read_state(logical=True)
+
+    def metrics(self) -> list[dict]:
+        return self.lake.lineage()

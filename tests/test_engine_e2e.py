@@ -1,0 +1,140 @@
+"""End-to-end: snapshot + replay → final table state matches the pure-
+Python oracle fold per row, including sha256(content) (input_hint
+invariant). Both compaction kernels; exactly-once re-delivery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from debezium_spark.generator import gen_change_log, gen_source_table
+from debezium_spark.oracle import content_sha256_map, fold_final_state
+from debezium_spark.streaming.engine import Engine, EngineConfig
+
+
+def _make_fixture(spark, tmp_root, n_repos=6, ppr=20, n_events=3000, seed=42, **gen_kw):
+    src_path = os.path.join(tmp_root, "source")
+    log_path = os.path.join(tmp_root, "changelog")
+    src = gen_source_table(spark, n_repos, ppr)
+    src.write.mode("overwrite").parquet(src_path)
+    log = gen_change_log(
+        spark, n_repos, ppr, n_events=n_events, seed=seed,
+        snapshot_lsn_base=n_repos * ppr, **gen_kw,
+    )
+    log.write.mode("overwrite").parquet(log_path)
+    return src_path, log_path
+
+
+def _oracle_state(spark, src_path, log_path):
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = spark.read.parquet(log_path).toPandas()
+    log_pdf["key"] = log_pdf["key"].map(lambda k: k.asDict() if hasattr(k, "asDict") else k)
+    for c in ("before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    return fold_final_state(src_pdf, log_pdf)
+
+
+def _engine_state_map(engine):
+    return {
+        (r["repo"], r["path"]): r.asDict()
+        for r in engine.final_state().collect()
+    }
+
+
+def _assert_state_matches(engine, oracle):
+    got = _engine_state_map(engine)
+    assert set(got) == set(oracle), (
+        f"key sets differ: only_engine={list(set(got) - set(oracle))[:5]} "
+        f"only_oracle={list(set(oracle) - set(got))[:5]}"
+    )
+    import hashlib
+
+    oracle_sha = content_sha256_map(oracle)
+    for k, row in got.items():
+        sha = hashlib.sha256((row["content"] or "").encode()).hexdigest()
+        assert sha == oracle_sha[k], f"content sha mismatch at {k}"
+        for col in ("commit", "lang"):
+            assert row[col] == oracle[k][col], f"{col} mismatch at {k}"
+
+
+@pytest.mark.parametrize("kernel", ["max_by", "pandas"])
+def test_replay_matches_oracle(spark, tmp_root, kernel):
+    src_path, log_path = _make_fixture(spark, tmp_root)
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, f"lake_{kernel}"),
+        source_table_path=src_path,
+        batch_lsn_span=2000,
+        compaction_kernel=kernel,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    results = engine.run()
+    assert all(not r.get("skipped") for r in results)
+    _assert_state_matches(engine, _oracle_state(spark, src_path, log_path))
+
+
+def test_exactly_once_redelivery(spark, tmp_root):
+    """Re-running already-committed batches is a no-op (fencing +
+    LSN-guarded merge) — final state and version unchanged."""
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=1000)
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake"),
+        source_table_path=src_path,
+        batch_lsn_span=500,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    engine.run()
+    v1 = engine.lake.current_version()
+    state1 = _engine_state_map(engine)
+
+    # re-deliver already-committed batches (simulates foreachBatch
+    # crash-replay): every merge must be fenced out
+    from debezium_spark.sources.changelog import lsn_bounds, read_changelog_range
+
+    engine2 = Engine(spark, cfg)
+    assert engine2.run() == []  # nothing left to do
+    lo, _ = lsn_bounds(spark, log_path)
+    for k in range(2):
+        events = read_changelog_range(
+            spark, log_path, lo + k * 500, lo + (k + 1) * 500
+        )
+        res = engine2._apply_batch(events, k + 1)
+        assert res.get("skipped")
+    assert engine2.lake.current_version() == v1
+    assert _engine_state_map(engine2) == state1
+
+
+def test_offsets_and_lineage(spark, tmp_root):
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=800)
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake"),
+        source_table_path=src_path,
+        batch_lsn_span=400,
+        n_buckets=8,
+        partitions=4,
+    )
+    engine = Engine(spark, cfg)
+    engine.run()
+    offs = engine.lake.committed_offsets()
+    assert set(offs) == {0, 1, 2, 3}
+    from pyspark.sql import functions as F
+
+    true_max = {
+        r["partition_id"]: r["m"]
+        for r in spark.read.parquet(log_path)
+        .groupBy("partition_id")
+        .agg(F.max("lsn").alias("m"))
+        .collect()
+    }
+    assert offs == true_max
+    lin = engine.metrics()
+    assert sum(r["events"] for r in lin if r["phase"] == "stream") > 0
+    snap_events = sum(r["events"] for r in lin if r["phase"] == "snapshot")
+    assert snap_events == 6 * 20
