@@ -1,0 +1,127 @@
+"""Schema evolution mid-stream: add column, rename, widen — applied as
+schema-change events interleaved with data events (FIXTURES.md §3),
+final state checked against the oracle fold with the same changes."""
+
+from __future__ import annotations
+
+import os
+
+from debezium_spark.generator import gen_change_log, gen_source_table
+from debezium_spark.oracle import fold_final_state
+from debezium_spark.schema_evolution import SchemaTracker, TableSchema
+from debezium_spark.streaming.engine import Engine, EngineConfig
+
+# 250 events over 100 keys: ~8 keys stay untouched post-snapshot, so the
+# final state mixes NULL and populated size_bytes (mixed-schema rows)
+N_REPOS, PPR, N_EVENTS = 5, 20, 250
+BASE = N_REPOS * PPR  # stream lsn base
+
+
+def _changes():
+    # add at ~30%, rename at ~60%, widen at ~80% of the stream
+    return [
+        {
+            "lsn": BASE + int(2 * N_EVENTS * 0.3),
+            "schema_version": 1,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "int",
+        },
+        {
+            "lsn": BASE + int(2 * N_EVENTS * 0.6),
+            "schema_version": 2,
+            "change_type": "ALTER_RENAME_COLUMN",
+            "column_name": "language",
+            "prev_name": "lang",
+        },
+        {
+            "lsn": BASE + int(2 * N_EVENTS * 0.8),
+            "schema_version": 3,
+            "change_type": "ALTER_WIDEN_TYPE",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+        },
+    ]
+
+
+def test_tracker_versions():
+    tr = SchemaTracker(_changes())
+    assert tr.latest_version == 3
+    v0, v3 = tr.schemas[0], tr.schemas[3]
+    assert v0.logical_names == ["repo", "path", "commit", "lang", "content"]
+    assert v3.logical_names == [
+        "repo", "path", "commit", "language", "content", "size_bytes",
+    ]
+    # rename keeps physical name + field id (Iceberg semantics)
+    assert v3.col("language")["physical"] == "lang"
+    assert v3.col("language")["field_id"] == v0.col("lang")["field_id"]
+    assert v3.col("size_bytes")["type"] == "bigint"
+    assert tr.added_at_version("size_bytes") == 1
+    assert tr.added_at_version("lang") == 0
+
+
+def test_widen_rejects_narrowing():
+    s = TableSchema()
+    s = s.apply_change(
+        {"change_type": "ALTER_ADD_COLUMN", "column_name": "n", "new_type": "bigint"}
+    )
+    try:
+        s.apply_change(
+            {"change_type": "ALTER_WIDEN_TYPE", "column_name": "n", "new_type": "int"}
+        )
+        raise AssertionError("narrowing must be rejected")
+    except ValueError:
+        pass
+
+
+def test_evolution_end_to_end(spark, tmp_root):
+    changes = _changes()
+    schema_change_lsns = {c["schema_version"]: c["lsn"] for c in changes}
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE,
+        schema_change_lsns=schema_change_lsns,
+    ).write.parquet(log_path)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake"),
+        source_table_path=src_path,
+        schema_changes=changes,
+        batch_lsn_span=977,  # deliberately misaligned with change lsns
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    engine.run()
+
+    # lake schema evolved
+    final_schema = engine.lake.table_schema()
+    assert [c["name"] for c in final_schema.columns] == [
+        "repo", "path", "commit", "language", "content", "size_bytes",
+    ]
+    assert final_schema.col("size_bytes")["type"] == "bigint"
+
+    # oracle with the same schema changes
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = spark.read.parquet(log_path).toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(lambda v: v.asDict() if hasattr(v, "asDict") else v)
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+
+    got = {
+        (r["repo"], r["path"]): r.asDict() for r in engine.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_sized = 0
+    for k, row in got.items():
+        assert row["content"] == oracle[k]["content"], k
+        assert row["language"] == oracle[k]["language"], k
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+        if row["size_bytes"] is not None:
+            n_sized += 1
+            assert row["size_bytes"] == len(row["content"])
+    # rows written before the ADD COLUMN have NULL size_bytes; rows
+    # written after have it populated — both must exist
+    assert 0 < n_sized < len(got)

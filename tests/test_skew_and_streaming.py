@@ -1,0 +1,103 @@
+"""Skew fixture (one hot repo), salted compaction, and the Structured
+Streaming front-end (foreachBatch + checkpoint, availableNow)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_spark.generator import gen_change_log, gen_source_table
+from debezium_spark.oracle import content_sha256_map, fold_final_state
+from debezium_spark.sources.changelog import write_changelog_ordered
+from debezium_spark.streaming.engine import Engine, EngineConfig
+
+
+def _oracle(spark, src_path, log_path):
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = spark.read.parquet(log_path).toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(lambda v: v.asDict() if hasattr(v, "asDict") else v)
+    return fold_final_state(src_pdf, log_pdf)
+
+
+def test_skewed_hot_repo(spark, tmp_root):
+    """70% of events hit repo 0 (FIXTURES.md §5 skew_log). The salted
+    pandas kernel and the partial-agg max_by kernel must both converge
+    to the oracle state."""
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, 5, 20).write.parquet(src_path)
+    log = gen_change_log(
+        spark, 5, 20, n_events=3000, snapshot_lsn_base=100, hot_repo_share=0.7
+    )
+    log.write.parquet(log_path)
+
+    # fixture sanity: repo 0 really is hot
+    by_repo = dict(
+        log.filter(~F.col("is_tombstone"))
+        .groupBy("key.repo").count().collect()
+    )
+    hot = by_repo["org/project-0000"]
+    assert hot > 0.5 * sum(by_repo.values())
+
+    oracle = _oracle(spark, src_path, log_path)
+    oracle_sha = content_sha256_map(oracle)
+    for kernel, salt in (("max_by", 0), ("pandas", 16)):
+        cfg = EngineConfig(
+            changelog_path=log_path,
+            lake_root=os.path.join(tmp_root, f"lake_{kernel}"),
+            source_table_path=src_path,
+            batch_lsn_span=3000,
+            compaction_kernel=kernel,
+            salt=salt,
+            n_buckets=8,
+        )
+        engine = Engine(spark, cfg)
+        engine.run()
+        import hashlib
+
+        got = {
+            (r["repo"], r["path"]): r["content"]
+            for r in engine.final_state().collect()
+        }
+        assert set(got) == set(oracle), kernel
+        for k, v in got.items():
+            assert (
+                hashlib.sha256((v or "").encode()).hexdigest() == oracle_sha[k]
+            ), (kernel, k)
+
+
+def test_structured_streaming_front_end(spark, tmp_root):
+    """Same apply driven by readStream + foreachBatch(availableNow) with
+    a checkpoint — final state equals the batch-replay result."""
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, 4, 15).write.parquet(src_path)
+    log = gen_change_log(spark, 4, 15, n_events=1200, snapshot_lsn_base=60)
+    write_changelog_ordered(log, log_path, n_files=6)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_stream"),
+        source_table_path=src_path,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    engine.snapshot()
+    engine.run_streaming(
+        checkpoint_dir=os.path.join(tmp_root, "ckpt"), max_files_per_trigger=2
+    )
+
+    oracle = _oracle(spark, src_path, log_path)
+    got = {
+        (r["repo"], r["path"]): r["content"] for r in engine.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    for k, v in got.items():
+        assert v == oracle[k]["content"], k
+
+    # restart the stream over the same checkpoint: no new work, state unchanged
+    v_before = engine.lake.current_version()
+    engine.run_streaming(checkpoint_dir=os.path.join(tmp_root, "ckpt"))
+    assert engine.lake.current_version() == v_before

@@ -1,0 +1,155 @@
+"""SMT library semantics (reference tests:
+debezium-core/src/test/java/io/debezium/transforms/*Test.java)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark.generator import gen_change_log
+from debezium_spark.operators import transforms as tr
+
+
+def _log(spark, **kw):
+    kw.setdefault("n_events", 600)
+    return gen_change_log(spark, 4, 10, **kw)
+
+
+def test_drop_tombstones(spark):
+    log = _log(spark)
+    out = tr.drop_tombstones(log)
+    assert out.filter(F.col("is_tombstone")).count() == 0
+    n_d = log.filter(F.col("op") == "d").count()
+    assert log.count() - out.count() == n_d  # one tombstone per delete
+
+
+def test_skip_operations(spark):
+    log = tr.drop_tombstones(_log(spark))
+    out = tr.skip_operations(log, ("d",))
+    assert out.filter(F.col("op") == "d").count() == 0
+    assert out.count() == log.filter(F.col("op") != "d").count()
+
+
+def test_extract_new_record_state_drop(spark):
+    """ExtractNewRecordStateTest semantics: flatten after, drop deletes."""
+    log = _log(spark)
+    flat = tr.extract_new_record_state(log, delete_mode="drop")
+    assert set(flat.columns) == {
+        "repo", "path", "commit", "lang", "content", "__op", "__ts_ms",
+    }
+    assert flat.filter(F.col("__op") == "d").count() == 0
+    assert flat.filter(F.col("repo").isNull()).count() == 0
+
+
+def test_extract_new_record_state_rewrite(spark):
+    flat = tr.extract_new_record_state(
+        _log(spark), delete_mode="rewrite", add_source_fields=("table",)
+    )
+    assert "__deleted" in flat.columns and "__source_table" in flat.columns
+    dels = flat.filter(F.col("__deleted"))
+    assert dels.count() > 0
+    # delete rows are built from the before image — key cols present
+    assert dels.filter(F.col("repo").isNull()).count() == 0
+
+
+def test_pk_change_split(spark):
+    log = tr.drop_tombstones(_log(spark, n_events=3000))
+    pk_changes = log.filter(
+        (F.col("op") == "u")
+        & (
+            (F.col("before.repo") != F.col("after.repo"))
+            | (F.col("before.path") != F.col("after.path"))
+        )
+    ).count()
+    assert pk_changes > 0, "fixture must contain PK-change updates"
+    out = tr.pk_change_split(log)
+    assert out.count() == log.count() + pk_changes  # each split into 2
+    # after split no update changes its key
+    assert (
+        out.filter(
+            (F.col("op") == "u")
+            & (F.col("before.repo") != F.col("after.repo"))
+        ).count()
+        == 0
+    )
+    # delete halves carry the old key, create halves the new key
+    split_dels = out.filter((F.col("op") == "d") & F.col("before").isNotNull())
+    assert (
+        split_dels.filter(F.col("key.repo") != F.col("before.repo")).count() == 0
+    )
+
+
+def test_skip_unchanged_updates(spark):
+    log = tr.drop_tombstones(_log(spark))
+    # clone one update's after into before => unchanged row must drop
+    unchanged = log.filter(F.col("op") == "u").limit(1).withColumn(
+        "before", F.col("after")
+    )
+    mixed = log.unionByName(unchanged)
+    out = tr.skip_unchanged_updates(mixed)
+    assert mixed.count() - out.count() == 1
+
+
+def test_maskers(spark):
+    log = tr.drop_tombstones(_log(spark)).filter(F.col("after").isNotNull())
+    t = tr.truncate_image_field(log, "after", "content", 10)
+    assert t.agg(F.max(F.length("after.content"))).collect()[0][0] <= 10
+    m = tr.mask_image_field(log, "after", "content", "***")
+    assert m.select("after.content").distinct().collect()[0][0] == "***"
+    h = tr.hash_mask_image_field(log, "after", "content", salt="s3cr3t")
+    row = h.select("after.content").first()[0]
+    assert len(row) == 64 and set(row) <= set("0123456789abcdef")
+
+
+def test_partition_routing_stability(spark):
+    log = _log(spark)
+    a = tr.partition_routing(log, 8, "key.repo", "key.path")
+    b = tr.partition_routing(log, 8, "key.repo", "key.path")
+    pa = {r["lsn"]: r["__partition"] for r in a.select("lsn", "__partition").collect()}
+    pb = {r["lsn"]: r["__partition"] for r in b.select("lsn", "__partition").collect()}
+    assert pa == pb
+    assert set(pa.values()) <= set(range(8))
+    assert len(set(pa.values())) > 1
+
+
+def test_transaction_metadata(spark):
+    log = tr.drop_tombstones(_log(spark))
+    out = tr.transaction_metadata(log)
+    rows = out.select("source.txId", "lsn", "transaction.*").collect()
+    by_tx: dict = {}
+    for r in rows:
+        by_tx.setdefault(r["txId"], []).append((r["lsn"], r["total_order"]))
+    for tx, pairs in by_tx.items():
+        pairs.sort()
+        assert [p[1] for p in pairs] == list(range(1, len(pairs) + 1)), tx
+
+
+def test_extract_changed_record_state(spark):
+    log = tr.drop_tombstones(_log(spark)).filter(F.col("op") == "u")
+    out = tr.extract_changed_record_state(log)
+    row = out.select("__changed").first()[0]
+    # updates in the fixture change commit+content (+size_bytes), never the key
+    assert "commit" in row and "content" in row
+    assert "repo" not in row or "path" not in row
+
+
+def test_routers_and_filters(spark):
+    log = _log(spark)
+    routed = tr.by_logical_table_router(log, "repo_(.*)", "logical_$1")
+    assert routed.select("__route").first()[0] == "logical_files"
+    cbr = tr.content_based_router(
+        log, "CASE WHEN op = 'd' THEN 'del' ELSE 'data' END"
+    )
+    routes = {
+        r[0]
+        for r in cbr.filter(~F.col("is_tombstone"))
+        .select("__route")
+        .distinct()
+        .collect()
+    }
+    assert routes == {"del", "data"}
+    filt = tr.scripting_filter(log, "op = 'c'")
+    assert filt.count() == log.filter(F.col("op") == "c").count()
+    tf = tr.table_filter(log, include_regex="^repo_.*")
+    assert tf.count() == log.count()
+    tf2 = tr.table_filter(log, exclude_regex="^repo_.*")
+    assert tf2.count() == 0
