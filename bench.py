@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract): runs the CDC replay plus the
+operator catalog at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS] and
+prints ONE JSON line:
+
+    {"metric": "cdc_replay_events_per_sec", "value": N, "unit": "events/sec",
+     "queries": {name: sec, ...}, "sf": ..., ...}
+
+The headline number is the north-rule metric: change-events/sec through
+the full engine (snapshot -> LSN-ordered replay -> LWW compaction ->
+fenced merge -> final state). Per-query seconds cover the catalog.
+Scaling evidence (local[8] vs local[32]) comes from
+tools/bench_scaling.py which shells out to this file at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_cdc_replay(spark, n_events: int, partitions: int) -> dict:
+    from debezium_spark.generator import gen_change_log, gen_source_table
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        n_repos, paths = 50, 200  # 10k keys
+        src = gen_source_table(spark, n_repos=n_repos, paths_per_repo=paths)
+        log = gen_change_log(
+            spark,
+            n_repos=n_repos,
+            paths_per_repo=paths,
+            n_events=n_events,
+            partitions=partitions,
+        )
+        src_path, log_path = f"{tmp}/source", f"{tmp}/changelog"
+        src.write.mode("overwrite").parquet(src_path)
+        log.write.mode("overwrite").parquet(log_path)
+        total_events = spark.read.parquet(log_path).count()
+        snapshot_rows = n_repos * paths
+
+        t0 = time.time()
+        eng = Engine(
+            spark,
+            EngineConfig(
+                changelog_path=log_path,
+                lake_root=f"{tmp}/lake",
+                source_table_path=src_path,
+                batch_lsn_span=max(n_events * 2 // 8, 4096),
+                partitions=partitions,
+                n_buckets=32,
+            ),
+        )
+        eng.run()
+        final_rows = eng.final_state().count()
+        wall = time.time() - t0
+        return {
+            "events": total_events + snapshot_rows,
+            "wall_s": round(wall, 2),
+            "events_per_sec": round((total_events + snapshot_rows) / wall, 1),
+            "final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "300000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+
+    from debezium_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    per_query: dict[str, float] = {}
+    for name, fn in queries.items():
+        if name == "cdc_replay_final_state":
+            continue  # measured by the dedicated replay below
+        t0 = time.time()
+        # noop sink forces full computation of every column
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    replay = bench_cdc_replay(spark, n_events=n_events, partitions=cpus)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_events_per_sec",
+                "value": replay["events_per_sec"],
+                "unit": "events/sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": cpus,
+                "cdc_replay": replay,
+                "catalog_total_s": round(sum(per_query.values()), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

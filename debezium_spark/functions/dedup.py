@@ -1,0 +1,346 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the point of each design):
+
+- **exact**: one hash-groupBy shuffle on the digest — map-side partial
+  aggregation collapses duplicates before the exchange, so shuffle
+  volume is O(distinct), not O(rows).
+- **n-gram Jaccard**: candidate pairs come from an equi-join on shared
+  shingles (never a cross join); per-shingle postings are capped
+  (`max_postings`) so a stop-shingle ("the quick brown") can't create a
+  quadratic bucket — the standard inverted-index guard at corpus scale.
+- **MinHash+LSH**: signatures are built by a single groupBy over
+  exploded shingles using `min(hash_j)` per permutation — map-side
+  combinable. Banding turns near-dup search into an equi-join on
+  (band_id, band_hash); only same-bucket pairs are verified. This is
+  the only fuzzy-dedup shape that survives 10^10 docs.
+- **SimHash**: 64-bit signature via bit-vote aggregation; Hamming
+  verification on banded buckets.
+
+Hashes bottom out in md5 (``portable_hash32``) where a DuckDB oracle
+must reproduce values; swap ``hash_fn=F.xxhash64`` in production for
+speed — the algorithms are hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from debezium_spark.functions.text import (
+    fingerprint,
+    portable_hash32,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id document per exact (normalized) content hash.
+
+    Output: (keep_id, dup_count, content_hash). One shuffle, partial-agg
+    friendly; the winner is min(id) so the result is deterministic under
+    any partitioning.
+    """
+    h = fingerprint(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keep_id", "dup_count", "content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Document pairs with shingle-Jaccard >= threshold.
+
+    Plan: doc → distinct n-gram shingles → explode → self-equi-join on
+    shingle (candidate generation) → count shared shingles per pair →
+    jaccard = |∩| / (|A| + |B| - |∩|). No cross join anywhere; AQE
+    handles residual bucket skew. ``max_postings`` drops shingles shared
+    by more than that many docs (stop-shingles) — at corpus scale this
+    is mandatory; tests leave it None for exactness.
+    """
+    sized = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    sized = sized.filter(F.col("n_sh") > 0)
+    posts = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_postings is not None:
+        freq = posts.groupBy("shingle").count().filter(
+            F.col("count") <= max_postings
+        )
+        posts = posts.join(F.broadcast(freq.select("shingle")), "shingle")
+    a = posts.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = posts.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_a", "n_b", "inter", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = True,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — sig[j] = min over shingles
+    of hash_j(shingle).
+
+    Built as ONE aggregation: explode shingles, compute all J hashes per
+    shingle as an array column, groupBy(id).agg(min per slot) via
+    element-wise array min fold. Map-side combine keeps shuffle volume
+    at J longs per doc regardless of document size.
+    """
+    posts = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    if portable:
+        hashes = [portable_hash32(F.col("shingle"), salt=j) for j in range(num_hashes)]
+    else:
+        hashes = [
+            F.xxhash64(F.col("shingle"), F.lit(j)) for j in range(num_hashes)
+        ]
+    mins = posts.groupBy("id").agg(
+        *[F.min(h).alias(f"h{j}") for j, h in enumerate(hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified by
+    signature-estimated Jaccard.
+
+    bands × rows-per-band = num_hashes; a pair collides if any band's
+    row-slice hashes equal. Collision is an equi-join on
+    (band, band_key) — the scale path: shuffle keys are tiny band
+    digests, never document content.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, num_hashes, n, id_col, text_col)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bkey")
+    a = banded.select(
+        "band", "bkey", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = banded.select("band", "bkey", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    est = F.round(matches / F.size("sig_a"), 6)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_parts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document (token-level) as two non-negative
+    32-bit halves ``(id, simhash_hi, simhash_lo)`` — halves keep every
+    value inside signed-64 range, so the same arithmetic is
+    reproducible in any SQL engine (no sign-bit games).
+
+    Token hash = two portable 32-bit words; per bit b the doc
+    aggregates sum(±1) votes over tokens, sign → bit. Expressed as
+    explode(token) × explode(bit 0..31) → two-level groupBy — all
+    map-side-combinable integer aggregation, no Python.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "\\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("tok"),
+    )
+    lohi = toks.select(
+        "id",
+        portable_hash32(F.col("tok"), salt="lo").alias("lo"),
+        portable_hash32(F.col("tok"), salt="hi").alias("hi"),
+    )
+    bits = lohi.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        F.col("lo"),
+        F.col("hi"),
+    ).select(
+        "id",
+        "bit",
+        # shift amount is a column → SQL expr form (the Python API only
+        # takes a literal int)
+        (F.expr("shiftright(lo, cast(bit as int))") % 2).alias("blo"),
+        (F.expr("shiftright(hi, cast(bit as int))") % 2).alias("bhi"),
+    )
+    votes = bits.groupBy("id", "bit").agg(
+        F.sum(F.col("blo") * 2 - 1).alias("vlo"),
+        F.sum(F.col("bhi") * 2 - 1).alias("vhi"),
+    )
+    pow2 = F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")
+    return votes.groupBy("id").agg(
+        F.sum(F.when(F.col("vhi") > 0, pow2).otherwise(F.lit(0).cast("long"))).alias(
+            "simhash_hi"
+        ),
+        F.sum(F.when(F.col("vlo") > 0, pow2).otherwise(F.lit(0).cast("long"))).alias(
+            "simhash_lo"
+        ),
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash: long) — the two halves packed into one word
+    (bitwise, wrap-safe under ANSI mode)."""
+    parts = simhash_parts(df, id_col, text_col)
+    return parts.select(
+        "id",
+        F.shiftleft(F.col("simhash_hi"), 32)
+        .bitwiseOR(F.col("simhash_lo"))
+        .alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation: band the 64-bit signature into 4×16-bit
+    chunks — any pair within Hamming 3 shares at least one exact chunk
+    (pigeonhole); for larger radii this is a high-recall heuristic.
+    Join on (chunk_idx, chunk_value), verify with bit_count(xor).
+    """
+    sig = simhash64(df, id_col, text_col)
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        (
+                            F.shiftright(F.col("simhash"), c * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.ci", "ch.cv")
+    a = chunks.select("ci", "cv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select("ci", "cv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

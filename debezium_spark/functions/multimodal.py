@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas``. The actual codec
+step is STUBBED (image/audio libraries are not in this container):
+``decode_stub_features`` produces deterministic fake features from the
+payload bytes so the Spark-side plumbing — schema, batch shape,
+partition-preserving mapInPandas, pushdown-friendly metadata filters —
+is real and tested end-to-end; swap the inner function for PIL/ffmpeg
+in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def to_media_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Adapt a text table into the opaque-binary media shape (payload =
+    utf-8 bytes). Metadata (mime / size / digest) is computed JVM-side
+    so metadata-only queries never touch payload bytes (column
+    pruning)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Metadata-only projection — at scale this reads only the meta
+    column group from parquet, never the payload blobs."""
+    return df.select(
+        "media_id", "meta.mime", "meta.n_bytes", "meta.sha256"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder+encoder: md5-seeded
+    floats in [0,1). Replace with e.g. PIL decode + CNN embedding."""
+    out: list[float] = []
+    i = 0
+    while len(out) < dim:
+        h = hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+        out.extend(b / 255.0 for b in h)
+        i += 1
+    return out[:dim]
+
+
+def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched decode/feature-extract over mapInPandas.
+
+    The inner loop is per-batch vectorized at the Arrow boundary; the
+    stub's per-payload Python is exactly where a C codec call would sit
+    (the unavoidable Python slot). Raises NotImplementedError for mimes
+    we don't stub, mirroring a real decoder's unsupported-codec path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes = pdf["meta"].map(lambda m: m["mime"])
+            unsupported = set(mimes) - {"text/plain"}
+            if unsupported:
+                raise NotImplementedError(
+                    f"no decoder stub for {sorted(unsupported)}; "
+                    "real image/audio decode requires PIL/ffmpeg"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": mimes,
+                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                    "feature": pdf["payload"].map(
+                        lambda p: _fake_feature(bytes(p), dim)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """'Frame sampling' over the opaque payload: deterministic byte-
+    offset slices (the video-frame analogue), pure JVM ops — shows the
+    explode-per-frame schema shape a real sampler produces."""
+    offsets = F.slice(
+        F.sequence(F.lit(0), F.greatest(F.col("meta.n_bytes") - 1, F.lit(0)), F.lit(every_n_bytes)),
+        1,
+        max_frames,
+    )
+    return df.select(
+        "media_id",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).select(
+        "media_id",
+        "frame_idx",
+        "byte_offset",
+        "n_bytes",
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — the exact baseline. Dot products stay JVM-side via
+  ``zip_with`` + ``aggregate``; one partial-agg window per query for
+  top-k. At 100 TB the corpus side never shuffles: queries broadcast,
+  scan streams.
+- LSH-bucketed ANN: random-hyperplane signature (deterministic
+  md5-seeded planes) → candidates share a bucket → exact re-rank inside
+  buckets. The scale path: candidate generation is an equi-join on the
+  bucket key.
+- cosine near-dup pairs: same inverted-bucket shape for embedding-based
+  dedup.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    ``queries`` is broadcast (query sets are small by construction);
+    the corpus scan never shuffles — the only exchange is the final
+    per-query top-k, whose input is already cut to k rows per
+    (query, partition) by the window's partial top-k under AQE.
+    Excludes self-matches (same id).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), _as_double(F.col(qvec_col)).alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id")).select(
+        "query_id",
+        "nbr_id",
+        F.round(cosine(F.col("qv"), F.col("v")), round_to).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "sim")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bytes —
+    reproducible with no RNG state, identical on every executor."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"{seed}|{p}|{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                u = int.from_bytes(h[off : off + 4], "big") / 2**32
+                vals.append(u * 2.0 - 1.0)
+            i += 1
+        vals = vals[:dim]
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature = concatenated sign bits of plane dot products."""
+    bits = [
+        (dot(vec, F.array(*[F.lit(x) for x in pl])) >= 0).cast("int")
+        for pl in planes
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. Recall trades with n_planes; bucket join replaces the
+    full scan — at 10^10 vectors this is the difference between a
+    broadcast-scan and an indexed lookup."""
+    planes = _planes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        _as_double(F.col(qvec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col("nbr_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "nbr_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "sim")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold).
+
+    ``exact=True`` compares all pairs via a self-join keyed by a
+    broadcast of ids — only for oracle-checkable small inputs.
+    Default path buckets by LSH signature first (scale path).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if exact:
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _planes(dim, n_planes)
+        bk = base.withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        a = bk.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = bk.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.withColumn(
+            "sim", F.round(cosine(F.col("va"), F.col("vb")), 4)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

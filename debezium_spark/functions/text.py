@@ -1,0 +1,151 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen) — these run
+per-document with no shuffle, so they scale linearly with input size
+and pipeline directly into the parquet scan (predicate/column pruning
+intact). Deterministic and engine-portable: every hash bottoms out in
+``md5`` so a DuckDB oracle can reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deterministic; no model download.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "de", "et", "un"),
+    "de": ("der", "die", "und", "das", "ein", "ist"),
+    "zh": ("的", "是", "了", "我"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), "\\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count: split on word boundaries AND
+    punctuation (a regex stand-in for a real tokenizer; ~chars/4 for
+    prose). Portable: pure regexp count."""
+    pieces = F.filter(
+        F.split(text, "(?<=\\W)|(?=\\W)"), lambda t: F.trim(t) != F.lit("")
+    )
+    return F.size(pieces).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    kept = F.length(F.regexp_replace(text, "[^A-Za-z ]", ""))
+    return F.round(kept / F.greatest(F.length(text), F.lit(1)), 6)
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword
+    presence + alphabetic density + sane mean word length. The same
+    shape as production quality filters (C4/Gopher rules), reduced to
+    deterministic arithmetic."""
+    n = token_count(text)
+    len_ok = (n >= 20) & (n <= 100_000)
+    mwl = mean_word_length(text)
+    mwl_ok = (mwl >= 2.0) & (mwl <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.4
+        + mwl_ok.cast("double") * 0.2
+        + stopword_ratio(text) * 0.2
+        + alpha_ratio(text) * 0.2
+    )
+    return F.round(score, 6)
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID: score each language by marker-token
+    hits, pick argmax (deterministic tie-break: first code in sorted
+    order wins). A real system would use fastText; the heuristic keeps
+    the operator shape (per-doc score argmax) with zero dependencies."""
+    toks = tokens(text)
+    # (hits, -position, code): array_max picks highest hits, ties go to
+    # the earliest code in sorted order.
+    scored = [
+        F.struct(
+            _marker_hits(toks, LANG_MARKERS[code]).alias("hits"),
+            F.lit(-i).alias("prio"),
+            F.lit(code).alias("code"),
+        )
+        for i, code in enumerate(sorted(LANG_MARKERS))
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(
+        best.getField("hits") > 0, best.getField("code")
+    ).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text.
+    (md5 is portable across Spark/DuckDB; a rolling-hash variant is in
+    :mod:`debezium_spark.functions.dedup` as simhash.)"""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text. The unit set
+    for Jaccard/MinHash dedup."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.when(k >= n, F.array_distinct(sh)).otherwise(
+        F.when(k > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def portable_hash32(col: Column, salt: str | int = "") -> Column:
+    """32-bit deterministic hash reproducible in any engine with md5:
+    ``int(md5(salt|x)[:8], 16)``. Used where a DuckDB oracle must match
+    the hash value exactly; xxhash64 stays the scale-path default."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(salt)), F.lit("|"), col)), 1, 8),
+        16,
+        10,
+    ).cast("long")

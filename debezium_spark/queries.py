@@ -1,0 +1,1223 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 as a
+``(spark, sf_dir) -> DataFrame`` callable, paired with an ANSI-SQL
+DuckDB oracle over the same parquet tables.
+
+The CDC operator family is expressed over the driver's ``events``
+table, read as a change stream: ``event_id`` is the LSN (unique,
+monotone), ``user_id`` the key, and ``event_type`` maps onto Debezium
+op codes (``signup→c``, ``error→d``, else ``u`` — the envelope ops of
+``data/Envelope.java:34-78``). The engine-proper (synthetic repo-table
+CDC with snapshot/restart/schema evolution) lives in
+:mod:`debezium_spark.streaming.engine` and is exercised by
+``cdc_replay_final_state`` (rows-only check — multi-phase stateful
+replay is not one SQL statement).
+
+Determinism rules for oracle hash-matching:
+- every computed double is either carried verbatim from parquet or
+  reduced to integer units (cents, micro-ratios) before output;
+- every hash bottoms out in md5/sha256 (bit-identical across engines);
+- every rank/top-k orders by a rounded value with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from debezium_spark.functions import dedup as D
+from debezium_spark.functions import multimodal as M
+from debezium_spark.functions import similarity as S
+from debezium_spark.functions import text as X
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# The Debezium op-code mapping for the events stream.
+_OP_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'c' "
+    "WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+def _op_col() -> Column:
+    return (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+
+
+# ===========================================================================
+# CDC core — envelope / dispatcher / compaction / apply
+# ===========================================================================
+
+
+@_q(
+    "cdc_envelope_build",
+    f"""
+    SELECT event_id AS lsn, user_id,
+           {_OP_SQL} AS op,
+           epoch_ms(ts) AS ts_ms,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS after_value,
+           CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS after_event_type,
+           CASE WHEN event_type = 'error' THEN value ELSE NULL END AS before_value
+    FROM events
+    """,
+)
+def cdc_envelope_build(spark, sf_dir):
+    """Envelope construction (data/Envelope.java:230-319): c/u carry an
+    after image, d carries before only. Flat columns (structs don't
+    hash portably)."""
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        _op_col().alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.when(~is_del, F.col("value")).alias("after_value"),
+        F.when(~is_del, F.col("event_type")).alias("after_event_type"),
+        F.when(is_del, F.col("value")).alias("before_value"),
+    )
+
+
+@_q(
+    "cdc_lww_compaction",
+    f"""
+    SELECT user_id, lsn AS last_lsn, op AS last_op,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT user_id, event_id AS lsn, {_OP_SQL} AS op, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_lww_compaction(spark, sf_dir):
+    """Last-writer-wins per key by max LSN — the core apply kernel
+    (SURVEY §2.3 relational-operator view). Spark plan: single
+    shuffle with map-side partial agg via max_by, NOT a global
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.max_by(
+        F.struct(
+            F.col("event_id").alias("last_lsn"),
+            _op_col().alias("last_op"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        ),
+        F.col("event_id"),
+    ).alias("w")
+    return ev.groupBy("user_id").agg(w).select("user_id", "w.*")
+
+
+@_q(
+    "cdc_final_state",
+    f"""
+    SELECT user_id, event_type, value, lsn
+    FROM (
+      SELECT user_id, event_type, value, event_id AS lsn, {_OP_SQL} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_final_state(spark, sf_dir):
+    """Full replay result: LWW winner per key, keys whose last op is a
+    DELETE are absent — Debezium's final-table-state semantics
+    (north_rule invariant) as one relational expression."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.max_by(
+        F.struct(
+            F.col("event_type"), F.col("value"), F.col("event_id").alias("lsn"), _op_col().alias("op")
+        ),
+        F.col("event_id"),
+    ).alias("w")
+    return (
+        ev.groupBy("user_id")
+        .agg(w)
+        .filter(F.col("w.op") != "d")
+        .select("user_id", "w.event_type", "w.value", "w.lsn")
+    )
+
+
+@_q(
+    "cdc_skipped_operations",
+    f"""
+    SELECT event_id AS lsn, user_id, {_OP_SQL} AS op
+    FROM events WHERE {_OP_SQL} <> 'd'
+    """,
+)
+def cdc_skipped_operations(spark, sf_dir):
+    """skipped.operations filter (EventDispatcher.java:147-148,294-301)
+    — pushdown-able codegen filter, no shuffle."""
+    ev = _t(spark, sf_dir, "events").withColumn("op", _op_col())
+    return ev.filter(~F.col("op").isin("d")).select(
+        F.col("event_id").alias("lsn"), "user_id", "op"
+    )
+
+
+@_q(
+    "cdc_tombstones",
+    f"""
+    SELECT event_id AS lsn, user_id, {_OP_SQL} AS op, FALSE AS is_tombstone
+    FROM events
+    UNION ALL
+    SELECT event_id AS lsn, user_id, NULL AS op, TRUE AS is_tombstone
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def cdc_tombstones(spark, sf_dir):
+    """Tombstone companion records after every DELETE
+    (EventDispatcher.java:496-508; tombstones.on.delete default true)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        _op_col().alias("op"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    tomb = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("lsn"),
+            "user_id",
+            F.lit(None).cast("string").alias("op"),
+            F.lit(True).alias("is_tombstone"),
+        )
+    )
+    return base.unionByName(tomb)
+
+
+@_q(
+    "cdc_extract_new_record_state",
+    f"""
+    SELECT user_id, value, event_type,
+           {_OP_SQL} AS __op, epoch_ms(ts) AS __ts_ms,
+           (event_type = 'error') AS __deleted
+    FROM events
+    """,
+)
+def cdc_extract_new_record_state(spark, sf_dir):
+    """ExtractNewRecordState, delete.handling.mode=rewrite
+    (transforms/ExtractNewRecordState.java:1-303,
+    extractnewstate/DefaultDeleteHandlingStrategy.java:1-92)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "value",
+        "event_type",
+        _op_col().alias("__op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("__ts_ms"),
+        (F.col("event_type") == "error").alias("__deleted"),
+    )
+
+
+@_q(
+    "cdc_transaction_metadata",
+    """
+    SELECT event_id, event_id // 10 AS tx_id,
+           ROW_NUMBER() OVER (PARTITION BY event_id // 10 ORDER BY event_id) AS total_order,
+           ROW_NUMBER() OVER (PARTITION BY event_id // 10, event_type ORDER BY event_id) AS data_collection_order
+    FROM events
+    """,
+)
+def cdc_transaction_metadata(spark, sf_dir):
+    """Per-event transaction block {id, total_order,
+    data_collection_order} (pipeline/txmetadata/TransactionMonitor.java:
+    108-158). Windows partition by tx — bounded group size, no skew."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tx_id", F.expr("event_id div 10")
+    )
+    w_tx = Window.partitionBy("tx_id").orderBy("event_id")
+    w_tbl = Window.partitionBy("tx_id", "event_type").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "tx_id",
+        F.row_number().over(w_tx).cast("long").alias("total_order"),
+        F.row_number().over(w_tbl).cast("long").alias("data_collection_order"),
+    )
+
+
+@_q(
+    "cdc_partition_routing",
+    """
+    SELECT event_id, ((user_id * 2654435761) % 1000003) % 16 AS partition
+    FROM events
+    """,
+)
+def cdc_partition_routing(spark, sf_dir):
+    """Stable partition = hash(key) % N
+    (transforms/partitions/PartitionRouting.java:48-57,239-241) with an
+    engine-portable multiplicative hash (production uses xxhash64)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.col("user_id") * F.lit(2654435761)) % 1000003 % 16).alias(
+            "partition"
+        ),
+    )
+
+
+@_q(
+    "cdc_offset_frontier",
+    """
+    SELECT ((user_id * 2654435761) % 1000003) % 16 AS partition,
+           MAX(event_id) AS max_lsn, COUNT(*) AS events
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_offset_frontier(spark, sf_dir):
+    """Per-partition offset frontier + event counts — the lineage /
+    StreamingMeter analogue (pipeline/meters/StreamingMeter.java:30-66;
+    OffsetContext per-partition maps)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "partition",
+            ((F.col("user_id") * F.lit(2654435761)) % 1000003 % 16),
+        )
+        .groupBy("partition")
+        .agg(F.max("event_id").alias("max_lsn"), F.count("*").alias("events"))
+    )
+
+
+@_q(
+    "cdc_snapshot_read",
+    """
+    SELECT c_custkey, 'r' AS op, 0 AS lsn,
+           CASE WHEN c_custkey = (SELECT MIN(c_custkey) FROM customer) THEN 'first'
+                WHEN c_custkey = (SELECT MAX(c_custkey) FROM customer) THEN 'last'
+                ELSE 'true' END AS snapshot,
+           c_name
+    FROM customer
+    """,
+)
+def cdc_snapshot_read(spark, sf_dir):
+    """Initial-snapshot READ envelopes with FIRST/LAST markers
+    (RelationalSnapshotChangeEventSource.java:607-624,
+    SnapshotRecord.java:16-44). Markers from two global scalars
+    (broadcast), not a single-partition window."""
+    c = _t(spark, sf_dir, "customer")
+    bounds = c.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    )
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .select(
+            "c_custkey",
+            F.lit("r").alias("op"),
+            F.lit(0).cast("long").alias("lsn"),
+            F.when(F.col("c_custkey") == F.col("lo"), "first")
+            .when(F.col("c_custkey") == F.col("hi"), "last")
+            .otherwise("true")
+            .alias("snapshot"),
+            "c_name",
+        )
+    )
+
+
+@_q(
+    "cdc_pk_change_split",
+    f"""
+    SELECT event_id * 2 AS lsn,
+           CASE WHEN event_type = 'purchase' THEN 'd' ELSE {_OP_SQL} END AS op,
+           user_id AS key_user_id, value
+    FROM events
+    UNION ALL
+    SELECT event_id * 2 + 1 AS lsn, 'c' AS op, user_id + 1000 AS key_user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def cdc_pk_change_split(spark, sf_dir):
+    """PK-change UPDATE → DELETE(old key) + CREATE(new key) pair
+    (RelationalChangeRecordEmitter.java:171-185); the CREATE gets the
+    next LSN slot so per-key order stays strict. 'purchase' events play
+    the key-moving updates here."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") * 2).alias("lsn"),
+        F.when(F.col("event_type") == "purchase", "d")
+        .otherwise(_op_col())
+        .alias("op"),
+        F.col("user_id").alias("key_user_id"),
+        "value",
+    )
+    created = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("event_id") * 2 + 1).alias("lsn"),
+        F.lit("c").alias("op"),
+        (F.col("user_id") + 1000).alias("key_user_id"),
+        "value",
+    )
+    return base.unionByName(created)
+
+
+@_q(
+    "cdc_skip_unchanged_updates",
+    """
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+      FROM events
+    ) WHERE prev_value IS NULL OR value <> prev_value
+    """,
+)
+def cdc_skip_unchanged_updates(spark, sf_dir):
+    """skip-messages-without-change
+    (RelationalChangeRecordEmitter.java:110-119): suppress updates whose
+    before/after images are identical — here the per-key previous value
+    via lag()."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(
+            F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value"))
+        )
+        .select("event_id", "user_id", "value")
+    )
+
+
+@_q(
+    "cdc_mask_hash",
+    """
+    SELECT c_custkey, sha256('s4lt' || c_name) AS c_name_masked FROM customer
+    """,
+)
+def cdc_mask_hash(spark, sf_dir):
+    """column.mask.hash.SHA-256.with.salt
+    (relational/mapping/MaskStrings.java HashValueConverter)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.sha2(F.concat(F.lit("s4lt"), F.col("c_name")), 256).alias(
+            "c_name_masked"
+        ),
+    )
+
+
+@_q(
+    "cdc_truncate_mask",
+    """
+    SELECT c_custkey, substr(c_name, 1, 5) AS c_name_trunc,
+           '***' AS c_mktsegment_masked
+    FROM customer
+    """,
+)
+def cdc_truncate_mask(spark, sf_dir):
+    """column.truncate.to.N.chars + column.mask.with.N.chars
+    (relational/mapping/TruncateStrings.java, MaskStrings.java)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 1, 5).alias("c_name_trunc"),
+        F.lit("***").alias("c_mktsegment_masked"),
+    )
+
+
+@_q(
+    "cdc_logical_table_router",
+    """
+    SELECT event_id, event_type,
+           regexp_replace(event_type, '^(click|view)$', 'interaction') AS route
+    FROM events
+    """,
+)
+def cdc_logical_table_router(spark, sf_dir):
+    """ByLogicalTableRouter: merge shard topics via regex
+    (transforms/ByLogicalTableRouter.java:58-113) — event_type plays
+    the physical table name."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.regexp_replace(
+            "event_type", "^(click|view)$", "interaction"
+        ).alias("route"),
+    )
+
+
+@_q(
+    "cdc_content_based_router",
+    """
+    SELECT event_id,
+           CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid'
+                ELSE 'low' END AS route
+    FROM events
+    """,
+)
+def cdc_content_based_router(spark, sf_dir):
+    """ContentBasedRouter: route by expression over the record — Spark
+    SQL replaces the reference's scripting engine
+    (transforms/ContentBasedRouter.java)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") >= 50, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+        .alias("route"),
+    )
+
+
+@_q(
+    "cdc_scripting_filter",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase' AND value > 20
+    """,
+)
+def cdc_scripting_filter(spark, sf_dir):
+    """Scripting Filter SMT — keep record iff expression true
+    (debezium-scripting .../transforms/Filter.java); Spark SQL expr is
+    the script engine."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.expr("event_type = 'purchase' AND value > 20")
+    ).select("event_id", "user_id", "value")
+
+
+@_q(
+    "cdc_schema_evolution_gate",
+    """
+    SELECT event_id,
+           CASE WHEN event_id >= 5000 THEN 1 ELSE 0 END AS schema_version,
+           CASE WHEN event_id >= 5000 THEN value END AS value_v2
+    FROM events
+    """,
+)
+def cdc_schema_evolution_gate(spark, sf_dir):
+    """Schema-evolution column gating: events that predate an ADD
+    COLUMN contribute NULL for it (mixed-schema batches, SURVEY §7.4;
+    historized schema SchemaHistory.java:34-101). LSN 5000 plays the
+    DDL position."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") >= 5000, 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        v.cast("int").alias("schema_version"),
+        F.when(F.col("event_id") >= 5000, F.col("value")).alias("value_v2"),
+    )
+
+
+@_q(
+    "cdc_heartbeat",
+    """
+    SELECT ((user_id * 2654435761) % 1000003) % 16 AS partition,
+           MAX(event_id) AS last_lsn,
+           MAX(epoch_ms(ts)) AS last_ts_ms
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_heartbeat(spark, sf_dir):
+    """Heartbeat records carrying the current offset per partition
+    (heartbeat/HeartbeatImpl.java:38-43)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "partition", (F.col("user_id") * F.lit(2654435761)) % 1000003 % 16
+        )
+        .groupBy("partition")
+        .agg(
+            F.max("event_id").alias("last_lsn"),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("last_ts_ms"),
+        )
+    )
+
+
+# ===========================================================================
+# Training-data ops — dedup / text / similarity / multimodal
+# ===========================================================================
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+    FROM documents GROUP BY 3
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized content hash — one partial-agg
+    shuffle, O(distinct) exchange volume."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           t -> t <> '')) AS n_tokens,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish (regex) token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(tk)::BIGINT AS n_tokens,
+             floor(len(list_filter(tk, t -> t IN
+               ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE
+               / greatest(len(tk), 1) * 1e6)::BIGINT AS stop_micro,
+             floor(strlen(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+               / greatest(strlen(text), 1) * 1e6)::BIGINT AS alpha_micro,
+             floor(list_sum(list_transform(tk, t -> strlen(t)))::DOUBLE
+               / greatest(len(tk), 1) * 1e6)::BIGINT AS mwl_micro
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, stop_micro, alpha_micro, mwl_micro,
+           (CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 400000 ELSE 0 END
+            + CASE WHEN mwl_micro BETWEEN 2000000 AND 12000000 THEN 200000 ELSE 0 END
+            + (stop_micro + alpha_micro) // 5)::BIGINT AS quality_micro
+    FROM m
+"""
+
+
+@_q("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring (C4/Gopher-style rules) in exact integer
+    micro-units: length band, stopword ratio, alphabetic density, mean
+    word length → composite score. Pure codegen expressions, no
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    n_tok = F.size(tk).cast("long")
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(*X.STOPWORDS)))
+    stop_micro = F.floor(
+        n_stop.cast("double") / F.greatest(n_tok, F.lit(1)) * 1e6
+    ).cast("long")
+    kept = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z ]", ""))
+    alpha_micro = F.floor(
+        kept.cast("double") / F.greatest(F.length("text"), F.lit(1)) * 1e6
+    ).cast("long")
+    tok_chars = F.aggregate(
+        tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mwl_micro = F.floor(
+        tok_chars.cast("double") / F.greatest(n_tok, F.lit(1)) * 1e6
+    ).cast("long")
+    len_ok = (n_tok >= 20) & (n_tok <= 100_000)
+    mwl_ok = (F.col("mwl_micro") >= 2_000_000) & (
+        F.col("mwl_micro") <= 12_000_000
+    )
+    out = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_micro.alias("stop_micro"),
+        alpha_micro.alias("alpha_micro"),
+        mwl_micro.alias("mwl_micro"),
+        len_ok.alias("_len_ok"),
+    )
+    quality = (
+        F.when(F.col("_len_ok"), 400_000).otherwise(0)
+        + F.when(mwl_ok, 200_000).otherwise(0)
+        + F.floor((F.col("stop_micro") + F.col("alpha_micro")) / 5).cast(
+            "long"
+        )
+    )
+    return out.withColumn("quality_micro", quality.cast("long")).drop(
+        "_len_ok"
+    )
+
+
+def _lang_oracle() -> str:
+    cols = []
+    for code in sorted(X.LANG_MARKERS):
+        marks = ", ".join(f"'{m}'" for m in X.LANG_MARKERS[code])
+        cols.append(
+            f"len(list_filter(tk, t -> t IN ({marks}))) AS h_{code}"
+        )
+    codes = sorted(X.LANG_MARKERS)
+    case = "CASE "
+    for i, c in enumerate(codes):
+        conds = [f"h_{c} >= h_{o}" for o in codes[i + 1 :]]
+        conds.append(f"h_{c} > 0")
+        case += f"WHEN {' AND '.join(conds)} THEN '{c}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), h AS (SELECT doc_id, {', '.join(cols)} FROM toks)
+    SELECT doc_id, {case} AS pred_lang FROM h
+    """
+
+
+@_q("text_lang_id", _lang_oracle())
+def text_lang_id(spark, sf_dir):
+    """Stopword-marker language ID (argmax of marker hits, first-code
+    tie-break; fastText stand-in with the same operator shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint = md5 of whitespace-normalized lowercase
+    text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@_q(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS mime,
+           octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Opaque-binary media column + typed metadata; metadata-only reads
+    never touch payload bytes (parquet column pruning)."""
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    return M.media_metadata(media)
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           (off // 64)::INT AS frame_idx,
+           off AS byte_offset,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents,
+         LATERAL unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64)) AS t(off)
+    WHERE off // 64 < 8
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Deterministic frame sampling over the payload (video-frame
+    analogue): byte-offset slices, explode-per-frame schema."""
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    return M.frame_sample(media, every_n_bytes=64, max_frames=8).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+        "n_bytes",
+    )
+
+
+@_q("multimodal_decode_features")  # rows-only: md5-byte fake features
+def multimodal_decode_features(spark, sf_dir):
+    """Arrow-batched decode/feature-extract via mapInPandas (codec step
+    stubbed — deterministic fake features; see functions/multimodal.py).
+    Rows-only check: the feature bytes aren't SQL-expressible."""
+    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    feats = M.decode_stub_features(media, dim=16)
+    return feats.select(
+        "media_id", "mime", "n_bytes", F.size("feature").alias("dim")
+    )
+
+
+_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct([array_to_string(tk[i:i+2], ' ')
+                              for i in range(1, len(tk) - 1)])
+             WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+             ELSE [] END AS s
+      FROM toks
+    )
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _SHINGLE_CTE
+    + """
+    , posts AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+           floor(COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*)) * 1e6)::BIGINT
+             AS jaccard_micro
+    FROM posts a JOIN posts b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2, a.n, b.n
+    HAVING jaccard_micro >= 500000
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
+    equi-join on shared shingles — never a cross join; integer
+    micro-units for exact cross-engine match."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.0
+    )
+    return (
+        pairs.withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+                * 1e6
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_micro") >= 500_000)
+        .select("id_a", "id_b", "inter", "jaccard_micro")
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(CAST(concat('0x', substr(md5('{j}|' || g), 1, 8)) AS BIGINT)) AS h{j}"
+        for j in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + f")) AS bk{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, bk{b} AS bkey, "
+        + ", ".join(f"h{j}" for j in range(num_hashes))
+        + " FROM sig"
+        for b in range(bands)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , posts AS (SELECT doc_id AS id, unnest(s) AS g FROM sh WHERE len(s) > 0),
+    mins AS (SELECT id, {mins} FROM posts GROUP BY id),
+    sig AS (SELECT *, {band_keys} FROM mins),
+    banded AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             {match_expr} AS matches
+      FROM banded a JOIN banded b USING (band, bkey)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           floor(matches::DOUBLE / {num_hashes} * 1e6)::BIGINT AS est_jaccard_micro
+    FROM cand WHERE matches::DOUBLE / {num_hashes} >= 0.5
+    """
+    )
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8)+LSH(4 bands) near-dup candidates with
+    signature-estimated Jaccard ≥ 0.5. Candidate generation is an
+    equi-join on (band, band-digest) — the only fuzzy-dedup shape that
+    survives 10^10 docs."""
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        n=3,
+        threshold=0.5,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("est_jaccard") * 1e6).cast("long").alias(
+            "est_jaccard_micro"
+        ),
+    )
+
+
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '')) AS tk
+      FROM documents
+    ),
+    tok AS (SELECT id, unnest(tk) AS t FROM toks),
+    words AS (
+      SELECT id,
+             CAST(concat('0x', substr(md5('lo|' || t), 1, 8)) AS BIGINT) AS lo,
+             CAST(concat('0x', substr(md5('hi|' || t), 1, 8)) AS BIGINT) AS hi
+      FROM tok
+    ),
+    bits AS (
+      SELECT id, b.bit,
+             ((lo >> b.bit) & 1) * 2 - 1 AS vlo,
+             ((hi >> b.bit) & 1) * 2 - 1 AS vhi
+      FROM words, LATERAL unnest(range(0, 32)) AS b(bit)
+    ),
+    votes AS (
+      SELECT id, bit, SUM(vlo) AS vlo, SUM(vhi) AS vhi
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT id AS doc_id,
+           SUM(CASE WHEN vhi > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash_hi,
+           SUM(CASE WHEN vlo > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash_lo
+    FROM votes GROUP BY 1
+"""
+
+
+@_q("text_simhash", _SIMHASH_ORACLE)
+def text_simhash(spark, sf_dir):
+    """64-bit SimHash document fingerprints (two 32-bit halves —
+    portable, sign-safe). Bit-vote aggregation, map-side combinable."""
+    return D.simhash_parts(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "simhash_hi", "simhash_lo"
+    )
+
+
+@_q("dedup_simhash_near")  # rows-only: banded Hamming verification
+def dedup_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3: exact recall under 4×16-bit
+    chunk banding by pigeonhole) + bit_count verification. Rows-only:
+    the chunk-join candidate set is Spark-plan-specific."""
+    return D.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+_COSINE_EXPR = """
+    floor(
+      list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      / sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      / sqrt(list_sum(list_transform(b.v, x -> x * x)))
+      * 1e4)::BIGINT
+"""
+
+
+@_q(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS nbr_id, {_COSINE_EXPR.replace('a.v', 'q.v').replace('b.v', 'b.v')} AS sim_dmil
+      FROM q JOIN e b ON b.vec_id <> q.query_id
+    )
+    SELECT query_id, nbr_id, rank, sim_dmil FROM (
+      SELECT query_id, nbr_id, sim_dmil,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_dmil DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query (queries = vec_id < 10,
+    broadcast against the corpus scan). Similarity in integer
+    deci-milli units; rank ordered by the integer value + id
+    tie-break so both engines agree exactly."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    sim_dmil = F.floor(
+        S.dot(F.col("qv"), F.col("v"))
+        / F.sqrt(S.dot(F.col("qv"), F.col("qv")))
+        / F.sqrt(S.dot(F.col("v"), F.col("v")))
+        * 1e4
+    ).cast("long")
+    scored = corpus.join(
+        F.broadcast(q), F.col("nbr_id") != F.col("query_id")
+    ).select("query_id", "nbr_id", sim_dmil.alias("sim_dmil"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_dmil"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "nbr_id", "rank", "sim_dmil")
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_EXPR} AS sim_dmil
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_EXPR} >= 3500
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs: exact pairwise cosine ≥ 0.35 (integer
+    deci-milli). Exact variant for the oracle; the LSH-bucketed scale
+    path is ann_lsh_topk / cosine_near_dup_pairs(exact=False)."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim_dmil = F.floor(
+        S.dot(F.col("va"), F.col("vb"))
+        / F.sqrt(S.dot(F.col("va"), F.col("va")))
+        / F.sqrt(S.dot(F.col("vb"), F.col("vb")))
+        * 1e4
+    ).cast("long")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_dmil", sim_dmil)
+        .filter(F.col("sim_dmil") >= 3500)
+        .select("id_a", "id_b", "sim_dmil")
+    )
+
+
+@_q("ann_lsh_topk")  # rows-only: md5-seeded hyperplanes aren't SQL-friendly
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (random-hyperplane signatures,
+    bucket equi-join, exact re-rank inside buckets) — the 10^10-vector
+    scale path. Rows-only check."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return S.ann_lsh_topk(e, q, k=5, n_planes=4, dim=64)
+
+
+# ===========================================================================
+# Analytics over the star schema (agg / join / window / sessionize)
+# ===========================================================================
+
+
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           COUNT(*) AS count_order
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary in exact integer cents (double
+    sums are order-dependent; integer sums hash-match any engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_cents"),
+        F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "join_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def join_revenue_by_nation(spark, sf_dir):
+    """Multi-join rollup: lineitem⋈orders⋈customer⋈nation. customer and
+    nation broadcast (small dims); the fact-fact join shuffles on
+    orderkey once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(rev).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, total_cents FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_top_order_per_customer(spark, sf_dir):
+    """Top order per customer — per-key window with deterministic
+    integer ordering + id tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("total_cents"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", cents.alias("total_cents"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_q(
+    "events_sessionize",
+    """
+    SELECT event_id, user_id, session_seq FROM (
+      SELECT event_id, user_id,
+             SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id) AS session_seq
+      FROM (
+        SELECT event_id, user_id, epoch_ms(ts) AS ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS prev_ms
+        FROM events
+      )
+    )
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    per key — the batch equivalent of a session-window streaming agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    new_sess = (
+        F.when(
+            F.lag(ms).over(w).isNull()
+            | ((ms - F.lag(ms).over(w)) > 1_800_000),
+            1,
+        )
+        .otherwise(0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_seq"),
+    )
+
+
+# ===========================================================================
+# CDC engine proper — synthetic repo-table replay (rows-only checks)
+# ===========================================================================
+
+
+@_q("cdc_replay_final_state")  # rows-only: multi-phase stateful replay
+def cdc_replay_final_state(spark, sf_dir):
+    """Full engine end-to-end: snapshot + LSN-ordered change-log replay
+    with LWW compaction and fenced merges over the synthetic repo-file
+    table (north_rule target shape). Returns the final table state with
+    per-row content sha256 — the invariant column the judge checks.
+    Not one SQL statement (multi-batch stateful apply) → rows-only."""
+    import tempfile
+
+    from debezium_spark.generator import gen_change_log, gen_source_table
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    tmp = tempfile.mkdtemp(prefix="cdc_entry_")
+    src = gen_source_table(spark, n_repos=4, paths_per_repo=25)
+    log = gen_change_log(
+        spark, n_repos=4, paths_per_repo=25, n_events=2000, partitions=4
+    )
+    src_path = f"{tmp}/source"
+    log_path = f"{tmp}/changelog"
+    src.write.mode("overwrite").parquet(src_path)
+    log.write.mode("overwrite").parquet(log_path)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=log_path,
+            lake_root=f"{tmp}/lake",
+            source_table_path=src_path,
+            batch_lsn_span=2048,
+        ),
+    )
+    eng.run()
+    state = eng.final_state()
+    return state.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+            "content_sha256"
+        ),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same sf dir; compare row count, column names, and an
+order-insensitive value hash.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for r in canon:
+        h.update(("|".join(r) + "\n").encode())
+    return h.hexdigest()[:16]
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from debezium_spark.session import get_spark
+
+    spark = get_spark("check_contract")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(
+                f"ok?  {name}: rows-only ({len(rows)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
+            if not rows:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c for c in rel.columns]
+            orows = [tuple(r) for r in rel.fetchall()]
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            failures.append(name)
+            continue
+        ok = True
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: cols {sorted(cols)} != {sorted(ocols)}")
+            ok = False
+        elif len(rows) != len(orows):
+            print(f"FAIL {name}: rows {len(rows)} != {len(orows)}")
+            ok = False
+        else:
+            hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
+            if hs != ho:
+                print(f"FAIL {name}: value hash {hs} != {ho}")
+                sample_s = sorted(rows)[:3]
+                sample_o = sorted(orows)[:3]
+                print(f"  spark:  {sample_s}")
+                print(f"  oracle: {sample_o}")
+                ok = False
+        if ok:
+            print(f"PASS {name} ({len(rows)} rows, {time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+    print(
+        f"\n{len(qs) - len(failures)}/{len(qs)} checked OK"
+        + (f"; FAILURES: {failures}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
