@@ -25,20 +25,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_cdc_replay(spark, n_events: int, partitions: int) -> dict:
+def bench_cdc_replay(
+    spark,
+    n_events: int,
+    partitions: int,
+    n_repos: int = 50,
+    paths: int = 200,
+    max_reps: int = 60,
+    n_batches: int = 8,
+    merge_scope: str = "full",
+) -> dict:
     from debezium_spark.generator import gen_change_log, gen_source_table
     from debezium_spark.streaming.engine import Engine, EngineConfig
 
     tmp = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
-        n_repos, paths = 50, 200  # 10k keys
-        src = gen_source_table(spark, n_repos=n_repos, paths_per_repo=paths)
+        src = gen_source_table(
+            spark, n_repos=n_repos, paths_per_repo=paths, max_reps=max_reps
+        )
         log = gen_change_log(
             spark,
             n_repos=n_repos,
             paths_per_repo=paths,
             n_events=n_events,
             partitions=partitions,
+            max_reps=max_reps,
         )
         src_path, log_path = f"{tmp}/source", f"{tmp}/changelog"
         src.write.mode("overwrite").parquet(src_path)
@@ -53,9 +64,10 @@ def bench_cdc_replay(spark, n_events: int, partitions: int) -> dict:
                 changelog_path=log_path,
                 lake_root=f"{tmp}/lake",
                 source_table_path=src_path,
-                batch_lsn_span=max(n_events * 2 // 8, 4096),
+                batch_lsn_span=max(n_events * 2 // n_batches, 4096),
                 partitions=partitions,
                 n_buckets=32,
+                merge_scope=merge_scope,
             ),
         )
         eng.run()
@@ -75,6 +87,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", "300000"))
+    cdc_kw = dict(
+        n_repos=int(os.environ.get("BENCH_CDC_REPOS", "50")),
+        paths=int(os.environ.get("BENCH_CDC_PATHS", "200")),
+        max_reps=int(os.environ.get("BENCH_CDC_MAX_REPS", "60")),
+        n_batches=int(os.environ.get("BENCH_CDC_BATCHES", "8")),
+        merge_scope=os.environ.get("BENCH_CDC_SCOPE", "full"),
+    )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
 
     from debezium_spark.session import get_spark
@@ -93,7 +112,7 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         per_query[name] = round(time.time() - t0, 3)
 
-    replay = bench_cdc_replay(spark, n_events=n_events, partitions=cpus)
+    replay = bench_cdc_replay(spark, n_events=n_events, partitions=cpus, **cdc_kw)
 
     print(
         json.dumps(

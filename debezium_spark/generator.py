@@ -62,18 +62,22 @@ def commit_col(repo: Column, path: Column, version: Column) -> Column:
     return F.substring(F.sha2(F.concat_ws("|", repo, path, version.cast("string")), 256), 1, 40)
 
 
-def content_col(repo: Column, path: Column, version: Column) -> Column:
-    """Deterministic text, ~60–3800 chars, function of (repo, path, version)."""
+def content_col(
+    repo: Column, path: Column, version: Column, max_reps: int = 60
+) -> Column:
+    """Deterministic text, ~60–3800 chars (62·max_reps cap), function of
+    (repo, path, version). ``max_reps`` trims payload size for
+    compute-bound benchmark runs; default matches the test fixtures."""
     unit = F.concat(
         F.substring(F.sha2(F.concat_ws("#", repo, path, version.cast("string")), 256), 1, 61),
         F.lit(" "),
     )
-    reps = (1 + _h(repo, path, version, "len") % 60).cast("int")
+    reps = (1 + _h(repo, path, version, "len") % max_reps).cast("int")
     return F.repeat(unit, reps)
 
 
-def _image(repo: Column, path: Column, version: Column):
-    content = content_col(repo, path, version)
+def _image(repo: Column, path: Column, version: Column, max_reps: int = 60):
+    content = content_col(repo, path, version, max_reps)
     return F.struct(
         repo.alias("repo"),
         path.alias("path"),
@@ -85,7 +89,10 @@ def _image(repo: Column, path: Column, version: Column):
 
 
 def gen_source_table(
-    spark: SparkSession, n_repos: int = 10, paths_per_repo: int = 100
+    spark: SparkSession,
+    n_repos: int = 10,
+    paths_per_repo: int = 100,
+    max_reps: int = 60,
 ) -> DataFrame:
     """The captured source table (snapshot input), PK = (repo, path)."""
     df = spark.range(n_repos * paths_per_repo)
@@ -93,7 +100,7 @@ def gen_source_table(
     path_idx = F.col("id") % paths_per_repo
     repo = repo_col(repo_idx)
     path = path_col(path_idx)
-    img = _image(repo, path, F.lit(-1).cast("long"))
+    img = _image(repo, path, F.lit(-1).cast("long"), max_reps)
     return df.select(img.alias("r")).select("r.*").drop("size_bytes")
 
 
@@ -107,6 +114,7 @@ def gen_change_log(
     snapshot_lsn_base: int | None = None,
     hot_repo_share: float | None = None,
     schema_change_lsns: dict[int, int] | None = None,
+    max_reps: int = 60,
 ) -> DataFrame:
     """Streamed change events (c/u/d + tombstones + PK-change updates).
 
@@ -167,10 +175,10 @@ def gen_change_log(
         F.col("op"),
         F.struct(repo.alias("repo"), path.alias("path")).alias("key"),
         F.when(
-            F.col("op").isin(OP_UPDATE, OP_DELETE), _image(repo, path, prev_version)
+            F.col("op").isin(OP_UPDATE, OP_DELETE), _image(repo, path, prev_version, max_reps)
         ).alias("before"),
         F.when(
-            F.col("op") != OP_DELETE, _image(after_key_repo, after_key_path, version)
+            F.col("op") != OP_DELETE, _image(after_key_repo, after_key_path, version, max_reps)
         ).alias("after"),
         F.struct(
             (F.lit(BASE_TS_MS) + lsn).alias("ts_ms"),

@@ -174,6 +174,7 @@ class LakeTable:
         offsets: dict | None = None,
         lineage_rows: list[dict] | None = None,
         metrics: dict | None = None,
+        frontier_fn=None,
     ) -> dict:
         """Apply a compacted change set — LSN-guarded MERGE.
 
@@ -201,11 +202,25 @@ class LakeTable:
         schema = self.table_schema()
         new_version = man["version"] + 1
         changes = changes.withColumn("bucket", self._bucket_col())
-        # Touched buckets: tiny (≤ n_buckets ints) — safe to collect.
-        touched = sorted(
-            r["bucket"] for r in changes.select("bucket").distinct().collect()
-        )
-        n_changes = 0
+        # Materialize the compacted change set ONCE: the same pass
+        # yields touched buckets + change count (≤ n_buckets rows), and
+        # the cached result feeds the merge join — without this the
+        # upstream compaction shuffle would run three times.
+        changes.persist()
+        bucket_counts = {
+            r["bucket"]: r["cnt"]
+            for r in changes.groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        touched = sorted(bucket_counts)
+        n_changes = int(sum(bucket_counts.values()))
+        if frontier_fn is not None:
+            # the action above materialized the engine's observed
+            # per-partition metrics; pull offsets/lineage from them now,
+            # still inside this commit
+            offsets, lineage_rows, n_events = frontier_fn()
+            metrics = {**(metrics or {}), "events": n_events}
         files = dict(man["files"])
         if touched:
             old = self.read_state(buckets=touched, logical=False, with_sys=True)
@@ -228,7 +243,6 @@ class LakeTable:
                     for p in non_key
                 ],
             )
-            n_changes = c.count()
             j = o.join(c, ["repo", "path"], "full_outer")
             take = F.col("__c_lsn").isNotNull() & (
                 F.col("__o_lsn").isNull() | (F.col("__c_lsn") > F.col("__o_lsn"))
@@ -271,6 +285,7 @@ class LakeTable:
                 else:
                     # bucket emptied out entirely (all keys deleted)
                     files.pop(str(b), None)
+        changes.unpersist()
 
         new_offsets = dict(man["offsets"])
         for k, v in (offsets or {}).items():
@@ -284,6 +299,118 @@ class LakeTable:
             "schema_version": schema.version,
             "offsets": new_offsets,
             "metrics": {**(metrics or {}), "changes": n_changes},
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        if lineage_rows:
+            self._append_lineage(batch_id, lineage_rows)
+        return {"skipped": False, "version": new_version, "batch_id": batch_id}
+
+    def merge_full(
+        self,
+        changes: DataFrame,
+        batch_id: int,
+        frontier_fn=None,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Full-table merge-as-compaction — the dense-batch plan.
+
+        When a batch touches most buckets (uniform update workloads,
+        initial snapshot, backfills), the touched-bucket COW of
+        :meth:`merge` degenerates to a full rewrite anyway but pays two
+        extra jobs (bucket discovery + change-set cache). This path
+        does the whole apply as ONE action and ONE shuffle:
+
+            union(state rows as op='u' events at their stored _lsn,
+                  change rows (op, lsn, physical cols) — possibly many
+                  per key, compaction NOT required upstream)
+            → max_by((row), (lsn, src)) per (repo, path)   [LWW]
+            → drop winners whose op = 'd'
+            → write, partitioned by bucket
+
+        Ties on lsn (re-delivered event vs state it already wrote)
+        break toward the event (src=1) — identical content either way;
+        the tiebreak just keeps the plan deterministic. Fencing
+        semantics match :meth:`merge`.
+        """
+        man = self.manifest()
+        if batch_id <= man["last_batch_id"]:
+            return {"skipped": True, "version": man["version"], "batch_id": batch_id}
+
+        schema = self.table_schema()
+        new_version = man["version"] + 1
+        phys = [c["physical"] for c in schema.columns]
+        types = {c["physical"]: c["type"] for c in schema.columns}
+        non_key = [p for p in phys if p not in ("repo", "path")]
+
+        old = self.read_state(logical=False, with_sys=True)
+        o = old.select(
+            F.lit("u").alias("op"),
+            F.col("_lsn").alias("lsn"),
+            F.lit(0).alias("__src"),
+            *[F.col(p) for p in phys],
+        )
+        c = changes.select(
+            F.col("op"),
+            F.col("lsn"),
+            F.lit(1).alias("__src"),
+            *[F.col(p).cast(types[p]).alias(p) for p in phys],
+        )
+        merged = o.unionByName(c)
+        winner = F.max_by(
+            F.struct(
+                F.col("op"),
+                F.col("lsn"),
+                *[F.col(p) for p in non_key],
+            ),
+            F.struct(F.col("lsn"), F.col("__src")),
+        ).alias("w")
+        new_state = (
+            merged.groupBy("repo", "path")
+            .agg(winner)
+            .filter(F.col("w.op") != "d")
+            .select(
+                "repo",
+                "path",
+                *[F.col(f"w.{p}").alias(p) for p in non_key],
+                F.col("w.lsn").cast("bigint").alias("_lsn"),
+            )
+            .withColumn("bucket", self._bucket_col())
+        )
+        out_dir = os.path.join(self.root, f"data/v{new_version}")
+        (
+            new_state.repartition(self.n_buckets, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(n.split("=")[1])
+            for n in os.listdir(out_dir)
+            if n.startswith("bucket=")
+        }
+        files = {
+            str(b): {"path": f"data/v{new_version}/bucket={b}", "version": new_version}
+            for b in sorted(written)
+        }
+
+        offsets, lineage_rows, n_events = {}, None, None
+        if frontier_fn is not None:
+            offsets, lineage_rows, n_events = frontier_fn()
+            metrics = {**(metrics or {}), "events": n_events}
+
+        new_offsets = dict(man["offsets"])
+        for k, v in (offsets or {}).items():
+            new_offsets[str(k)] = max(int(v), int(new_offsets.get(str(k), -1)))
+        manifest = {
+            "version": new_version,
+            "batch_id": batch_id,
+            "last_batch_id": batch_id,
+            "files": files,
+            "schema": schema.columns,
+            "schema_version": schema.version,
+            "offsets": new_offsets,
+            "metrics": {**(metrics or {}), "scope": "full"},
             "ts": time.time(),
         }
         self._write_manifest(manifest)

@@ -56,6 +56,11 @@ class EngineConfig:
     n_buckets: int = 32
     batch_lsn_span: int = 4096  # LSN units per micro-batch (≙ max.batch.size)
     compaction_kernel: str = "max_by"  # or "pandas"
+    # "touched": per-bucket COW MERGE (Iceberg-shaped; right when a
+    # batch touches few buckets — the 10^10-scale steady state).
+    # "full": single-shuffle merge-as-compaction rewrite (right for
+    # dense batches: snapshot, backfill, uniform-update replay).
+    merge_scope: str = "touched"
     salt: int = 0
     partitions: int = 4
     snapshot_mode: str = "initial"  # always|initial|never|initial_only
@@ -140,7 +145,15 @@ class Engine:
         )
 
         def apply(batch_df: DataFrame, epoch_id: int) -> None:
-            self._apply_batch(batch_df, int(epoch_id) + 1, phase="stream")
+            lsn_hi = None
+            if self.tracker.changes_by_version:
+                # schema gating needs the batch's LSN frontier up front
+                # (replay mode gets it from its deterministic spans)
+                row = batch_df.agg(F.max("lsn").alias("m")).collect()[0]
+                lsn_hi = (row["m"] if row["m"] is not None else -1) + 1
+            self._apply_batch(
+                batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=lsn_hi
+            )
 
         q = (
             stream.writeStream.foreachBatch(apply)
@@ -161,32 +174,37 @@ class Engine:
         if batch_id <= self.lake.last_batch_id():
             return {"skipped": True, "batch_id": batch_id}
 
-        # 1. per-source-partition offset frontier + lineage (collects
-        #    ≤ partitions rows — the StreamingMeter analogue)
-        lineage = [
-            {
-                "batch_id": batch_id,
-                "phase": phase,
-                "partition_id": r["partition_id"],
-                "events": r["events"],
-                "max_lsn": r["max_lsn"],
-            }
-            for r in events.groupBy("partition_id")
-            .agg(F.count("*").alias("events"), F.max("lsn").alias("max_lsn"))
-            .collect()
-        ]
-
-        # 2. schema changes falling inside this batch window are applied
+        # 1. schema changes falling inside this batch window are applied
         #    to the table schema first (historized-schema replay,
-        #    relational/history/SchemaHistory.java:34-101).
-        if lsn_hi is None and lineage:
-            lsn_hi = max(r["max_lsn"] for r in lineage) + 1
+        #    relational/history/SchemaHistory.java:34-101). The batch's
+        #    LSN window is known from the replay plan (deterministic
+        #    spans); the streaming front-end passes lsn_hi=None and the
+        #    observed frontier below backfills it for the NEXT batch.
         if lsn_hi is not None:
             current_v = self.lake.table_schema().version
             for v in sorted(self.tracker.changes_by_version):
                 ch = self.tracker.changes_by_version[v]
                 if ch["lsn"] < lsn_hi and v > current_v:
                     self.lake.apply_schema_change(ch)
+
+        # 2. per-source-partition offset frontier + lineage (the
+        #    StreamingMeter analogue) rides along as observed metrics of
+        #    the merge job itself — no separate aggregation job.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = []
+        for p in range(self.cfg.partitions):
+            is_p = F.col("partition_id") == p
+            aggs.append(
+                F.max(F.when(is_p, F.col("lsn"))).alias(f"max_{p}")
+            )
+            aggs.append(F.count(F.when(is_p, True)).alias(f"cnt_{p}"))
+        events = events.observe(obs, *aggs)
+        # No cache here: the single consumer is the compaction pipeline,
+        # whose OUTPUT the merge caches (LakeTable.merge persists the
+        # compacted change set). The observation fires when that cache
+        # materializes.
 
         # 3. dispatcher-stage filters + per-record transforms
         ev = events
@@ -198,23 +216,50 @@ class Engine:
         ev = pk_change_split(ev)
         ev = normalize_target_key(ev)
 
-        if not lineage:
-            # empty batch — still commit the fence so batch ids advance
-            return self.lake.merge(
-                self._align(compact(ev.limit(0), self.cfg.compaction_kernel)),
-                batch_id,
-            )
-        offsets = {r["partition_id"]: r["max_lsn"] for r in lineage}
+        # 4. LWW compaction + schema alignment + fenced LSN-guarded
+        #    merge. Offsets/lineage are pulled from the observation
+        #    after the merge's data write (but inside its commit).
+        def frontier() -> tuple[dict, list[dict], int]:
+            m = obs.get
+            lineage = [
+                {
+                    "batch_id": batch_id,
+                    "phase": phase,
+                    "partition_id": p,
+                    "events": m[f"cnt_{p}"],
+                    "max_lsn": m[f"max_{p}"],
+                }
+                for p in range(self.cfg.partitions)
+                if m[f"cnt_{p}"]
+            ]
+            offsets = {r["partition_id"]: r["max_lsn"] for r in lineage}
+            return offsets, lineage, sum(r["events"] for r in lineage)
 
-        # 4. LWW compaction + schema alignment + fenced LSN-guarded merge
+        if self.cfg.merge_scope == "full":
+            # merge_full compacts state ∪ events in its own single
+            # shuffle — no pre-compaction needed, alignment is a pure
+            # projection over the raw events
+            flat = ev.select(
+                F.col("key.repo").alias("repo"),
+                F.col("key.path").alias("path"),
+                "lsn",
+                "op",
+                "after",
+                "schema_version",
+            )
+            return self.lake.merge_full(
+                self._align(flat),
+                batch_id,
+                frontier_fn=frontier,
+                metrics={"phase": phase},
+            )
         compacted = compact(ev, self.cfg.compaction_kernel, salt=self.cfg.salt)
         changes = self._align(compacted)
         return self.lake.merge(
             changes,
             batch_id,
-            offsets=offsets,
-            lineage_rows=lineage,
-            metrics={"phase": phase, "events": sum(r["events"] for r in lineage)},
+            frontier_fn=frontier,
+            metrics={"phase": phase},
         )
 
     def _align(self, compacted: DataFrame) -> DataFrame:

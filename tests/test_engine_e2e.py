@@ -138,3 +138,40 @@ def test_offsets_and_lineage(spark, tmp_root):
     assert sum(r["events"] for r in lin if r["phase"] == "stream") > 0
     snap_events = sum(r["events"] for r in lin if r["phase"] == "snapshot")
     assert snap_events == 6 * 20
+
+
+def test_full_scope_matches_touched(spark, tmp_root):
+    """merge_scope='full' (single-shuffle merge-as-compaction) must
+    produce byte-identical final state to the touched-bucket COW merge."""
+    import hashlib
+
+    from debezium_spark.generator import gen_change_log, gen_source_table
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    gen_source_table(spark, 4, 15).write.parquet(f"{tmp_root}/src")
+    gen_change_log(spark, 4, 15, n_events=1500, snapshot_lsn_base=60).write.parquet(
+        f"{tmp_root}/log"
+    )
+    states = {}
+    for scope in ("touched", "full"):
+        eng = Engine(
+            spark,
+            EngineConfig(
+                changelog_path=f"{tmp_root}/log",
+                lake_root=f"{tmp_root}/lake_{scope}",
+                source_table_path=f"{tmp_root}/src",
+                batch_lsn_span=800,
+                n_buckets=8,
+                merge_scope=scope,
+            ),
+        )
+        eng.run()
+        states[scope] = {
+            (r["repo"], r["path"]): hashlib.sha256(
+                (r["content"] or "").encode()
+            ).hexdigest()
+            for r in eng.final_state().collect()
+        }
+        assert eng.lake.committed_offsets()  # frontier recorded
+        assert eng.lake.lineage()  # lineage rows recorded
+    assert states["touched"] == states["full"]

@@ -1,0 +1,257 @@
+"""Tests for the training-data function library (text / dedup /
+similarity / multimodal) against tiny hand-built fixtures with
+Python-computed expectations."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.functions import dedup as D
+from debezium_spark.functions import multimodal as M
+from debezium_spark.functions import similarity as S
+from debezium_spark.functions import text as X
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy dog"),  # near dup of 0
+    (3, "completely different text about spark engines and shuffles"),
+    (4, "el perro y el gato de la casa que duerme"),  # spanish-ish
+    (5, "  "),  # whitespace-only
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+def test_tokens_and_counts(spark, docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            X.token_count(F.col("text")).alias("n"),
+            X.bpe_ish_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert rows[0]["n"] == 9
+    assert rows[5]["n"] == 0
+    assert rows[0]["b"] >= rows[0]["n"]  # BPE-ish splits at least as fine
+
+
+def test_quality_and_lang(spark, docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            X.quality_score(F.col("text")).alias("q"),
+            X.lang_id(F.col("text")).alias("lang"),
+        ).collect()
+    }
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert rows[0]["lang"] == "en"
+    assert rows[4]["lang"] == "es"
+    assert rows[5]["lang"] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world "), (2, "other")],
+        "doc_id: long, text: string",
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", X.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[0] == fps[1] != fps[2]
+    assert fps[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_word_shingles(spark, docs):
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", X.word_shingles(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    assert "the quick brown" in rows[0]
+    assert len(rows[0]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert rows[5] == []
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["content_hash"]: r for r in D.exact_dedup(docs).collect()}
+    dup_groups = [r for r in out.values() if r["dup_count"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 0 and dup_groups[0]["dup_count"] == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_max_postings_drops_stop_shingles(spark, docs):
+    # with a cap of 1 every shared shingle is dropped -> no pairs
+    assert (
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_postings=1).count()
+        == 0
+    )
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup always collides
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+    # near dup (true jaccard ~0.4) needs 1-row bands to collide
+    # reliably; the estimate is deterministic given the md5 hash family
+    loose = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=16, threshold=0.2
+        ).collect()
+    }
+    assert loose[(0, 2)] == 0.25
+    assert (0, 3) not in loose and (0, 4) not in loose
+
+
+def test_simhash_properties(spark, docs):
+    parts = {r["id"]: r for r in D.simhash_parts(docs).collect()}
+    # identical docs -> identical signatures
+    assert (parts[0]["simhash_hi"], parts[0]["simhash_lo"]) == (
+        parts[1]["simhash_hi"],
+        parts[1]["simhash_lo"],
+    )
+    for r in parts.values():
+        assert 0 <= r["simhash_hi"] < 2**32
+        assert 0 <= r["simhash_lo"] < 2**32
+    sig = {r["id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    assert sig[0] == sig[1]
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    # near dup is closer in hamming space than unrelated text
+    assert ham(sig[0], sig[2]) < ham(sig[0], sig[3])
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id: long, embedding: array<double>"
+    )
+
+
+def test_brute_force_topk(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = S.brute_force_topk(vecs, q, k=3).collect()
+    ranked = [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    sims = {r["nbr_id"]: r["sim"] for r in out}
+    expect = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(sims[1] - round(expect, 4)) < 1e-9
+
+
+def test_lsh_bucket_groups_similar_vectors(spark, vecs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_near_dup_pairs(
+            vecs, threshold=0.9, n_planes=4, dim=4
+        ).collect()
+    }
+    # 0 and 1 are near-identical: same bucket with high probability for
+    # 4 planes — exact=False path must surface them
+    assert (0, 1) in pairs
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.cosine_near_dup_pairs(vecs, threshold=0.9, exact=True).collect()
+    }
+    assert set(exact) == {(0, 1)}
+
+
+def test_ann_lsh_topk_subset_of_bruteforce(spark, vecs):
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = S.ann_lsh_topk(vecs, q, k=3, n_planes=2, dim=4).collect()
+    brute = S.brute_force_topk(vecs, q, k=4).collect()
+    assert {r["nbr_id"] for r in approx} <= {r["nbr_id"] for r in brute}
+
+
+def test_media_table_and_metadata(spark, docs):
+    media = M.to_media_table(docs)
+    meta = {r["media_id"]: r for r in M.media_metadata(media).collect()}
+    text0 = DOCS[0][1]
+    assert meta[0]["n_bytes"] == len(text0.encode())
+    assert meta[0]["sha256"] == hashlib.sha256(text0.encode()).hexdigest()
+    assert meta[0]["mime"] == "text/plain"
+
+
+def test_decode_stub_features_deterministic(spark, docs):
+    media = M.to_media_table(docs)
+    f1 = {r["media_id"]: r["feature"] for r in M.decode_stub_features(media, dim=8).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in M.decode_stub_features(media, dim=8).collect()}
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
+    assert f1[0] == f1[1]  # same payload -> same feature
+    assert f1[0] != f1[3]
+
+
+def test_decode_stub_rejects_unknown_mime(spark, docs):
+    media = M.to_media_table(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.sha256").alias("sha256"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no decoder stub"):
+        M.decode_stub_features(media).collect()
+
+
+def test_frame_sample_offsets(spark, docs):
+    media = M.to_media_table(docs)
+    rows = [
+        r
+        for r in M.frame_sample(media, every_n_bytes=10, max_frames=3).collect()
+        if r["media_id"] == 0
+    ]
+    offs = sorted(r["byte_offset"] for r in rows)
+    assert offs == [0, 10, 20]
+    assert all(r["n_bytes"] == len(DOCS[0][1].encode()) for r in rows)

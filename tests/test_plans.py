@@ -1,0 +1,141 @@
+"""Physical-plan assertions — the scale contract.
+
+These tests pin the plan properties that make the engine viable at
+100 TB: filter pushdown to the parquet scan, column pruning, map-side
+partial aggregation before the exchange, broadcast joins for small
+dimensions, and no accidental cartesian products. A correctness-equal
+plan that loses one of these regresses 10-100× at scale, so they are
+tested like behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.generator import gen_change_log
+from debezium_spark.operators.compaction import compact_max_by
+from debezium_spark.operators.transforms import (
+    drop_tombstones,
+    normalize_target_key,
+    pk_change_split,
+)
+from debezium_spark.sources.changelog import read_changelog_range
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(plan: str) -> int:
+    import re
+
+    # formatted plans print each node once in the tree and once in the
+    # detail section — count detail headers only
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+@pytest.fixture(scope="module")
+def changelog_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "log")
+    gen_change_log(spark, 5, 20, n_events=500).write.parquet(p)
+    return p
+
+
+def test_lsn_range_filter_pushed_to_scan(spark, changelog_path):
+    df = read_changelog_range(spark, changelog_path, 100, 200)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # both bounds reach the parquet reader (row-group min/max skipping)
+    assert "GreaterThanOrEqual(lsn,100)" in plan
+    assert "LessThan(lsn,200)" in plan
+
+
+def test_compaction_has_partial_aggregation_single_exchange(spark, changelog_path):
+    ev = normalize_target_key(
+        pk_change_split(drop_tombstones(spark.read.parquet(changelog_path)))
+    )
+    plan = plan_of(compact_max_by(ev))
+    # partial (map-side) + final aggregate around exactly one exchange:
+    # a hot key is pre-reduced in every task before the shuffle
+    assert n_exchanges(plan) == 1
+    # max_by over a struct buffer plans as SortAggregate — what matters
+    # is one aggregate on each side of the exchange (map-side combine)
+    import re
+
+    aggs = re.findall(r"\(\d+\) (?:Sort|Hash|ObjectHash)Aggregate", plan)
+    assert len(aggs) >= 2
+
+
+def test_column_pruning_reaches_scan(spark):
+    from debezium_spark.queries import cdc_partition_routing
+
+    plan = plan_of(cdc_partition_routing(spark, SF_DIR))
+    # only the columns the query needs are read — event payload columns
+    # (props, value, ts) must not appear in the scan schema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in read_schema and "user_id" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_small_dims_broadcast(spark):
+    from debezium_spark.queries import join_revenue_by_nation
+
+    plan = plan_of(join_revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the fact-side join must NOT be a nested loop / cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    from debezium_spark.queries import dedup_exact
+
+    plan = plan_of(dedup_exact(spark, SF_DIR))
+    # shuffle volume is O(distinct hashes): partial aggregate present
+    assert plan.lower().count("hashaggregate") >= 2
+    assert n_exchanges(plan) == 1
+
+
+def test_ann_topk_broadcasts_queries_not_corpus(spark):
+    from debezium_spark.queries import ann_cosine_topk
+
+    plan = plan_of(ann_cosine_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # corpus side never exchanges before the join (only the final
+    # per-query top-k window shuffles)
+    assert "SortMergeJoin" not in plan
+
+
+def test_lww_filter_stays_jvm_side(spark):
+    # no Python UDFs anywhere in the CDC catalog's hot paths
+    from debezium_spark.queries import (
+        cdc_envelope_build,
+        cdc_final_state,
+        cdc_lww_compaction,
+    )
+
+    for q in (cdc_envelope_build, cdc_final_state, cdc_lww_compaction):
+        plan = plan_of(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_minhash_no_cartesian(spark):
+    from debezium_spark.queries import dedup_minhash_lsh
+
+    plan = plan_of(dedup_minhash_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_wholestage_codegen_on_quality_score(spark):
+    from debezium_spark.queries import text_quality_score
+
+    plan = plan_of(text_quality_score(spark, SF_DIR))
+    # formatted mode marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in plan
+    assert "BatchEvalPython" not in plan
