@@ -66,6 +66,7 @@ class LakeTable:
             "version": 0,
             "batch_id": None,
             "last_batch_id": -1,
+            "last_batch_ids": {},
             "files": {},
             "schema": schema.columns,
             "schema_version": schema.version,
@@ -175,6 +176,7 @@ class LakeTable:
         lineage_rows: list[dict] | None = None,
         metrics: dict | None = None,
         frontier_fn=None,
+        phase: str = "stream",
     ) -> dict:
         """Apply a compacted change set — LSN-guarded MERGE.
 
@@ -196,7 +198,7 @@ class LakeTable:
         storage-partitioned join with no shuffle of the big side.
         """
         man = self.manifest()
-        if batch_id <= man["last_batch_id"]:
+        if batch_id <= self.last_batch_id(phase):
             return {"skipped": True, "version": man["version"], "batch_id": batch_id}
 
         schema = self.table_schema()
@@ -290,10 +292,12 @@ class LakeTable:
         new_offsets = dict(man["offsets"])
         for k, v in (offsets or {}).items():
             new_offsets[str(k)] = max(int(v), int(new_offsets.get(str(k), -1)))
+        phase_ids = {**man.get("last_batch_ids", {}), phase: batch_id}
         manifest = {
             "version": new_version,
             "batch_id": batch_id,
-            "last_batch_id": batch_id,
+            "last_batch_id": max(int(man["last_batch_id"]), batch_id),
+            "last_batch_ids": phase_ids,
             "files": files,
             "schema": schema.columns,
             "schema_version": schema.version,
@@ -303,7 +307,7 @@ class LakeTable:
         }
         self._write_manifest(manifest)
         if lineage_rows:
-            self._append_lineage(batch_id, lineage_rows)
+            self._append_lineage(batch_id, lineage_rows, phase)
         return {"skipped": False, "version": new_version, "batch_id": batch_id}
 
     def merge_full(
@@ -312,6 +316,7 @@ class LakeTable:
         batch_id: int,
         frontier_fn=None,
         metrics: dict | None = None,
+        phase: str = "stream",
     ) -> dict:
         """Full-table merge-as-compaction — the dense-batch plan.
 
@@ -334,7 +339,7 @@ class LakeTable:
         semantics match :meth:`merge`.
         """
         man = self.manifest()
-        if batch_id <= man["last_batch_id"]:
+        if batch_id <= self.last_batch_id(phase):
             return {"skipped": True, "version": man["version"], "batch_id": batch_id}
 
         schema = self.table_schema()
@@ -402,10 +407,12 @@ class LakeTable:
         new_offsets = dict(man["offsets"])
         for k, v in (offsets or {}).items():
             new_offsets[str(k)] = max(int(v), int(new_offsets.get(str(k), -1)))
+        phase_ids = {**man.get("last_batch_ids", {}), phase: batch_id}
         manifest = {
             "version": new_version,
             "batch_id": batch_id,
-            "last_batch_id": batch_id,
+            "last_batch_id": max(int(man["last_batch_id"]), batch_id),
+            "last_batch_ids": phase_ids,
             "files": files,
             "schema": schema.columns,
             "schema_version": schema.version,
@@ -415,7 +422,7 @@ class LakeTable:
         }
         self._write_manifest(manifest)
         if lineage_rows:
-            self._append_lineage(batch_id, lineage_rows)
+            self._append_lineage(batch_id, lineage_rows, phase)
         return {"skipped": False, "version": new_version, "batch_id": batch_id}
 
     # -- schema evolution ------------------------------------------------
@@ -442,11 +449,24 @@ class LakeTable:
     def committed_offsets(self) -> dict[int, int]:
         return {int(k): int(v) for k, v in self.manifest()["offsets"].items()}
 
-    def last_batch_id(self) -> int:
-        return int(self.manifest()["last_batch_id"])
+    def last_batch_id(self, phase: str | None = None) -> int:
+        """Highest committed batch id — per phase (snapshot / stream /
+        incremental keep independent monotone fences so an interleaved
+        incremental snapshot cannot fence out later stream batches), or
+        the global max when ``phase`` is None."""
+        m = self.manifest()
+        if phase is not None:
+            return int(m.get("last_batch_ids", {}).get(phase, -1))
+        ids = [int(v) for v in m.get("last_batch_ids", {}).values()]
+        ids.append(int(m["last_batch_id"]))
+        return max(ids)
 
-    def _append_lineage(self, batch_id: int, rows: list[dict]) -> None:
-        path = os.path.join(self._lineage_dir, f"{batch_id:08d}.json")
+    def _append_lineage(
+        self, batch_id: int, rows: list[dict], phase: str = "stream"
+    ) -> None:
+        path = os.path.join(
+            self._lineage_dir, f"{phase}_{batch_id:08d}.json"
+        )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             for r in rows:

@@ -116,6 +116,59 @@ def normalize_target_key(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event validation / error handling (pipeline/ErrorHandler.java:1-146;
+# EventDispatcher failure modes :319-335 — fail / warn / skip)
+# ---------------------------------------------------------------------------
+
+def event_invalid(df: DataFrame) -> Column:
+    """Envelope-shape violations (VerifyRecord.java:129-227 rules):
+    unknown op, missing key, c/u/r without after image, d without
+    before image. Tombstones are exempt (null value side by design)."""
+    from debezium_spark.envelope import ALL_OPS, OP_DELETE
+
+    not_tomb = ~F.col("is_tombstone")
+    bad_op = not_tomb & (
+        F.col("op").isNull() | ~F.col("op").isin(*ALL_OPS)
+    )
+    bad_key = F.col("key").isNull() | F.col("key.repo").isNull() | F.col(
+        "key.path"
+    ).isNull()
+    needs_after = not_tomb & F.col("op").isin("r", "c", "u")
+    bad_after = needs_after & F.col("after").isNull()
+    bad_before = (
+        not_tomb & (F.col("op") == OP_DELETE) & F.col("before").isNull()
+    )
+    return bad_op | bad_key | bad_after | bad_before
+
+
+def enforce_valid(df: DataFrame, mode: str = "fail") -> DataFrame:
+    """Apply the configured error-handling mode in-plan:
+
+    - ``fail``: any invalid event aborts the batch BEFORE its commit
+      (``raise_error`` inside the pipeline — no extra validation job);
+    - ``warn`` / ``skip``: invalid events are filtered out; ``warn``
+      additionally counts them via the engine's observed metrics.
+    """
+    invalid = event_invalid(df)
+    if mode == "fail":
+        # the guard rides the (always-used) lsn column so the optimizer
+        # cannot dead-code-eliminate it
+        guard = F.when(
+            invalid,
+            F.raise_error(
+                F.concat(
+                    F.lit("invalid envelope at lsn="),
+                    F.col("lsn").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("lsn"))
+        return df.withColumn("lsn", guard)
+    if mode in ("warn", "skip"):
+        return df.filter(~invalid)
+    raise ValueError(f"unknown error mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
 # ExtractNewRecordState family (transforms/ExtractNewRecordState.java:1-303)
 # ---------------------------------------------------------------------------
 

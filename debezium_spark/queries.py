@@ -519,6 +519,31 @@ def cdc_schema_evolution_gate(spark, sf_dir):
 
 
 @_q(
+    "cdc_timezone_convert",
+    """
+    SELECT event_id,
+           strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York',
+                    '%Y-%m-%d %H:%M:%S') AS ts_nyc
+    FROM events
+    """,
+)
+def cdc_timezone_convert(spark, sf_dir):
+    """TimezoneConverter SMT (transforms/TimezoneConverter.java:1-505):
+    temporal fields re-rendered in a target zone. Output as a formatted
+    string so both engines agree byte-for-byte (IANA tzdata)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp(
+                F.col("ts").cast("timestamp"), "America/New_York"
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts_nyc"),
+    )
+
+
+@_q(
     "cdc_heartbeat",
     """
     SELECT ((user_id * 2654435761) % 1000003) % 16 AS partition,

@@ -1,0 +1,65 @@
+"""Ad-hoc signal channel — pause / resume / stop / execute-snapshot.
+
+Reference: ``pipeline/signal/SignalRecord.java:26-31`` (rows of
+``(id, type, data-json)``), ``SignalProcessor.java:1-220`` polls a
+signal table/topic/file and dispatches to actions in
+``pipeline/signal/actions/snapshotting/`` (ExecuteSnapshot,
+StopSnapshot, PauseIncrementalSnapshot/Resume, plus Log).
+
+Spark re-expression: a JSON-lines control file polled between
+micro-batches (the engine is driver-paced, so "between batches" is the
+natural signal boundary — same granularity as the reference's poll
+loop). Processed signal ids are tracked in a sidecar file so replay
+after restart does not re-fire actions (the reference gets this from
+offsets in the signal topic).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+KNOWN_TYPES = ("pause", "resume", "stop", "execute-snapshot", "log")
+
+
+class SignalChannel:
+    def __init__(self, path: str):
+        self.path = path
+        self._done_path = path + ".processed"
+
+    def _processed(self) -> set[str]:
+        if not os.path.exists(self._done_path):
+            return set()
+        with open(self._done_path) as f:
+            return {line.strip() for line in f if line.strip()}
+
+    def _mark(self, ids: list[str]) -> None:
+        with open(self._done_path, "a") as f:
+            for i in ids:
+                f.write(i + "\n")
+
+    def send(self, sid: str, stype: str, data: dict | None = None) -> None:
+        """Append a signal (test/ops helper — any writer can append)."""
+        with open(self.path, "a") as f:
+            f.write(
+                json.dumps({"id": sid, "type": stype, "data": data or {}})
+                + "\n"
+            )
+
+    def poll(self) -> list[dict]:
+        """Unprocessed signals in file order; marks them processed."""
+        if not os.path.exists(self.path):
+            return []
+        done = self._processed()
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                sig = json.loads(line)
+                if sig["id"] in done:
+                    continue
+                out.append(sig)
+        self._mark([s["id"] for s in out])
+        return out

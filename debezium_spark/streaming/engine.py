@@ -33,6 +33,7 @@ from debezium_spark.lake import LakeTable
 from debezium_spark.operators.compaction import compact
 from debezium_spark.operators.transforms import (
     drop_tombstones,
+    enforce_valid,
     normalize_target_key,
     pk_change_split,
     skip_operations,
@@ -66,6 +67,11 @@ class EngineConfig:
     snapshot_mode: str = "initial"  # always|initial|never|initial_only
     table_include_regex: str | None = None
     skipped_operations: tuple[str, ...] = ()
+    # fail | warn | skip — EventDispatcher error modes (:319-335)
+    error_mode: str = "fail"
+    # JSON-lines control file polled between batches (SignalProcessor)
+    signal_path: str | None = None
+    incremental_chunk_size: int = 1024  # CommonConnectorConfig.java:553-560
 
 
 class Engine:
@@ -76,6 +82,8 @@ class Engine:
         self.cfg = cfg
         self.lake = LakeTable(spark, cfg.lake_root, n_buckets=cfg.n_buckets)
         self.tracker = SchemaTracker(cfg.schema_changes)
+        self._paused = False
+        self._stopped = False
         if not self.lake.exists():
             self.lake.create()
 
@@ -85,7 +93,7 @@ class Engine:
         ``connector/postgresql/PostgresConnectorConfig.java:195-225``:
         skipped if already done (``initial``) or disabled (``never``)."""
         mode = self.cfg.snapshot_mode
-        already = self.lake.last_batch_id() >= self.SNAPSHOT_BATCH_ID
+        already = self.lake.last_batch_id("snapshot") >= self.SNAPSHOT_BATCH_ID
         if mode == "never" or (mode in ("initial", "initial_only") and already):
             return None
         if self.cfg.source_table_path is None:
@@ -106,10 +114,13 @@ class Engine:
         lo, hi = lsn_bounds(self.spark, self.cfg.changelog_path)
         span = self.cfg.batch_lsn_span
         results = []
-        k = max(self.lake.last_batch_id(), 0)  # next stream batch index
+        k = max(self.lake.last_batch_id("stream"), 0)  # next stream batch index
         n_done = 0
         while lo + k * span <= hi:
             if max_batches is not None and n_done >= max_batches:
+                break
+            self.process_signals()
+            if self._stopped or self._paused:
                 break
             batch_lo = lo + k * span
             batch_hi = batch_lo + span
@@ -130,6 +141,90 @@ class Engine:
             res.append(snap)
         res.extend(self.stream(max_batches=max_batches))
         return res
+
+    # -- incremental snapshot (DBLog-style, sources/incremental.py) -------
+    def incremental_snapshot(
+        self,
+        source=None,
+        chunk_size: int | None = None,
+        max_chunks: int | None = None,
+    ) -> list[dict]:
+        """Chunked PK-ordered re-read of the (current) source table,
+        each chunk stamped at the committed-offset low watermark so the
+        LWW merge reproduces the reference's window dedup: rows already
+        advanced by streamed events keep their streamed state, untouched
+        rows are back-filled (AbstractIncrementalSnapshotChangeEventSource
+        .java:111-119,197-206,325-419).
+
+        ``source`` defaults to the configured source table; pass the
+        current upstream state explicitly when the DB has moved on
+        (the reference always reads the live database).
+        """
+        from debezium_spark.sources.incremental import (
+            chunk_envelopes,
+            read_chunk,
+        )
+
+        src = (
+            source
+            if source is not None
+            else self.spark.read.parquet(self.cfg.source_table_path)
+        )
+        chunk_size = chunk_size or self.cfg.incremental_chunk_size
+        watermark = max(
+            self.lake.committed_offsets().values(), default=0
+        )
+        last = None
+        results: list[dict] = []
+        k = self.lake.last_batch_id("incremental") + 1
+        n = 0
+        while max_chunks is None or n < max_chunks:
+            chunk = read_chunk(src, last, chunk_size)
+            chunk.persist()
+            bound = chunk.agg(
+                F.max(F.struct("repo", "path")).alias("m"),
+                F.count("*").alias("c"),
+            ).collect()[0]
+            if bound["c"] == 0:
+                chunk.unpersist()
+                break
+            events = chunk_envelopes(
+                chunk, watermark, partitions=self.cfg.partitions
+            )
+            results.append(
+                self._apply_batch(events, k, phase="incremental")
+            )
+            chunk.unpersist()
+            last = (bound["m"]["repo"], bound["m"]["path"])
+            k += 1
+            n += 1
+        return results
+
+    # -- signals (signals.py; SignalProcessor.java) ------------------------
+    def process_signals(self) -> list[dict]:
+        """Poll and act on pending control signals. Returns the signals
+        handled. pause → stop consuming until a later resume; stop →
+        halt; execute-snapshot → run an incremental snapshot now."""
+        if not self.cfg.signal_path:
+            return []
+        from debezium_spark.signals import SignalChannel
+
+        handled = []
+        for sig in SignalChannel(self.cfg.signal_path).poll():
+            stype = sig.get("type")
+            if stype == "pause":
+                self._paused = True
+            elif stype == "resume":
+                self._paused = False
+            elif stype == "stop":
+                self._stopped = True
+            elif stype == "execute-snapshot":
+                self.incremental_snapshot(
+                    chunk_size=sig.get("data", {}).get("chunk_size")
+                )
+            # "log" and unknown types are recorded but have no effect
+            handled.append(sig)
+        return handled
 
     # -- structured-streaming front-end -----------------------------------
     def run_streaming(
@@ -171,7 +266,7 @@ class Engine:
         phase: str = "stream",
         lsn_hi: int | None = None,
     ) -> dict:
-        if batch_id <= self.lake.last_batch_id():
+        if batch_id <= self.lake.last_batch_id(phase):
             return {"skipped": True, "batch_id": batch_id}
 
         # 1. schema changes falling inside this batch window are applied
@@ -210,6 +305,7 @@ class Engine:
         ev = events
         if self.cfg.table_include_regex:
             ev = table_filter(ev, include_regex=self.cfg.table_include_regex)
+        ev = enforce_valid(ev, self.cfg.error_mode)
         ev = drop_tombstones(ev)
         if self.cfg.skipped_operations:
             ev = skip_operations(ev, self.cfg.skipped_operations)
@@ -252,6 +348,7 @@ class Engine:
                 batch_id,
                 frontier_fn=frontier,
                 metrics={"phase": phase},
+                phase=phase,
             )
         compacted = compact(ev, self.cfg.compaction_kernel, salt=self.cfg.salt)
         changes = self._align(compacted)
@@ -260,6 +357,7 @@ class Engine:
             batch_id,
             frontier_fn=frontier,
             metrics={"phase": phase},
+            phase=phase,
         )
 
     def _align(self, compacted: DataFrame) -> DataFrame:

@@ -1,0 +1,185 @@
+"""Incremental snapshot (DBLog watermark dedup), signals, and
+error-handling modes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.generator import gen_change_log, gen_source_table
+from debezium_spark.signals import SignalChannel
+from debezium_spark.streaming.engine import Engine, EngineConfig
+
+
+def _cfg(tmp_root, **kw):
+    base = dict(
+        changelog_path=f"{tmp_root}/log",
+        lake_root=f"{tmp_root}/lake",
+        source_table_path=f"{tmp_root}/src",
+        batch_lsn_span=2000,
+        n_buckets=8,
+    )
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+@pytest.fixture()
+def small_world(spark, tmp_root):
+    gen_source_table(spark, 4, 20).write.parquet(f"{tmp_root}/src")
+    gen_change_log(spark, 4, 20, n_events=1000, snapshot_lsn_base=80).write.parquet(
+        f"{tmp_root}/log"
+    )
+    return tmp_root
+
+
+def test_incremental_snapshot_backfills_and_loses_window_races(spark, small_world):
+    """DBLog semantics (AbstractIncrementalSnapshotChangeEventSource
+    .java:197-206): the chunked re-read targets the LIVE database — rows
+    already advanced by streamed events re-read at their current value;
+    rows never captured are back-filled; and events streamed AFTER the
+    chunk's low watermark beat the chunk row (window dedup). Modeled by
+    streaming half the log, snapshotting from the then-live source
+    state, then streaming the rest — the final state must equal a pure
+    full-stream replay plus the back-filled untouched keys."""
+    eng = Engine(spark, _cfg(small_world, snapshot_mode="never"))
+    eng.stream(max_batches=2)  # half the log
+
+    # live DB at the watermark = applied state + never-touched source rows
+    cols = ["repo", "path", "commit", "lang", "content"]
+    state = eng.final_state().select(*cols)
+    src = spark.read.parquet(f"{small_world}/src").select(*cols)
+    touched = (
+        spark.read.parquet(f"{small_world}/log")
+        .select(
+            F.col("key.repo").alias("repo"), F.col("key.path").alias("path")
+        )
+        .distinct()
+    )
+    live = state.unionByName(src.join(touched, ["repo", "path"], "left_anti"))
+
+    results = eng.incremental_snapshot(source=live, chunk_size=16)
+    assert len(results) >= 5
+    assert all(not r.get("skipped") for r in results)
+
+    eng.stream()  # the rest of the log: lsn > watermark must win
+
+    after = {
+        (r["repo"], r["path"]): r["commit"] for r in eng.final_state().collect()
+    }
+
+    # oracle: pure full-stream replay on a fresh lake
+    ref = Engine(
+        spark,
+        _cfg(small_world, snapshot_mode="never", lake_root=f"{small_world}/lake_ref"),
+    )
+    ref.stream()
+    ref_state = {
+        (r["repo"], r["path"]): r["commit"] for r in ref.final_state().collect()
+    }
+    for k, commit in ref_state.items():
+        assert after[k] == commit, f"chunk row beat a streamed event for {k}"
+
+    # back-filled untouched keys carry their source-table values
+    src_rows = {(r["repo"], r["path"]): r["commit"] for r in src.collect()}
+    touched_keys = {(r["repo"], r["path"]) for r in touched.collect()}
+    for k, commit in src_rows.items():
+        if k not in touched_keys:
+            assert after[k] == commit, f"untouched key {k} not back-filled"
+
+
+def test_incremental_snapshot_resumes_with_per_phase_fence(spark, small_world):
+    eng = Engine(spark, _cfg(small_world, snapshot_mode="never"))
+    eng.stream(max_batches=1)
+    r1 = eng.incremental_snapshot(chunk_size=30, max_chunks=1)
+    # a fresh engine: stream batches continue from the stream fence even
+    # though incremental batches committed in between
+    eng2 = Engine(spark, _cfg(small_world, snapshot_mode="never"))
+    r2 = eng2.stream()
+    assert all(not r.get("skipped") for r in r2)
+    r3 = eng2.incremental_snapshot(chunk_size=30)
+    assert r1[0]["batch_id"] == 0  # incremental fence starts at 0
+    assert r3[0]["batch_id"] == 1  # and continues across engine restarts
+
+
+def test_signal_pause_stop_and_execute_snapshot(spark, small_world):
+    sig_path = f"{small_world}/signals.jsonl"
+    ch = SignalChannel(sig_path)
+    ch.send("s1", "pause")
+    eng = Engine(
+        spark, _cfg(small_world, signal_path=sig_path, snapshot_mode="never")
+    )
+    assert eng.stream() == []  # paused before the first batch
+    ch.send("s2", "resume")
+    out = eng.stream()
+    assert out and all(not r.get("skipped") for r in out)
+
+    # stop halts mid-run on a fresh lake
+    import shutil
+
+    shutil.rmtree(f"{small_world}/lake")
+    ch2 = SignalChannel(f"{small_world}/sig2.jsonl")
+    ch2.send("x1", "stop")
+    eng2 = Engine(
+        spark,
+        _cfg(
+            small_world,
+            signal_path=f"{small_world}/sig2.jsonl",
+            snapshot_mode="never",
+        ),
+    )
+    assert eng2.stream() == []
+
+    # execute-snapshot triggers an incremental snapshot between batches
+    ch2.send("x2", "execute-snapshot", {"chunk_size": 40})
+    eng3 = Engine(
+        spark,
+        _cfg(
+            small_world,
+            signal_path=f"{small_world}/sig2.jsonl",
+            snapshot_mode="never",
+        ),
+    )
+    eng3.stream()
+    phases = {r["phase"] for r in eng3.lake.lineage()}
+    assert "incremental" in phases and "stream" in phases
+
+
+def test_error_mode_fail_aborts_before_commit(spark, tmp_root, small_world):
+    bad = gen_change_log(spark, 4, 20, n_events=100, snapshot_lsn_base=80)
+    # corrupt: an update with a null after image
+    bad = bad.withColumn(
+        "after",
+        F.when(F.col("lsn") % 7 == 0, F.lit(None).cast(bad.schema["after"].dataType)).otherwise(
+            F.col("after")
+        ),
+    )
+    bad.write.mode("overwrite").parquet(f"{small_world}/badlog")
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            changelog_path=f"{small_world}/badlog",
+            lake_root=f"{small_world}/lake_fail",
+            snapshot_mode="never",
+            error_mode="fail",
+        ),
+    )
+    with pytest.raises(Exception, match="invalid envelope"):
+        eng.stream()
+    # nothing was committed for the failed batch
+    assert eng.lake.last_batch_id("stream") == -1
+
+    # skip mode applies the valid remainder
+    eng2 = Engine(
+        spark,
+        _cfg(
+            small_world,
+            changelog_path=f"{small_world}/badlog",
+            lake_root=f"{small_world}/lake_skip",
+            snapshot_mode="never",
+            error_mode="skip",
+        ),
+    )
+    out = eng2.stream()
+    assert out and all(not r.get("skipped") for r in out)
+    assert eng2.final_state().count() > 0
