@@ -1,0 +1,98 @@
+"""CLI entry — the Debezium Server / standalone analogue
+(``debezium-server`` wraps the embedded engine with a config file; here
+``spark-submit --py-files debezium_spark.zip -m debezium_spark`` wraps
+:class:`~debezium_spark.streaming.engine.Engine` with argparse).
+
+Example::
+
+    spark-submit --py-files debezium_spark.zip \
+        -m debezium_spark \
+        --changelog /data/changelog --lake /data/lake \
+        --source-table /data/source --batch-lsn-span 1000000 \
+        --merge-scope touched --partitions 32
+
+On a cluster the master/executor topology comes from spark-submit; in
+local runs ``--cores`` picks local[N].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="debezium_spark")
+    p.add_argument("--changelog", required=True)
+    p.add_argument("--lake", required=True)
+    p.add_argument("--source-table")
+    p.add_argument("--batch-lsn-span", type=int, default=4096)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--partitions", type=int, default=4)
+    p.add_argument(
+        "--merge-scope", choices=("touched", "full"), default="touched"
+    )
+    p.add_argument(
+        "--snapshot-mode",
+        choices=("always", "initial", "never", "initial_only"),
+        default="initial",
+    )
+    p.add_argument("--error-mode", choices=("fail", "warn", "skip"), default="fail")
+    p.add_argument("--signal-path")
+    p.add_argument("--salt", type=int, default=0)
+    p.add_argument("--max-batches", type=int)
+    p.add_argument("--cores", type=int, help="local[N] when not on a cluster")
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help="drive via Structured Streaming foreachBatch instead of batch replay",
+    )
+    p.add_argument("--checkpoint", help="checkpoint dir for --streaming")
+    args = p.parse_args(argv)
+
+    from debezium_spark.session import get_spark
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    spark = get_spark("debezium_spark", cores=args.cores)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=args.changelog,
+            lake_root=args.lake,
+            source_table_path=args.source_table,
+            batch_lsn_span=args.batch_lsn_span,
+            n_buckets=args.n_buckets,
+            partitions=args.partitions,
+            merge_scope=args.merge_scope,
+            snapshot_mode=args.snapshot_mode,
+            error_mode=args.error_mode,
+            signal_path=args.signal_path,
+            salt=args.salt,
+        ),
+    )
+    if args.streaming:
+        if not args.checkpoint:
+            p.error("--streaming requires --checkpoint")
+        snap = eng.snapshot()
+        if snap:
+            print(json.dumps({"phase": "snapshot", **snap}))
+        eng.run_streaming(args.checkpoint)
+        results = []
+    else:
+        results = eng.run(max_batches=args.max_batches)
+    for r in results:
+        print(json.dumps(r))
+    print(
+        json.dumps(
+            {
+                "final_rows": eng.final_state().count(),
+                "offsets": eng.lake.committed_offsets(),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

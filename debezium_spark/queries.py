@@ -568,8 +568,152 @@ def cdc_heartbeat(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_changed_fields",
+    """
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN prev_value IS NULL OR value <> prev_value THEN 'value' END,
+             CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 'event_type' END
+           ) AS changed
+    FROM (
+      SELECT event_id, value, event_type,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      FROM events
+    )
+    """,
+)
+def cdc_changed_fields(spark, sf_dir):
+    """ExtractChangedRecordState: list of changed column names =
+    diff(before, after) (transforms/ExtractChangedRecordState.java:
+    1-113); the per-key previous row plays the before image."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("event_type").over(w)
+    return ev.select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.when(prev_v.isNull() | (F.col("value") != prev_v), "value"),
+            F.when(
+                prev_t.isNull() | (F.col("event_type") != prev_t),
+                "event_type",
+            ),
+        ).alias("changed"),
+    )
+
+
+@_q(
+    "cdc_outbox_router",
+    """
+    SELECT event_id, user_id AS aggregate_id, event_type AS aggregatetype,
+           'outbox.event.' || event_type AS route, value AS payload
+    FROM events
+    """,
+)
+def cdc_outbox_router(spark, sf_dir):
+    """Outbox EventRouter: outbox rows → events keyed by aggregateid,
+    routed by aggregatetype (transforms/outbox/EventRouterDelegate.java:
+    1-506)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("aggregate_id"),
+        F.col("event_type").alias("aggregatetype"),
+        F.concat(F.lit("outbox.event."), F.col("event_type")).alias("route"),
+        F.col("value").alias("payload"),
+    )
+
+
+@_q(
+    "cdc_json_unwrap",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def cdc_json_unwrap(spark, sf_dir):
+    """Consumer serde / PGCompatible-style unwrap: JSON payload column →
+    typed fields (serde/DebeziumSerdes.java + from_json pattern;
+    yugabyte PGCompatible.java:17-50 unwraps {value,set} wrappers)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@_q(
+    "cdc_json_export",
+    """
+    SELECT event_id,
+           '{"lsn":' || event_id || ',"key":' || user_id || ',"op":"'
+             || CASE WHEN event_type = 'signup' THEN 'c'
+                     WHEN event_type = 'error' THEN 'd' ELSE 'u' END
+             || '"}' AS json
+    FROM events
+    """,
+)
+def cdc_json_export(spark, sf_dir):
+    """Serialization/export format (engine/format/Json; CloudEvents
+    analogue): canonical JSON built by deterministic concatenation so
+    any engine produces identical bytes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"lsn":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"key":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"op":"'),
+            _op_col(),
+            F.lit('"}'),
+        ).alias("json"),
+    )
+
+
+@_q(
+    "cdc_transaction_markers",
+    """
+    SELECT tx_id, 'BEGIN' AS marker, MIN(event_id) AS lsn, NULL AS event_count
+    FROM (SELECT event_id // 10 AS tx_id, event_id FROM events) GROUP BY tx_id
+    UNION ALL
+    SELECT tx_id, 'END' AS marker, MAX(event_id) AS lsn, COUNT(*) AS event_count
+    FROM (SELECT event_id // 10 AS tx_id, event_id FROM events) GROUP BY tx_id
+    """,
+)
+def cdc_transaction_markers(spark, sf_dir):
+    """Transaction BEGIN/END boundary records on the tx topic
+    (pipeline/txmetadata/TransactionMonitor.java:36-64): BEGIN at the
+    first event's position, END with the event count."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tx_id", F.expr("event_id div 10")
+    )
+    agg = ev.groupBy("tx_id").agg(
+        F.min("event_id").alias("first_lsn"),
+        F.max("event_id").alias("last_lsn"),
+        F.count("*").alias("n"),
+    )
+    begin = agg.select(
+        "tx_id",
+        F.lit("BEGIN").alias("marker"),
+        F.col("first_lsn").alias("lsn"),
+        F.lit(None).cast("long").alias("event_count"),
+    )
+    end = agg.select(
+        "tx_id",
+        F.lit("END").alias("marker"),
+        F.col("last_lsn").alias("lsn"),
+        F.col("n").alias("event_count"),
+    )
+    return begin.unionByName(end)
+
+
 # ===========================================================================
-# Training-data ops — dedup / text / similarity / multimodal
+# Training-data ops — dedup / similarity / text / multimodal
 # ===========================================================================
 
 

@@ -13,19 +13,22 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. On a
     real cluster the master/cores come from spark-submit instead; every
-    other setting below is cluster-valid.
+    other setting below is cluster-valid. ``master`` overrides the
+    local[N] default (e.g. ``local-cluster[4,8,16384]`` to emulate a
+    multi-executor cluster with real executor JVMs).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores), 4)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

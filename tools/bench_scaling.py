@@ -12,6 +12,9 @@ Methodology (summarized in BASELINE.md):
   one micro-batch is 10^8+ events.
 - A small warmup replay runs first in each probe JVM so whole-stage
   codegen/JIT compilation is excluded from the timed window (JMH-style).
+- Each probe runs local-cluster[N,8,14g] with N=1 vs N=4 EXECUTOR JVMS
+  (the north rule compares executor counts, not threads in one JVM —
+  one JVM conflates core scaling with GC/lock contention).
 - Probes interleave (8, 32, 8, 32) and best-of-N is reported: the
   sandbox host has multi-tenant noise up to several ×; best-of
   approximates the uncontended machine both levels deserve equally.
@@ -54,9 +57,15 @@ from debezium_spark.session import get_spark
 from debezium_spark.generator import gen_change_log, gen_source_table
 from debezium_spark.streaming.engine import Engine, EngineConfig
 import os as _os
-_local = f"/dev/shm/spark-local-{cores}" if _os.path.isdir("/dev/shm") else None
+n_exec = max(cores // 8, 1)
+_conf = {"spark.executor.memory": "14g", "spark.driver.memory": "8g"}
+if _os.path.isdir("/dev/shm"):
+    _conf["spark.local.dir"] = f"/dev/shm/spark-local-{cores}"
+# N vs 4N EXECUTORS with real executor JVMs (the north rule's unit):
+# local-cluster[n, 8 cores, mem] — shuffle crosses JVM boundaries with
+# real serialization, per-executor GC/memory isolation, loopback fetch.
 spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores,
-    extra_conf={"spark.local.dir": _local} if _local else None)
+    master=f"local-cluster[{n_exec},8,14336]", extra_conf=_conf)
 tmp = tempfile.mkdtemp(prefix=f"scale{cores}_")
 
 # JIT/codegen warmup on a miniature replay of the same plan shapes
