@@ -98,7 +98,19 @@ def main() -> None:
 
     from debezium_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # bench JVM: pinned heap + throughput GC (G1 resize churn costs ~2x
+    # on this host) and tmpfs shuffle dirs when available
+    extra = {
+        "spark.driver.extraJavaOptions": "-Xms40g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+    }
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/spark-bench-local"
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus * 4, 64),
+        extra_conf=extra,
+    )
 
     import __spark_entry__ as entrymod
 

@@ -273,6 +273,47 @@ def hash_mask_image_field(
 
 
 # ---------------------------------------------------------------------------
+# Post-processors (EventDispatcher.java:703-710;
+# processors/reselect/ReselectColumnsPostProcessor.java)
+# ---------------------------------------------------------------------------
+
+def reselect_columns(
+    df: DataFrame,
+    state: DataFrame,
+    fields: tuple[str, ...],
+    image_col: str = "after",
+) -> DataFrame:
+    """Re-select unavailable (TOAST-elided) columns from the current
+    table state: where the event's after-image carries NULL for a
+    reselect-able field, back-fill it by key lookup against ``state``
+    (columns: repo, path, + the fields). Broadcast-joined when the
+    state projection is small; at scale this is a key-equi-join that
+    co-partitions with the compaction shuffle."""
+    st = state.select(
+        F.col("repo").alias("__r"),
+        F.col("path").alias("__p"),
+        *[F.col(f).alias(f"__st_{f}") for f in fields],
+    )
+    out = df.join(
+        st,
+        (F.col(f"{image_col}.repo") == F.col("__r"))
+        & (F.col(f"{image_col}.path") == F.col("__p")),
+        "left",
+    )
+    img = F.col(image_col)
+    for f in fields:
+        img = F.when(
+            F.col(image_col).isNotNull(),
+            img.withField(
+                f, F.coalesce(F.col(f"{image_col}.{f}"), F.col(f"__st_{f}"))
+            ),
+        )
+    return out.withColumn(image_col, img).drop(
+        "__r", "__p", *[f"__st_{f}" for f in fields]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Routing / partitioning
 # ---------------------------------------------------------------------------
 

@@ -1202,6 +1202,41 @@ def ann_lsh_topk(spark, sf_dir):
     return S.ann_lsh_topk(e, q, k=5, n_planes=4, dim=64)
 
 
+@_q(
+    "pipeline_clean_corpus",
+    """
+    WITH keep AS (
+      SELECT MIN(doc_id) AS keep_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    )
+    SELECT t.doc_id, t.lang, len(t.tk)::BIGINT AS n_tokens
+    FROM toks t JOIN keep k ON t.doc_id = k.keep_id
+    WHERE len(t.tk) >= 20 AND t.lang IN ('en', 'es')
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Composed training-data cleaning pipeline: exact-dedup keep-list
+    ⋈ language filter ⋈ minimum-length filter — the standard corpus
+    prep shape (dedup → filter → select). The keep-list join broadcasts
+    (one id per distinct hash); filters push into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    keep = D.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    toks = d.select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        toks.join(F.broadcast(keep), "doc_id")
+        .filter((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "es"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 # ===========================================================================
 # Analytics over the star schema (agg / join / window / sessionize)
 # ===========================================================================

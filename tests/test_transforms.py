@@ -153,3 +153,31 @@ def test_routers_and_filters(spark):
     assert tf.count() == log.count()
     tf2 = tr.table_filter(log, exclude_regex="^repo_.*")
     assert tf2.count() == 0
+
+
+def test_reselect_columns_backfills_nulls(spark):
+    """ReselectColumnsPostProcessor: TOAST-elided (null) after-image
+    fields are back-filled from current table state by key."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import reselect_columns
+
+    events = spark.createDataFrame(
+        [
+            (1, {"repo": "r1", "path": "p1", "content": None}),
+            (2, {"repo": "r1", "path": "p2", "content": "fresh"}),
+            (3, {"repo": "r1", "path": "p3", "content": None}),
+        ],
+        "lsn: long, after: struct<repo:string,path:string,content:string>",
+    )
+    state = spark.createDataFrame(
+        [("r1", "p1", "stored-1"), ("r1", "p2", "stored-2")],
+        "repo: string, path: string, content: string",
+    )
+    out = {
+        r["lsn"]: r["after"]["content"]
+        for r in reselect_columns(events, state, ("content",)).collect()
+    }
+    assert out[1] == "stored-1"  # null back-filled from state
+    assert out[2] == "fresh"  # present value untouched
+    assert out[3] is None  # no state row -> stays null
