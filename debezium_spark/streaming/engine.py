@@ -228,16 +228,27 @@ class Engine:
 
     # -- structured-streaming front-end -----------------------------------
     def run_streaming(
-        self, checkpoint_dir: str, max_files_per_trigger: int = 1
+        self,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        crash_after_batches: int | None = None,
     ) -> None:
         """Drive the same apply through Structured Streaming
         ``foreachBatch`` (file source over the log directory). Epoch ids
         are the fencing batch ids; checkpoint + fenced merge give
         exactly-once across restarts. Used when the log arrives
-        incrementally rather than as a replayable table."""
+        incrementally rather than as a replayable table.
+
+        ``crash_after_batches`` injects a crash right after the Nth
+        batch's merge commit but BEFORE its checkpoint commit — the
+        at-least-once window Structured Streaming re-delivers on
+        restart; the fence must turn the re-delivery into a no-op
+        (the reference's stop/restart-mid-stream tests,
+        embedded/AbstractConnectorTest.java:243-330)."""
         stream = stream_changelog(
             self.spark, self.cfg.changelog_path, max_files_per_trigger
         )
+        applied = {"n": 0}
 
         def apply(batch_df: DataFrame, epoch_id: int) -> None:
             lsn_hi = None
@@ -249,6 +260,14 @@ class Engine:
             self._apply_batch(
                 batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=lsn_hi
             )
+            applied["n"] += 1
+            if (
+                crash_after_batches is not None
+                and applied["n"] >= crash_after_batches
+            ):
+                raise RuntimeError(
+                    "injected crash: merge committed, checkpoint not"
+                )
 
         q = (
             stream.writeStream.foreachBatch(apply)

@@ -101,3 +101,54 @@ def test_structured_streaming_front_end(spark, tmp_root):
     v_before = engine.lake.current_version()
     engine.run_streaming(checkpoint_dir=os.path.join(tmp_root, "ckpt"))
     assert engine.lake.current_version() == v_before
+
+
+def test_streaming_crash_between_merge_and_checkpoint(spark, tmp_root):
+    """Kill the stream AFTER a batch's merge commit but BEFORE its
+    checkpoint commit — the exactly-once window. On restart Structured
+    Streaming re-delivers that epoch; the per-phase fence must skip it
+    and the final state must still match the oracle with every stream
+    batch id applied exactly once."""
+    import pytest
+
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, 4, 15).write.parquet(src_path)
+    log = gen_change_log(spark, 4, 15, n_events=1200, snapshot_lsn_base=60)
+    write_changelog_ordered(log, log_path, n_files=6)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_crash"),
+        source_table_path=src_path,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    engine.snapshot()
+    ckpt = os.path.join(tmp_root, "ckpt_crash")
+    with pytest.raises(Exception, match="injected crash"):
+        engine.run_streaming(
+            checkpoint_dir=ckpt, max_files_per_trigger=1, crash_after_batches=2
+        )
+
+    # fresh engine over the same checkpoint finishes the log
+    engine2 = Engine(spark, cfg)
+    engine2.run_streaming(checkpoint_dir=ckpt, max_files_per_trigger=1)
+
+    oracle = _oracle(spark, src_path, log_path)
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in engine2.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    for k, v in got.items():
+        assert v == oracle[k]["content"], k
+
+    # every (stream batch, partition) committed exactly once — the
+    # re-delivered epoch was fenced, not re-applied
+    pairs = [
+        (r["batch_id"], r["partition_id"])
+        for r in engine2.lake.lineage()
+        if r["phase"] == "stream"
+    ]
+    assert len(pairs) == len(set(pairs))

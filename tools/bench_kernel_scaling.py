@@ -23,19 +23,50 @@ PROBE = r"""
 import json, sys, time
 sys.path.insert(0, %(repo)r)
 cores = %(cores)d
+from pyspark.sql import functions as F
 from debezium_spark.session import get_spark
-from debezium_spark.generator import gen_change_log
 from debezium_spark.operators.compaction import compact
 from debezium_spark.operators.transforms import (
     drop_tombstones, normalize_target_key, pk_change_split)
 spark = get_spark(f"kern{cores}", cores=cores, shuffle_partitions=128,
-    extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{cores}"}
-    if __import__("os").path.isdir("/dev/shm") else None)
+    extra_conf={
+        "spark.driver.extraJavaOptions":
+            "-Xms40g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        **({"spark.local.dir": f"/dev/shm/spark-local-{cores}"}
+           if __import__("os").path.isdir("/dev/shm") else {}),
+    })
+
+def cheap_events(n):
+    # envelope rows with the exact operator-facing shape but trivial
+    # generation cost (no crypto hashes) — measures the operators, not
+    # the generator
+    df = spark.range(n, numPartitions=128)
+    key = F.pmod(F.col("id") * 2654435761, 200000)
+    op = (F.when(key %% 10 == 0, "d").when(key %% 10 == 1, "c")
+          .otherwise("u"))
+    repo = F.format_string("org/project-%%04d", (key / 200).cast("int"))
+    path = F.format_string("src/file_%%05d.py", key %% 200)
+    img = F.struct(
+        repo.alias("repo"), path.alias("path"),
+        F.format_string("c%%016x", F.col("id")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.repeat(F.format_string("x%%012d ", F.col("id")), 10).alias("content"),
+        F.lit(None).cast("bigint").alias("size_bytes"))
+    return df.select(
+        F.pmod(F.col("id"), 32).cast("int").alias("partition_id"),
+        F.col("id").alias("lsn"), op.alias("op"),
+        F.struct(repo.alias("repo"), path.alias("path")).alias("key"),
+        F.when(op == "d", img).alias("before"),
+        F.when(op != "d", img).alias("after"),
+        F.lit(None).cast(
+            "struct<ts_ms:bigint,snapshot:string,txId:bigint,table:string>"
+        ).alias("source"),
+        F.col("id").alias("ts_ms"),
+        F.lit(0).alias("schema_version"),
+        F.lit(False).alias("is_tombstone"))
 
 def pipeline(n_events):
-    ev = gen_change_log(spark, 1000, 200, n_events=n_events,
-                        partitions=32, max_reps=4)
-    ev = normalize_target_key(pk_change_split(drop_tombstones(ev)))
+    ev = normalize_target_key(pk_change_split(drop_tombstones(cheap_events(n_events))))
     compact(ev).write.mode("overwrite").format("noop").save()
 
 pipeline(100_000)  # JIT warmup

@@ -16,7 +16,15 @@ Methodology (summarized in BASELINE.md):
   sandbox host has multi-tenant noise up to several ×; best-of
   approximates the uncontended machine both levels deserve equally.
 
-Usage: python tools/bench_scaling.py [events] [repeats]
+The core pair defaults to (8, 32); pass e.g. ``--pair 2 8`` to
+measure N vs 4N in the host's linear region — this single-box sandbox
+has a shared-guest-kernel shuffle ceiling (~0.8-1.1M events/s
+regardless of cores, see BENCH_KERNEL_SCALING.json) that a real
+multi-host cluster does not, so the smaller pair is the more faithful
+stand-in for N vs 4N executors while the (8,32) pair documents the
+box's ceiling.
+
+Usage: python tools/bench_scaling.py [events] [repeats] [--pair LO HI]
 """
 
 from __future__ import annotations
@@ -129,8 +137,15 @@ def _run(script: str, tag: str, timeout: int = 3600) -> str:
 
 
 def main() -> None:
-    events = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    args = sys.argv[1:]
+    pair = (8, 32)
+    if "--pair" in args:
+        i = args.index("--pair")
+        pair = (int(args[i + 1]), int(args[i + 2]))
+        del args[i : i + 3]
+    events = int(args[0]) if len(args) > 0 else 48_000_000
+    repeats = int(args[1]) if len(args) > 1 else 2
+    lo, hi = pair
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     inp = f"{base}/scale_input_{events}"
     try:
@@ -150,9 +165,9 @@ def main() -> None:
             )
             print(f"generated {n} events at {inp}", flush=True)
 
-        runs: dict[int, list[dict]] = {8: [], 32: []}
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
         for i in range(repeats):
-            for cores in (8, 32):  # interleaved: noise hits both levels
+            for cores in (lo, hi):  # interleaved: noise hits both levels
                 r = json.loads(
                     _run(
                         PROBE
@@ -175,24 +190,31 @@ def main() -> None:
     best = {
         c: max(rs, key=lambda r: r["events_per_sec"]) for c, rs in runs.items()
     }
-    eff = round(best[32]["events_per_sec"] / (4 * best[8]["events_per_sec"]), 3)
+    ratio = hi // lo
+    eff = round(best[hi]["events_per_sec"] / (ratio * best[lo]["events_per_sec"]), 3)
     eff_stream = round(
-        best[32]["stream_events_per_sec"]
-        / (4 * best[8]["stream_events_per_sec"]),
+        best[hi]["stream_events_per_sec"]
+        / (ratio * best[lo]["stream_events_per_sec"]),
         3,
     )
     result = {
         "events": events,
         "repeats": repeats,
-        "p8": best[8],
-        "p32": best[32],
-        "scaling_efficiency_8_to_32": eff,
-        "stream_scaling_efficiency_8_to_32": eff_stream,
+        "pair": [lo, hi],
+        "p_lo": best[lo],
+        "p_hi": best[hi],
+        f"scaling_efficiency_{lo}_to_{hi}": eff,
+        f"stream_scaling_efficiency_{lo}_to_{hi}": eff_stream,
         "all_runs": runs,
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    out_name = (
+        "BENCH_SCALING.json" if pair == (8, 32) else f"BENCH_SCALING_{lo}_{hi}.json"
+    )
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "all_runs"}))
+    if pair != (8, 32):
+        return  # BASELINE.md section is assembled by hand across pairs
 
     md = open(os.path.join(REPO, "BASELINE.md")).read()
     marker = "\n## Measured (this repo)\n"
