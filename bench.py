@@ -38,7 +38,8 @@ def bench_cdc_replay(
     from debezium_spark.generator import gen_change_log, gen_source_table
     from debezium_spark.streaming.engine import Engine, EngineConfig
 
-    tmp = tempfile.mkdtemp(prefix="bench_cdc_")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_cdc_", dir=shm)
     try:
         src = gen_source_table(
             spark, n_repos=n_repos, paths_per_repo=paths, max_reps=max_reps
@@ -86,12 +87,12 @@ def bench_cdc_replay(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "300000"))
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
     cdc_kw = dict(
         n_repos=int(os.environ.get("BENCH_CDC_REPOS", "50")),
         paths=int(os.environ.get("BENCH_CDC_PATHS", "200")),
         max_reps=int(os.environ.get("BENCH_CDC_MAX_REPS", "60")),
-        n_batches=int(os.environ.get("BENCH_CDC_BATCHES", "8")),
+        n_batches=int(os.environ.get("BENCH_CDC_BATCHES", "4")),
         merge_scope=os.environ.get("BENCH_CDC_SCOPE", "full"),
     )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
