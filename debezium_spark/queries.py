@@ -1072,8 +1072,8 @@ _SIMHASH_ORACLE = """
       FROM bits GROUP BY 1, 2
     )
     SELECT id AS doc_id,
-           SUM(CASE WHEN vhi > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash_hi,
-           SUM(CASE WHEN vlo > 0 THEN 1::BIGINT << bit ELSE 0 END) AS simhash_lo
+           CAST(SUM(CASE WHEN vhi > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash_hi,
+           CAST(SUM(CASE WHEN vlo > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash_lo
     FROM votes GROUP BY 1
 """
 
@@ -1246,8 +1246,8 @@ def pipeline_clean_corpus(spark, sf_dir):
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
            COUNT(*) AS count_order
     FROM lineitem GROUP BY 1, 2
     """,
@@ -1268,8 +1268,8 @@ def agg_pricing_summary(spark, sf_dir):
     "join_revenue_by_nation",
     """
     SELECT n.n_name AS nation,
-           SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-             AS revenue_cents,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1335,9 +1335,9 @@ def window_top_order_per_customer(spark, sf_dir):
     """
     SELECT event_id, user_id, session_seq FROM (
       SELECT event_id, user_id,
-             SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+             CAST(SUM(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY event_id) AS session_seq
+               OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_seq
       FROM (
         SELECT event_id, user_id, epoch_ms(ts) AS ms,
                LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id)
