@@ -87,10 +87,17 @@ def ngram_jaccard_pairs(
     sized = sized.filter(F.col("n_sh") > 0)
     posts = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     if max_postings is not None:
-        freq = posts.groupBy("shingle").count().filter(
-            F.col("count") <= max_postings
+        # anti-join against the OVER-cap (stop-shingle) list — that list
+        # is tiny by construction (few shingles appear in > cap docs), so
+        # it broadcasts at any corpus size; broadcasting the keep-list
+        # would be O(distinct shingles) and die at 100 TB
+        stop = (
+            posts.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_postings)
+            .select("shingle")
         )
-        posts = posts.join(F.broadcast(freq.select("shingle")), "shingle")
+        posts = posts.join(F.broadcast(stop), "shingle", "left_anti")
     a = posts.select(
         F.col("shingle"),
         F.col("id").alias("id_a"),
@@ -238,9 +245,11 @@ def simhash_parts(
     reproducible in any SQL engine (no sign-bit games).
 
     Token hash = two portable 32-bit words; per bit b the doc
-    aggregates sum(±1) votes over tokens, sign → bit. Expressed as
-    explode(token) × explode(bit 0..31) → two-level groupBy — all
-    map-side-combinable integer aggregation, no Python.
+    aggregates sum(±1) votes over tokens, sign → bit. Expressed as ONE
+    groupBy(id) with 64 per-bit set-bit-count aggregates + a token
+    count: vote_b = 2·set_b − n, so bit b is set iff 2·set_b > n. No
+    per-token ×32 row blowup, single map-side-combinable exchange of
+    65 longs per doc.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -258,31 +267,29 @@ def simhash_parts(
         portable_hash32(F.col("tok"), salt="lo").alias("lo"),
         portable_hash32(F.col("tok"), salt="hi").alias("hi"),
     )
-    bits = lohi.select(
+    aggs = [F.count("*").alias("n")]
+    for b in range(32):
+        aggs.append(
+            F.sum(F.shiftright(F.col("lo"), b) % 2).alias(f"slo{b}")
+        )
+        aggs.append(
+            F.sum(F.shiftright(F.col("hi"), b) % 2).alias(f"shi{b}")
+        )
+    counts = lohi.groupBy("id").agg(*aggs)
+
+    def pack(prefix: str) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.col(f"{prefix}{b}") * 2 > F.col("n"),
+                F.lit(1 << b).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return counts.select(
         "id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
-        F.col("lo"),
-        F.col("hi"),
-    ).select(
-        "id",
-        "bit",
-        # shift amount is a column → SQL expr form (the Python API only
-        # takes a literal int)
-        (F.expr("shiftright(lo, cast(bit as int))") % 2).alias("blo"),
-        (F.expr("shiftright(hi, cast(bit as int))") % 2).alias("bhi"),
-    )
-    votes = bits.groupBy("id", "bit").agg(
-        F.sum(F.col("blo") * 2 - 1).alias("vlo"),
-        F.sum(F.col("bhi") * 2 - 1).alias("vhi"),
-    )
-    pow2 = F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")
-    return votes.groupBy("id").agg(
-        F.sum(F.when(F.col("vhi") > 0, pow2).otherwise(F.lit(0).cast("long"))).alias(
-            "simhash_hi"
-        ),
-        F.sum(F.when(F.col("vlo") > 0, pow2).otherwise(F.lit(0).cast("long"))).alias(
-            "simhash_lo"
-        ),
+        pack("shi").alias("simhash_hi"),
+        pack("slo").alias("simhash_lo"),
     )
 
 
@@ -312,35 +319,55 @@ def simhash_near_pairs(
     chunks — any pair within Hamming 3 shares at least one exact chunk
     (pigeonhole); for larger radii this is a high-recall heuristic.
     Join on (chunk_idx, chunk_value), verify with bit_count(xor).
+
+    Works on the two 32-bit halves (never the packed 64-bit word), so
+    every value stays in non-negative 32-bit range — the identical
+    arithmetic runs in any SQL engine with no overflow/sign games
+    (hamming = popcount(hi_a⊕hi_b) + popcount(lo_a⊕lo_b)).
     """
-    sig = simhash64(df, id_col, text_col)
+    sig = simhash_parts(df, id_col, text_col)
+    chunk_vals = [
+        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("simhash_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("simhash_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+    ]
     chunks = sig.select(
         "id",
-        "simhash",
+        "simhash_hi",
+        "simhash_lo",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("ci"),
-                        (
-                            F.shiftright(F.col("simhash"), c * 16)
-                            .bitwiseAND(F.lit(0xFFFF))
-                        ).alias("cv"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(c).alias("ci"), cv.alias("cv"))
+                    for c, cv in enumerate(chunk_vals)
                 ]
             )
         ).alias("ch"),
-    ).select("id", "simhash", "ch.ci", "ch.cv")
-    a = chunks.select("ci", "cv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = chunks.select("ci", "cv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ).select("id", "simhash_hi", "simhash_lo", "ch.ci", "ch.cv")
+    a = chunks.select(
+        "ci",
+        "cv",
+        F.col("id").alias("id_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        F.col("simhash_lo").alias("lo_a"),
+    )
+    b = chunks.select(
+        "ci",
+        "cv",
+        F.col("id").alias("id_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        F.col("simhash_lo").alias("lo_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("long")
     return (
         a.join(b, ["ci", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

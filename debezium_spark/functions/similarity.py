@@ -41,7 +41,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # sequential divides (never dot/(na*nb)) — the exact FP evaluation
+    # order a SQL oracle reproduces: ((dot / norm_a) / norm_b)
+    return dot(a, b) / norm(a) / norm(b)
+
+
+def hyperplanes(
+    dim: int, n_planes: int, seed: str = "lsh"
+) -> list[list[float]]:
+    """Public alias of :func:`_planes` — oracle SQL builders inline
+    these deterministic plane literals."""
+    return _planes(dim, n_planes, seed)
 
 
 def brute_force_topk(
@@ -105,9 +115,16 @@ def _planes(dim: int, n_planes: int, seed: str = "lsh") -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Signature = concatenated sign bits of plane dot products."""
+    """Signature = concatenated sign bits of plane dot products.
+
+    The sign test is on ``floor(dot · 1e6)`` — engines that agree on the
+    dot product to micro precision produce identical buckets, so a SQL
+    oracle can reproduce the exact candidate set (a raw ``>= 0`` on a
+    double is one ulp away from disagreement)."""
     bits = [
-        (dot(vec, F.array(*[F.lit(x) for x in pl])) >= 0).cast("int")
+        (
+            F.floor(dot(vec, F.array(*[F.lit(x) for x in pl])) * 1e6) >= 0
+        ).cast("int")
         for pl in planes
     ]
     return F.concat_ws("", *[b.cast("string") for b in bits])
@@ -137,18 +154,17 @@ def ann_lsh_topk(
         F.col(qid_col).alias("query_id"),
         _as_double(F.col(qvec_col)).alias("qv"),
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    sim_dmil = F.floor(cosine(F.col("qv"), F.col("v")) * 1e4).cast("long")
     scored = c.join(F.broadcast(q), "bucket").filter(
         F.col("nbr_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "nbr_id",
-        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+    ).select("query_id", "nbr_id", sim_dmil.alias("sim_dmil"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_dmil"), F.asc("nbr_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", "sim")
+        .select("query_id", "nbr_id", "rank", "sim_dmil")
     )
 
 
@@ -156,16 +172,27 @@ def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    integer_sim: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold).
 
     ``exact=True`` compares all pairs via a self-join keyed by a
     broadcast of ids — only for oracle-checkable small inputs.
-    Default path buckets by LSH signature first (scale path).
+    Default path buckets by LSH signature first (the scale path):
+    candidate generation is an equi-join on (table, bucket) — never a
+    cross join. ``n_tables`` is the OR-construction: each table uses
+    independently seeded planes, a pair is a candidate if it collides
+    in ANY table (recall at cosine c is 1-(1-p^n_planes)^n_tables with
+    p = 1 - acos(c)/π).
+
+    ``integer_sim=True`` emits ``sim_dmil = floor(cosine·1e4)`` instead
+    of a rounded double — the engine-portable form a SQL oracle can
+    reproduce bit-for-bit.
     """
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -175,14 +202,36 @@ def cosine_near_dup_pairs(
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        planes = _planes(dim, n_planes)
-        bk = base.withColumn("bucket", lsh_bucket(F.col("v"), planes))
-        a = bk.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-        b = bk.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        buckets = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col("v"), _planes(dim, n_planes, seed=f"lsh{t}")
+                ).alias("bk"),
+            )
+            for t in range(n_tables)
+        ]
+        bk = base.select(
+            "id", "v", F.explode(F.array(*buckets)).alias("tb")
+        ).select("id", "v", "tb.tbl", "tb.bk")
+        a = bk.select(
+            "tbl", "bk", F.col("id").alias("id_a"), F.col("v").alias("va")
+        )
+        b = bk.select(
+            "tbl", "bk", F.col("id").alias("id_b"), F.col("v").alias("vb")
+        )
         pairs = (
-            a.join(b, "bucket")
+            a.join(b, ["tbl", "bk"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+        )
+    if integer_sim:
+        sim = F.floor(cosine(F.col("va"), F.col("vb")) * 1e4).cast("long")
+        thr = int(threshold * 1e4)
+        return (
+            pairs.withColumn("sim_dmil", sim)
+            .filter(F.col("sim_dmil") >= thr)
+            .select("id_a", "id_b", "sim_dmil")
         )
     return (
         pairs.withColumn(

@@ -953,10 +953,12 @@ _SHINGLE_CTE = """
     _SHINGLE_CTE
     + """
     , posts AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh WHERE len(s) > 0)
+    , keepg AS (SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 64)
+    , p2 AS (SELECT posts.* FROM posts JOIN keepg USING (g))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
            floor(COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*)) * 1e6)::BIGINT
              AS jaccard_micro
-    FROM posts a JOIN posts b USING (g)
+    FROM p2 a JOIN p2 b USING (g)
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2, a.n, b.n
     HAVING jaccard_micro >= 500000
@@ -965,9 +967,14 @@ _SHINGLE_CTE = """
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram Jaccard near-dup pairs (threshold 0.5) via inverted-index
     equi-join on shared shingles — never a cross join; integer
-    micro-units for exact cross-engine match."""
+    micro-units for exact cross-engine match.
+
+    ``max_postings=64`` drops stop-shingles shared by more than 64 docs
+    (anti-join against the tiny over-cap list) — without the cap one
+    hot shingle creates a quadratic join bucket at corpus scale. The
+    oracle mirrors the cap (``HAVING COUNT(*) <= 64`` keep-list)."""
     pairs = D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.0
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.0, max_postings=64
     )
     return (
         pairs.withColumn(
@@ -1087,11 +1094,38 @@ def text_simhash(spark, sf_dir):
     )
 
 
-@_q("dedup_simhash_near")  # rows-only: banded Hamming verification
+_SIMHASH_NEAR_ORACLE = f"""
+    WITH sig AS ({_SIMHASH_ORACLE}),
+    chunks AS (
+      SELECT doc_id AS id, simhash_hi, simhash_lo, c.ci,
+             CASE c.ci
+               WHEN 0 THEN simhash_lo & 65535
+               WHEN 1 THEN (simhash_lo >> 16) & 65535
+               WHEN 2 THEN simhash_hi & 65535
+               ELSE (simhash_hi >> 16) & 65535 END AS cv
+      FROM sig, LATERAL unnest(range(0, 4)) AS c(ci)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
+             b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
+      FROM chunks a JOIN chunks b USING (ci, cv)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+                AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+"""
+
+
+@_q("dedup_simhash_near", _SIMHASH_NEAR_ORACLE)
 def dedup_simhash_near(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3: exact recall under 4×16-bit
-    chunk banding by pigeonhole) + bit_count verification. Rows-only:
-    the chunk-join candidate set is Spark-plan-specific."""
+    chunk banding by pigeonhole) + popcount verification on the 32-bit
+    halves — every value stays unsigned-32-safe so the DuckDB oracle
+    runs the identical arithmetic."""
     return D.simhash_near_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=3
     )
@@ -1156,45 +1190,104 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@_q(
-    "embedding_near_dup",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_EXPR} AS sim_dmil
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_COSINE_EXPR} >= 3500
-    """,
-)
+def _sql_bucket(planes: list[list[float]], vec: str = "v") -> str:
+    """DuckDB expression reproducing similarity.lsh_bucket: concatenated
+    sign bits of floor(dot(v, plane)·1e6) over inlined plane literals
+    (the md5-seeded planes are deterministic Python lists)."""
+    bits = []
+    for pl in planes:
+        lst = "[" + ", ".join(repr(x) for x in pl) + "]"
+        d = (
+            f"list_sum(list_transform(range(1, {len(pl) + 1}), "
+            f"i -> {vec}[i] * ({lst})[i]))"
+        )
+        bits.append(
+            f"CASE WHEN floor({d} * 1e6) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _cos_dmil(a: str, b: str) -> str:
+    return f"""floor(
+      list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))
+      / sqrt(list_sum(list_transform({a}, x -> x * x)))
+      / sqrt(list_sum(list_transform({b}, x -> x * x)))
+      * 1e4)::BIGINT"""
+
+
+def _near_dup_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, "
+        + _sql_bucket(S.hyperplanes(64, n_planes, seed=f"lsh{t}"))
+        + " AS bk FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b USING (tbl, bk)
+      WHERE a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT c.id_a, c.id_b, ea.v AS va, eb.v AS vb
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, {_cos_dmil('va', 'vb')} AS sim_dmil
+    FROM p WHERE {_cos_dmil('va', 'vb')} >= 3500
+    """
+
+
+@_q("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup(spark, sf_dir):
-    """Embedding near-dup pairs: exact pairwise cosine ≥ 0.35 (integer
-    deci-milli). Exact variant for the oracle; the LSH-bucketed scale
-    path is ann_lsh_topk / cosine_near_dup_pairs(exact=False)."""
+    """Embedding near-dup pairs (cosine ≥ 0.35, integer deci-milli) via
+    multi-table hyperplane LSH — the 10^10-vector scale shape: candidate
+    generation is an equi-join on (table, bucket-signature), never an
+    all-pairs join; 8 planes × 4 OR-tables keeps ~90% recall at
+    cosine ≥ 0.95 while cutting candidates by ~2^8 per table. The
+    DuckDB oracle inlines the deterministic md5-seeded plane literals
+    and reproduces the exact candidate set."""
     e = _t(spark, sf_dir, "embeddings")
-    base = e.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim_dmil = F.floor(
-        S.dot(F.col("va"), F.col("vb"))
-        / F.sqrt(S.dot(F.col("va"), F.col("va")))
-        / F.sqrt(S.dot(F.col("vb"), F.col("vb")))
-        * 1e4
-    ).cast("long")
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim_dmil", sim_dmil)
-        .filter(F.col("sim_dmil") >= 3500)
-        .select("id_a", "id_b", "sim_dmil")
+    return S.cosine_near_dup_pairs(
+        e,
+        threshold=0.35,
+        n_planes=8,
+        n_tables=4,
+        dim=64,
+        exact=False,
+        integer_sim=True,
     )
 
 
-@_q("ann_lsh_topk")  # rows-only: md5-seeded hyperplanes aren't SQL-friendly
+def _ann_lsh_oracle(n_planes: int = 4) -> str:
+    bucket = _sql_bucket(S.hyperplanes(64, n_planes, seed="lsh"))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS nbr_id, v, {bucket} AS bk FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, {bucket} AS bk
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.nbr_id, {_cos_dmil('q.qv', 'c.v')} AS sim_dmil
+      FROM q JOIN c USING (bk) WHERE c.nbr_id <> q.query_id
+    )
+    SELECT query_id, nbr_id, rank, sim_dmil FROM (
+      SELECT query_id, nbr_id, sim_dmil,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_dmil DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@_q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (random-hyperplane signatures,
     bucket equi-join, exact re-rank inside buckets) — the 10^10-vector
-    scale path. Rows-only check."""
+    scale path. Integer deci-milli similarity + inlined plane literals
+    make the DuckDB oracle exact."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

@@ -132,6 +132,36 @@ def test_minhash_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_near_dup_is_bucketed_equi_join(spark):
+    # the measured near-dup query must be the LSH shape: candidate
+    # generation via (table, bucket) equi-join — an all-pairs
+    # nested-loop would be quadratic at any scale
+    from debezium_spark.queries import embedding_near_dup
+
+    plan = plan_of(embedding_near_dup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_has_postings_cap(spark):
+    # stop-shingles (shared by > cap docs) are removed by an anti-join
+    # against the tiny over-cap list before the pair join
+    from debezium_spark.queries import dedup_ngram_jaccard
+
+    plan = plan_of(dedup_ngram_jaccard(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_single_exchange(spark):
+    # signature build = one map-side-combinable groupBy(id); the
+    # per-token ×32 bit explode and second-level groupBy are gone
+    from debezium_spark.queries import text_simhash
+
+    plan = plan_of(text_simhash(spark, SF_DIR))
+    assert n_exchanges(plan) == 1
+
+
 def test_wholestage_codegen_on_quality_score(spark):
     from debezium_spark.queries import text_quality_score
 
