@@ -333,10 +333,13 @@ class LakeTable:
             → drop winners whose op = 'd'
             → write, partitioned by bucket
 
-        Ties on lsn (re-delivered event vs state it already wrote)
-        break toward the event (src=1) — identical content either way;
-        the tiebreak just keeps the plan deterministic. Fencing
-        semantics match :meth:`merge`.
+        Ties on lsn break toward STATE (src=1), matching :meth:`merge`'s
+        strict ``changes.lsn > state._lsn`` guard: an incremental-
+        snapshot chunk stamped exactly at the watermark must NOT replace
+        a row whose newest streamed update IS the watermark LSN — under
+        the old event-wins tiebreak the two merge scopes disagreed on
+        that case. Re-delivered identical events are unaffected either
+        way. Fencing semantics match :meth:`merge`.
         """
         man = self.manifest()
         if batch_id <= self.last_batch_id(phase):
@@ -352,13 +355,13 @@ class LakeTable:
         o = old.select(
             F.lit("u").alias("op"),
             F.col("_lsn").alias("lsn"),
-            F.lit(0).alias("__src"),
+            F.lit(1).alias("__src"),  # state wins lsn ties (strict guard)
             *[F.col(p) for p in phys],
         )
         c = changes.select(
             F.col("op"),
             F.col("lsn"),
-            F.lit(1).alias("__src"),
+            F.lit(0).alias("__src"),
             *[F.col(p).cast(types[p]).alias(p) for p in phys],
         )
         merged = o.unionByName(c)

@@ -12,6 +12,13 @@ natural signal boundary — same granularity as the reference's poll
 loop). Processed signal ids are tracked in a sidecar file so replay
 after restart does not re-fire actions (the reference gets this from
 offsets in the signal topic).
+
+Delivery is at-least-once: :meth:`SignalChannel.poll` returns pending
+signals WITHOUT marking them; the engine calls :meth:`SignalChannel.ack`
+only after the signal's action completed, so a crash mid-action re-fires
+the signal on restart (the reference commits signal offsets after
+processing; actions are idempotent — the incremental-snapshot chunks an
+execute-snapshot re-fire produces are LWW-deduped by the watermark).
 """
 
 from __future__ import annotations
@@ -47,7 +54,8 @@ class SignalChannel:
             )
 
     def poll(self) -> list[dict]:
-        """Unprocessed signals in file order; marks them processed."""
+        """Unprocessed signals in file order. Does NOT mark them —
+        call :meth:`ack` once each signal's action has completed."""
         if not os.path.exists(self.path):
             return []
         done = self._processed()
@@ -61,5 +69,8 @@ class SignalChannel:
                 if sig["id"] in done:
                     continue
                 out.append(sig)
-        self._mark([s["id"] for s in out])
         return out
+
+    def ack(self, sid: str) -> None:
+        """Mark one signal processed (call after its action commits)."""
+        self._mark([sid])

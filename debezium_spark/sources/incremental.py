@@ -17,12 +17,17 @@ the chunk row for the same key; a chunk row for an untouched key
 back-fills it. No buffer data structure is needed — the watermark fence
 IS the dedup (SURVEY §2.1).
 
-Chunk pagination cost note: each chunk is a TakeOrderedAndProject over
-the (pruned) source scan — the parquet analogue of the reference's
-indexed ``SELECT ... LIMIT``. On Iceberg, sort-ordered tables + range
-predicates make each chunk a metadata-pruned scan; at 10^10 scale you
-would instead split by file/partition boundaries (the same watermark
-semantics apply per split).
+Chunk pagination: the reference re-runs an indexed ``SELECT ... LIMIT``
+per chunk; the naive parquet translation (``orderBy().limit()`` per
+chunk) is a TakeOrderedAndProject over the full remaining scan —
+O(table) PER CHUNK, quadratic overall. Instead :func:`plan_chunk_bounds`
+computes all chunk key-range boundaries in ONE sampling-based job
+(``repartitionByRange`` = Spark's RangePartitioner, no global sort),
+and each chunk is then a pruned range scan
+(:func:`read_chunk_range` — the predicate reaches the parquet reader's
+min/max skipping; on Iceberg a sort-ordered table makes it a metadata-
+pruned scan). Watermark semantics are unchanged — they hold for any
+chunking of the key space.
 """
 
 from __future__ import annotations
@@ -53,12 +58,59 @@ def after_key(last: tuple[str, str] | None) -> Column:
 def read_chunk(
     source: DataFrame, last: tuple[str, str] | None, chunk_size: int
 ) -> DataFrame:
-    """Next PK-ordered chunk after ``last`` (exclusive)."""
+    """Next PK-ordered chunk after ``last`` (exclusive) — the literal
+    per-chunk ``ORDER BY pk LIMIT n`` translation. O(table) per chunk;
+    kept for parity/tests. The engine paginates via
+    :func:`plan_chunk_bounds` + :func:`read_chunk_range` instead."""
     return (
         source.filter(after_key(last))
         .orderBy("repo", "path")
         .limit(chunk_size)
     )
+
+
+def plan_chunk_bounds(
+    source: DataFrame, chunk_size: int
+) -> list[tuple[str, str]]:
+    """Upper key bound (inclusive) of each chunk, computed in one job.
+
+    ``repartitionByRange(n_chunks, repo, path)`` range-partitions by a
+    sampled key distribution (RangePartitioner — no global sort); each
+    partition's max key is a chunk boundary. Chunk sizes are therefore
+    approximate (sampling), which the watermark semantics don't care
+    about. Cost: one count + one sample-plan + one narrow max-per-
+    partition pass — O(table) TOTAL, not per chunk.
+    """
+    n = source.count()
+    if n == 0:
+        return []
+    n_chunks = max((n + chunk_size - 1) // chunk_size, 1)
+    rows = (
+        source.select("repo", "path")
+        .repartitionByRange(n_chunks, "repo", "path")
+        .select(
+            F.spark_partition_id().alias("pid"),
+            F.struct("repo", "path").alias("k"),
+        )
+        .groupBy("pid")
+        .agg(F.max("k").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    return [(r["hi"]["repo"], r["hi"]["path"]) for r in rows]
+
+
+def read_chunk_range(
+    source: DataFrame,
+    lo: tuple[str, str] | None,
+    hi: tuple[str, str],
+) -> DataFrame:
+    """Chunk = keys in ``(lo, hi]`` — a pruned range scan, no sort."""
+    hr, hp = hi
+    upper = (F.col("repo") < hr) | (
+        (F.col("repo") == hr) & (F.col("path") <= hp)
+    )
+    return source.filter(after_key(lo) & upper)
 
 
 def chunk_envelopes(

@@ -143,75 +143,108 @@ class Engine:
         return res
 
     # -- incremental snapshot (DBLog-style, sources/incremental.py) -------
+    def live_source(self) -> DataFrame:
+        """Reconstructed current upstream state — what the reference's
+        ExecuteSnapshot re-reads (it always queries the live database).
+        = applied final state ∪ source rows no event has ever touched
+        (touched = any key in the changelog at LSN ≤ the committed
+        watermark; keys the stream deleted stay absent — re-reading the
+        stale snapshot parquet would resurrect them)."""
+        cols = ["repo", "path", "commit", "lang", "content"]
+        state = self.final_state().select(*cols)
+        if self.cfg.source_table_path is None:
+            return state
+        src = self.spark.read.parquet(self.cfg.source_table_path).select(*cols)
+        watermark = max(self.lake.committed_offsets().values(), default=-1)
+        touched = (
+            self.spark.read.parquet(self.cfg.changelog_path)
+            .filter(F.col("lsn") <= watermark)
+            .select(
+                F.col("key.repo").alias("repo"),
+                F.col("key.path").alias("path"),
+            )
+            .distinct()
+        )
+        untouched = src.join(touched, ["repo", "path"], "left_anti")
+        return state.unionByName(untouched)
+
     def incremental_snapshot(
         self,
         source=None,
         chunk_size: int | None = None,
         max_chunks: int | None = None,
     ) -> list[dict]:
-        """Chunked PK-ordered re-read of the (current) source table,
+        """Chunked PK-ordered re-read of the current source state,
         each chunk stamped at the committed-offset low watermark so the
         LWW merge reproduces the reference's window dedup: rows already
         advanced by streamed events keep their streamed state, untouched
         rows are back-filled (AbstractIncrementalSnapshotChangeEventSource
         .java:111-119,197-206,325-419).
 
-        ``source`` defaults to the configured source table; pass the
-        current upstream state explicitly when the DB has moved on
-        (the reference always reads the live database).
+        ``source`` defaults to :meth:`live_source` (the reference always
+        reads the live database — the static snapshot parquet would
+        silently revert streamed updates once offsets have advanced);
+        pass an explicit DataFrame to snapshot something else.
+
+        Pagination: chunk boundaries are planned once
+        (``plan_chunk_bounds`` — sampling-based range split, one pass),
+        then each chunk is a pruned key-range scan — never a per-chunk
+        global sort+limit (that shape is O(table) per chunk).
         """
         from debezium_spark.sources.incremental import (
             chunk_envelopes,
-            read_chunk,
+            plan_chunk_bounds,
+            read_chunk_range,
         )
 
-        src = (
-            source
-            if source is not None
-            else self.spark.read.parquet(self.cfg.source_table_path)
-        )
+        src = source if source is not None else self.live_source()
         chunk_size = chunk_size or self.cfg.incremental_chunk_size
         watermark = max(
             self.lake.committed_offsets().values(), default=0
         )
-        last = None
-        results: list[dict] = []
-        k = self.lake.last_batch_id("incremental") + 1
-        n = 0
-        while max_chunks is None or n < max_chunks:
-            chunk = read_chunk(src, last, chunk_size)
-            chunk.persist()
-            bound = chunk.agg(
-                F.max(F.struct("repo", "path")).alias("m"),
-                F.count("*").alias("c"),
-            ).collect()[0]
-            if bound["c"] == 0:
-                chunk.unpersist()
-                break
-            events = chunk_envelopes(
-                chunk, watermark, partitions=self.cfg.partitions
-            )
-            results.append(
-                self._apply_batch(events, k, phase="incremental")
-            )
-            chunk.unpersist()
-            last = (bound["m"]["repo"], bound["m"]["path"])
-            k += 1
-            n += 1
+        src.persist()
+        try:
+            bounds = plan_chunk_bounds(src, chunk_size)
+            if max_chunks is not None:
+                bounds = bounds[:max_chunks]
+            results: list[dict] = []
+            k = self.lake.last_batch_id("incremental") + 1
+            lo: tuple[str, str] | None = None
+            for hi in bounds:
+                chunk = read_chunk_range(src, lo, hi)
+                events = chunk_envelopes(
+                    chunk, watermark, partitions=self.cfg.partitions
+                )
+                results.append(
+                    self._apply_batch(events, k, phase="incremental")
+                )
+                lo = hi
+                k += 1
+        finally:
+            src.unpersist()
         return results
 
     # -- signals (signals.py; SignalProcessor.java) ------------------------
     def process_signals(self) -> list[dict]:
         """Poll and act on pending control signals. Returns the signals
         handled. pause → stop consuming until a later resume; stop →
-        halt; execute-snapshot → run an incremental snapshot now."""
+        halt; execute-snapshot → run an incremental snapshot now (from
+        the reconstructed live source, or ``data.source_path``).
+
+        Each signal is acked only AFTER its action completed
+        (at-least-once, like the reference committing signal offsets
+        post-processing) — a crash mid-action re-fires the signal on
+        restart, and the action's fenced/LWW-guarded batches make the
+        re-fire idempotent."""
         if not self.cfg.signal_path:
             return []
         from debezium_spark.signals import SignalChannel
 
+        channel = SignalChannel(self.cfg.signal_path)
         handled = []
-        for sig in SignalChannel(self.cfg.signal_path).poll():
+        for sig in channel.poll():
             stype = sig.get("type")
+            data = sig.get("data", {}) or {}
             if stype == "pause":
                 self._paused = True
             elif stype == "resume":
@@ -219,10 +252,14 @@ class Engine:
             elif stype == "stop":
                 self._stopped = True
             elif stype == "execute-snapshot":
+                src = None
+                if data.get("source_path"):
+                    src = self.spark.read.parquet(data["source_path"])
                 self.incremental_snapshot(
-                    chunk_size=sig.get("data", {}).get("chunk_size")
+                    source=src, chunk_size=data.get("chunk_size")
                 )
             # "log" and unknown types are recorded but have no effect
+            channel.ack(sig["id"])
             handled.append(sig)
         return handled
 
@@ -307,7 +344,7 @@ class Engine:
         from pyspark.sql import Observation
 
         obs = Observation()
-        aggs = []
+        aggs = [F.max("partition_id").alias("max_pid")]
         for p in range(self.cfg.partitions):
             is_p = F.col("partition_id") == p
             aggs.append(
@@ -336,6 +373,15 @@ class Engine:
         #    after the merge's data write (but inside its commit).
         def frontier() -> tuple[dict, list[dict], int]:
             m = obs.get
+            # a log generated with more partitions than cfg.partitions
+            # would silently lose offsets/lineage for the overflow ids —
+            # fail loudly instead (the frontier range is config-bounded)
+            if m["max_pid"] is not None and m["max_pid"] >= self.cfg.partitions:
+                raise RuntimeError(
+                    f"changelog partition_id {m['max_pid']} >= configured "
+                    f"partitions={self.cfg.partitions}; raise "
+                    "EngineConfig.partitions to cover the log"
+                )
             lineage = [
                 {
                     "batch_id": batch_id,

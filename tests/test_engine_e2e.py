@@ -140,6 +140,51 @@ def test_offsets_and_lineage(spark, tmp_root):
     assert snap_events == 6 * 20
 
 
+def test_merge_scopes_agree_on_equal_lsn_ties(spark, tmp_root):
+    """Both merge scopes must keep the STATE row when a change arrives
+    with the exact LSN that wrote the row (strict > guard) — the
+    incremental-snapshot-chunk-at-the-watermark case; the scopes used
+    to disagree (full broke ties toward the change)."""
+    from debezium_spark.lake import LakeTable
+
+    for scope in ("touched", "full"):
+        lake = LakeTable(spark, f"{tmp_root}/tie_{scope}", n_buckets=4)
+        lake.create()
+        mk = lambda commit, lsn: spark.createDataFrame(  # noqa: E731
+            [("u", lsn, "r1", "p1", commit, "py", "body-" + commit)],
+            "op string, lsn long, repo string, path string, "
+            "commit string, lang string, content string",
+        )
+        if scope == "touched":
+            lake.merge(mk("aaaa", 10), 1)
+            lake.merge(mk("bbbb", 10), 2)  # same lsn, new content
+        else:
+            lake.merge_full(mk("aaaa", 10), 1)
+            lake.merge_full(mk("bbbb", 10), 2)
+        rows = lake.read_state().collect()
+        assert len(rows) == 1
+        assert rows[0]["commit"] == "aaaa", scope  # state won the tie
+
+
+def test_frontier_rejects_partition_overflow(spark, tmp_root):
+    """Events whose partition_id exceeds cfg.partitions would silently
+    vanish from offsets/lineage — the engine must fail loudly instead."""
+    src_path, log_path = _make_fixture(
+        spark, tmp_root, n_events=200, partitions=8
+    )
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_overflow"),
+        source_table_path=src_path,
+        batch_lsn_span=5000,
+        n_buckets=4,
+        partitions=2,  # log was generated with 8
+        snapshot_mode="never",
+    )
+    with pytest.raises(Exception, match="partition"):
+        Engine(spark, cfg).stream()
+
+
 def test_full_scope_matches_touched(spark, tmp_root):
     """merge_scope='full' (single-shuffle merge-as-compaction) must
     produce byte-identical final state to the touched-bucket COW merge."""

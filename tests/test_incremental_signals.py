@@ -144,6 +144,87 @@ def test_signal_pause_stop_and_execute_snapshot(spark, small_world):
     assert "incremental" in phases and "stream" in phases
 
 
+def test_signals_ack_after_processing(tmp_path):
+    """poll() must NOT consume signals — a crash between poll and action
+    re-delivers on restart; only ack() marks them done (the reference
+    commits signal offsets after processing)."""
+    ch = SignalChannel(str(tmp_path / "sig.jsonl"))
+    ch.send("a", "log")
+    ch.send("b", "log")
+    first = ch.poll()
+    assert [s["id"] for s in first] == ["a", "b"]
+    # crash before ack: a re-poll (restart) sees the same signals
+    again = ch.poll()
+    assert [s["id"] for s in again] == ["a", "b"]
+    ch.ack("a")
+    assert [s["id"] for s in ch.poll()] == ["b"]
+    ch.ack("b")
+    assert ch.poll() == []
+
+
+def test_execute_snapshot_defaults_to_live_source(spark, small_world):
+    """The execute-snapshot signal must re-read the LIVE state, not the
+    stale initial-snapshot parquet: keys already advanced by streamed
+    events keep their streamed values after the signal-triggered
+    snapshot (the old default re-read the static source and reverted
+    them to initial contents)."""
+    sig_path = f"{small_world}/sig_live.jsonl"
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            signal_path=sig_path,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_live",
+        ),
+    )
+    eng.stream()  # whole log applied; offsets at the frontier
+    before = {
+        (r["repo"], r["path"]): r["commit"]
+        for r in eng.final_state().collect()
+    }
+    SignalChannel(sig_path).send("es", "execute-snapshot", {"chunk_size": 40})
+    eng.process_signals()
+    after = {
+        (r["repo"], r["path"]): r["commit"]
+        for r in eng.final_state().collect()
+    }
+    # streamed values survive; untouched source keys are back-filled
+    for k, commit in before.items():
+        assert after[k] == commit, f"signal snapshot reverted {k}"
+    assert set(before) <= set(after)
+
+
+def test_chunk_pagination_has_no_per_chunk_sort(spark, small_world):
+    """Chunk reads are pruned range scans — the per-chunk global
+    sort+limit (TakeOrderedAndProject over the remaining table) is the
+    O(n²/chunk) shape the pagination must avoid."""
+    from debezium_spark.sources.incremental import (
+        plan_chunk_bounds,
+        read_chunk_range,
+    )
+
+    src = spark.read.parquet(f"{small_world}/src")
+    bounds = plan_chunk_bounds(src, 16)
+    assert len(bounds) >= 4
+    lo = None
+    for hi in bounds[:3]:
+        chunk = read_chunk_range(src, lo, hi)
+        plan = chunk._sc._jvm.PythonSQLUtils.explainString(
+            chunk._jdf.queryExecution(), "formatted"
+        )
+        assert "TakeOrderedAndProject" not in plan
+        assert "Sort" not in plan
+        assert "PushedFilters" in plan
+        lo = hi
+    # the ranges tile the key space: union of chunks == source
+    total = sum(
+        read_chunk_range(src, None if i == 0 else bounds[i - 1], b).count()
+        for i, b in enumerate(bounds)
+    )
+    assert total == src.count()
+
+
 def test_error_mode_fail_aborts_before_commit(spark, tmp_root, small_world):
     bad = gen_change_log(spark, 4, 20, n_events=100, snapshot_lsn_base=80)
     # corrupt: an update with a null after image
