@@ -86,6 +86,14 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("ts_ms", T.LongType(), True),
         T.StructField("schema_version", T.IntegerType(), False),
         T.StructField("is_tombstone", T.BooleanType(), False),
+        # op='m' (MESSAGE) payload: in-stream schema-change events carry
+        # their TableChanges-style JSON here (the analogue of DDL events
+        # riding the logical-decoding stream,
+        # PgOutputMessageDecoder LOGICAL_DECODING_MESSAGE +
+        # EventDispatcher.java:371-407 schema-change dispatch). NULL on
+        # every data event; logs written before this field exists read
+        # as NULL (parquet schema merge).
+        T.StructField("message", T.StringType(), True),
     ]
 )
 
@@ -133,6 +141,28 @@ def is_valid_delete(row) -> bool:
         and row["after"] is None
         and row["before"] is not None
         and _key_matches(row, row["before"])
+    )
+
+
+def is_valid_truncate(row) -> bool:
+    # truncate carries no image and no key (Envelope.java:319 — the
+    # table effect is delete-everything-below-its-LSN).
+    return (
+        row["op"] == OP_TRUNCATE
+        and not row["is_tombstone"]
+        and row["after"] is None
+        and row["before"] is None
+    )
+
+
+def is_valid_message(row) -> bool:
+    # op='m' rows carry a payload in `message`, no row images.
+    return (
+        row["op"] == OP_MESSAGE
+        and not row["is_tombstone"]
+        and row["after"] is None
+        and row["before"] is None
+        and row.get("message") is not None
     )
 
 

@@ -214,9 +214,76 @@ def gen_change_log(
     for v, first_lsn in sorted((schema_change_lsns or {}).items()):
         sv = F.when(F.col("lsn") >= first_lsn, F.lit(v)).otherwise(sv)
     out = out.withColumn("schema_version", sv.cast("int"))
+    out = out.withColumn("message", F.lit(None).cast("string"))
     return out.select(
         "partition_id", "lsn", "op", "key", "before", "after",
-        "source", "ts_ms", "schema_version", "is_tombstone",
+        "source", "ts_ms", "schema_version", "is_tombstone", "message",
+    )
+
+
+def _control_envelope(
+    spark: SparkSession, rows: list[tuple]
+) -> DataFrame:
+    """Envelope rows for control events (op='m'/'t') — null images,
+    synthetic key, optional message payload. ``rows``: list of
+    (lsn, op, schema_version, message_or_None)."""
+    from debezium_spark.envelope import EVENT_SCHEMA
+
+    data = [
+        {
+            "partition_id": 0,
+            "lsn": int(lsn),
+            "op": op,
+            "key": {"repo": f"_{op}", "path": str(lsn)},
+            "before": None,
+            "after": None,
+            "source": {
+                "ts_ms": BASE_TS_MS + int(lsn),
+                "snapshot": "false",
+                "txId": -1,
+                "table": TABLE_NAME,
+            },
+            "ts_ms": BASE_TS_MS + int(lsn),
+            "schema_version": int(sv),
+            "is_tombstone": False,
+            "message": msg,
+        }
+        for lsn, op, sv, msg in rows
+    ]
+    return spark.createDataFrame(data, EVENT_SCHEMA)
+
+
+def schema_change_envelopes(
+    spark: SparkSession, changes: list[dict]
+) -> DataFrame:
+    """In-stream schema-change events: op='m' envelope rows whose
+    ``message`` carries the TableChanges-style JSON — union these into
+    the change log so the engine dispatches DDL from the stream itself
+    (EventDispatcher.java:371-407; SchemaHistory.java:34-101 replay
+    rebuilds the schema from the log on a cold restart)."""
+    import json
+
+    return _control_envelope(
+        spark,
+        [
+            (
+                c["lsn"],
+                "m",
+                c["schema_version"],
+                json.dumps({**c, "table": TABLE_NAME}),
+            )
+            for c in changes
+        ],
+    )
+
+
+def truncate_envelopes(
+    spark: SparkSession, lsns: list[int], schema_version: int = 0
+) -> DataFrame:
+    """TRUNCATE events (op='t', no image — data/Envelope.java:319): the
+    table effect is delete-every-row-written-below-this-LSN."""
+    return _control_envelope(
+        spark, [(lsn, "t", schema_version, None) for lsn in lsns]
     )
 
 

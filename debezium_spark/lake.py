@@ -177,8 +177,16 @@ class LakeTable:
         metrics: dict | None = None,
         frontier_fn=None,
         phase: str = "stream",
+        truncate_lsn: int | None = None,
     ) -> dict:
         """Apply a compacted change set — LSN-guarded MERGE.
+
+        ``truncate_lsn``: a TRUNCATE event at that LSN was seen in the
+        batch (data/Envelope.java:319 — no image; table effect =
+        delete every row written below it). State rows with
+        ``_lsn < truncate_lsn`` are wiped; the caller pre-filters
+        change rows to ``lsn > truncate_lsn``. All buckets become
+        touched (a truncate rewrites the table).
 
         ``changes`` columns: ``op``, ``lsn`` + the **physical** schema
         columns; ``op == 'd'`` deletes the key, anything else upserts:
@@ -217,6 +225,11 @@ class LakeTable:
         }
         touched = sorted(bucket_counts)
         n_changes = int(sum(bucket_counts.values()))
+        if truncate_lsn is not None:
+            # every live bucket must be rewritten (or dropped)
+            touched = sorted(
+                set(touched) | {int(b) for b in man["files"]}
+            )
         if frontier_fn is not None:
             # the action above materialized the engine's observed
             # per-partition metrics; pull offsets/lineage from them now,
@@ -226,6 +239,8 @@ class LakeTable:
         files = dict(man["files"])
         if touched:
             old = self.read_state(buckets=touched, logical=False, with_sys=True)
+            if truncate_lsn is not None:
+                old = old.filter(F.col("_lsn") > truncate_lsn)
             phys = [c["physical"] for c in schema.columns]
             types = {c["physical"]: c["type"] for c in schema.columns}
             non_key = [p for p in phys if p not in ("repo", "path")]
@@ -317,8 +332,10 @@ class LakeTable:
         frontier_fn=None,
         metrics: dict | None = None,
         phase: str = "stream",
+        truncate_lsn: int | None = None,
     ) -> dict:
         """Full-table merge-as-compaction — the dense-batch plan.
+        ``truncate_lsn`` wipes state rows below it (see :meth:`merge`).
 
         When a batch touches most buckets (uniform update workloads,
         initial snapshot, backfills), the touched-bucket COW of
@@ -352,6 +369,8 @@ class LakeTable:
         non_key = [p for p in phys if p not in ("repo", "path")]
 
         old = self.read_state(logical=False, with_sys=True)
+        if truncate_lsn is not None:
+            old = old.filter(F.col("_lsn") > truncate_lsn)
         o = old.select(
             F.lit("u").alias("op"),
             F.col("_lsn").alias("lsn"),

@@ -123,16 +123,23 @@ def normalize_target_key(df: DataFrame) -> DataFrame:
 def event_invalid(df: DataFrame) -> Column:
     """Envelope-shape violations (VerifyRecord.java:129-227 rules):
     unknown op, missing key, c/u/r without after image, d without
-    before image. Tombstones are exempt (null value side by design)."""
-    from debezium_spark.envelope import ALL_OPS, OP_DELETE
+    before image. Tombstones are exempt (null value side by design);
+    control ops 't'/'m' carry no row images and no table key
+    (Envelope.java:319 truncate has no image)."""
+    from debezium_spark.envelope import ALL_OPS, OP_DELETE, OP_MESSAGE, OP_TRUNCATE
 
     not_tomb = ~F.col("is_tombstone")
+    control = F.coalesce(
+        F.col("op").isin(OP_TRUNCATE, OP_MESSAGE), F.lit(False)
+    )
     bad_op = not_tomb & (
         F.col("op").isNull() | ~F.col("op").isin(*ALL_OPS)
     )
-    bad_key = F.col("key").isNull() | F.col("key.repo").isNull() | F.col(
-        "key.path"
-    ).isNull()
+    bad_key = ~control & (
+        F.col("key").isNull()
+        | F.col("key.repo").isNull()
+        | F.col("key.path").isNull()
+    )
     needs_after = not_tomb & F.col("op").isin("r", "c", "u")
     bad_after = needs_after & F.col("after").isNull()
     bad_before = (

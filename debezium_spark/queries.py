@@ -712,6 +712,42 @@ def cdc_transaction_markers(spark, sf_dir):
     return begin.unionByName(end)
 
 
+@_q(
+    "cdc_truncate_apply",
+    f"""
+    SELECT user_id, event_type, value, lsn FROM (
+      SELECT user_id, event_type, value, event_id AS lsn, {_OP_SQL} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_id > 5000
+    ) WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_truncate_apply(spark, sf_dir):
+    """TRUNCATE apply semantics (data/Envelope.java:319 — a 't' event
+    has no image; its table effect is delete-every-row-below-its-LSN).
+    LSN 5000 plays the truncate position: the final state is the LWW
+    fold of events strictly after it, keys whose last op is DELETE
+    absent. The engine-side implementation wipes state rows with
+    ``_lsn < truncate_lsn`` inside the merge (lake.py) and drops
+    pre-truncate events before compaction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") > 5000)
+    w = F.max_by(
+        F.struct(
+            F.col("event_type"),
+            F.col("value"),
+            F.col("event_id").alias("lsn"),
+            _op_col().alias("op"),
+        ),
+        F.col("event_id"),
+    ).alias("w")
+    return (
+        ev.groupBy("user_id")
+        .agg(w)
+        .filter(F.col("w.op") != "d")
+        .select("user_id", "w.event_type", "w.value", "w.lsn")
+    )
+
+
 # ===========================================================================
 # Training-data ops — dedup / similarity / text / multimodal
 # ===========================================================================

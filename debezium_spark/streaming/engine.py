@@ -81,11 +81,38 @@ class Engine:
         self.spark = spark
         self.cfg = cfg
         self.lake = LakeTable(spark, cfg.lake_root, n_buckets=cfg.n_buckets)
-        self.tracker = SchemaTracker(cfg.schema_changes)
+        self.tracker = SchemaTracker(
+            cfg.schema_changes or self._schema_changes_from_log()
+        )
         self._paused = False
         self._stopped = False
         if not self.lake.exists():
             self.lake.create()
+
+    def _schema_changes_from_log(self) -> list[dict]:
+        """Rebuild the schema history from in-stream schema-change
+        events (op='m' rows carrying TableChanges JSON in ``message``)
+        — the reference's SchemaHistory replay
+        (``relational/history/SchemaHistory.java:34-101``,
+        ``EventDispatcher.java:371-407``): a cold restart recovers the
+        full schema timeline purely from the log, no side channel.
+        One column-pruned scan of (op, lsn, message) at engine init;
+        schema events are O(1) per table lifetime."""
+        import json
+
+        try:
+            df = self.spark.read.parquet(self.cfg.changelog_path)
+        except Exception:
+            return []
+        if "message" not in df.columns:
+            return []
+        rows = (
+            df.filter((F.col("op") == "m") & F.col("message").isNotNull())
+            .select("lsn", "message")
+            .collect()
+        )
+        changes = [json.loads(r["message"]) for r in rows]
+        return sorted(changes, key=lambda c: c["lsn"])
 
     # -- snapshot phase (batch 0) ---------------------------------------
     def snapshot(self) -> dict | None:
@@ -357,8 +384,26 @@ class Engine:
         # compacted change set). The observation fires when that cache
         # materializes.
 
-        # 3. dispatcher-stage filters + per-record transforms
+        # 3. dispatcher-stage filters + per-record transforms.
+        #    TRUNCATE (op='t', Envelope.java:319): the table effect is
+        #    delete-everything-below-its-LSN. Events at lsn <= the
+        #    batch's max truncate LSN are wiped by it anyway, so they
+        #    are dropped up front (this also removes the 't' rows
+        #    themselves); the merge wipes state below it. The lookup is
+        #    one column-pruned (op, lsn) scan of the batch slice.
         ev = events
+        truncate_lsn = None
+        row = ev.filter(F.col("op") == "t").agg(
+            F.max("lsn").alias("t")
+        ).collect()[0]
+        if row["t"] is not None:
+            truncate_lsn = int(row["t"])
+            ev = ev.filter(F.col("lsn") > truncate_lsn)
+        # schema-change events (op='m') were dispatched to the schema
+        # path above — keep them out of the data pipeline
+        ev = ev.filter(
+            F.col("op").isNull() | (F.col("op") != "m")
+        )
         if self.cfg.table_include_regex:
             ev = table_filter(ev, include_regex=self.cfg.table_include_regex)
         ev = enforce_valid(ev, self.cfg.error_mode)
@@ -414,6 +459,7 @@ class Engine:
                 frontier_fn=frontier,
                 metrics={"phase": phase},
                 phase=phase,
+                truncate_lsn=truncate_lsn,
             )
         compacted = compact(ev, self.cfg.compaction_kernel, salt=self.cfg.salt)
         changes = self._align(compacted)
@@ -423,6 +469,7 @@ class Engine:
             frontier_fn=frontier,
             metrics={"phase": phase},
             phase=phase,
+            truncate_lsn=truncate_lsn,
         )
 
     def _align(self, compacted: DataFrame) -> DataFrame:

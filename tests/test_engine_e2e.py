@@ -140,6 +140,46 @@ def test_offsets_and_lineage(spark, tmp_root):
     assert snap_events == 6 * 20
 
 
+@pytest.mark.parametrize("scope", ["touched", "full"])
+def test_truncate_apply(spark, tmp_root, scope):
+    """A TRUNCATE event mid-stream wipes every row written below its
+    LSN (Envelope.java:319 — no image); rows written after survive.
+    Final state must match the Python oracle fold (which clears state
+    at the 't' position) under both merge scopes."""
+    from debezium_spark.generator import truncate_envelopes
+
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=1000)
+    log = spark.read.parquet(log_path)
+    # truncate in the middle of the stream, on an odd unused lsn slot
+    lo = 6 * 20
+    t_lsn = lo + 1001
+    full_log = log.unionByName(
+        truncate_envelopes(spark, [t_lsn]), allowMissingColumns=True
+    )
+    log2 = os.path.join(tmp_root, f"log_trunc_{scope}")
+    full_log.write.parquet(log2)
+
+    cfg = EngineConfig(
+        changelog_path=log2,
+        lake_root=os.path.join(tmp_root, f"lake_trunc_{scope}"),
+        source_table_path=src_path,
+        batch_lsn_span=700,  # truncate lands mid-batch, not on a boundary
+        n_buckets=8,
+        merge_scope=scope,
+    )
+    engine = Engine(spark, cfg)
+    engine.run()
+    oracle = _oracle_state(spark, src_path, log2)
+    assert oracle  # some keys survive the truncate
+    _assert_state_matches(engine, oracle)
+    # spot-check: no surviving row was written below the truncate lsn
+    lsns = [
+        r["_lsn"]
+        for r in engine.lake.read_state(with_sys=True).select("_lsn").collect()
+    ]
+    assert lsns and all(l > t_lsn for l in lsns)
+
+
 def test_merge_scopes_agree_on_equal_lsn_ties(spark, tmp_root):
     """Both merge scopes must keep the STATE row when a change arrives
     with the exact LSN that wrote the row (strict > guard) — the

@@ -74,6 +74,66 @@ def test_widen_rejects_narrowing():
         pass
 
 
+def test_in_stream_schema_dispatch_and_cold_restart(spark, tmp_root):
+    """Schema changes arrive as op='m' events IN the change log (the
+    reference dispatches DDL from the stream,
+    EventDispatcher.java:371-407) — no EngineConfig.schema_changes side
+    channel. A second engine started cold on the same log must rebuild
+    the schema history purely from the log (SchemaHistory replay,
+    SchemaHistory.java:34-101) and resume correctly."""
+    from debezium_spark.generator import schema_change_envelopes
+
+    changes = _changes()
+    schema_change_lsns = {c["schema_version"]: c["lsn"] for c in changes}
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    data_log = gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE,
+        schema_change_lsns=schema_change_lsns,
+    )
+    data_log.unionByName(
+        schema_change_envelopes(spark, changes)
+    ).write.parquet(log_path)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake"),
+        source_table_path=src_path,
+        # NO schema_changes side channel — dispatch from the stream
+        batch_lsn_span=977,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    assert engine.tracker.latest_version == 3  # rebuilt from the log
+    engine.run(max_batches=1)  # partial run, then crash
+
+    # cold restart: schema history + resume point both from the log
+    engine2 = Engine(spark, cfg)
+    assert engine2.tracker.latest_version == 3
+    engine2.run()
+
+    final_schema = engine2.lake.table_schema()
+    assert [c["name"] for c in final_schema.columns] == [
+        "repo", "path", "commit", "language", "content", "size_bytes",
+    ]
+    assert final_schema.col("size_bytes")["type"] == "bigint"
+
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = data_log.toPandas()  # fold sees only data events
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(lambda v: v.asDict() if hasattr(v, "asDict") else v)
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in engine2.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    for k, row in got.items():
+        assert row["content"] == oracle[k]["content"], k
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+
+
 def test_evolution_end_to_end(spark, tmp_root):
     changes = _changes()
     schema_change_lsns = {c["schema_version"]: c["lsn"] for c in changes}
