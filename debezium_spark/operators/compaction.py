@@ -36,8 +36,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def compact_max_by(df: DataFrame) -> DataFrame:
-    """LWW via max_by aggregate (partial-agg friendly; default kernel)."""
+DEFAULT_KEY_COLUMNS = ("repo", "path")
+
+
+def compact_max_by(
+    df: DataFrame, key_columns: tuple[str, ...] = DEFAULT_KEY_COLUMNS
+) -> DataFrame:
+    """LWW via max_by aggregate (partial-agg friendly; default kernel).
+
+    ``key_columns`` = the event-key columns (``message.key.columns``
+    analogue, relational/Key.java:27-70). Must be a superset of the
+    table PK (repo, path): a finer key only splits compaction groups —
+    the LSN-guarded merge still converges on the PK; a coarser key
+    would collapse distinct table rows.
+    """
     winner = F.max_by(
         F.struct(
             F.col("lsn"), F.col("op"), F.col("after"), F.col("schema_version")
@@ -45,28 +57,34 @@ def compact_max_by(df: DataFrame) -> DataFrame:
         F.col("lsn"),
     ).alias("w")
     return (
-        df.groupBy(F.col("key.repo").alias("repo"), F.col("key.path").alias("path"))
+        df.groupBy(*[F.col(f"key.{c}").alias(c) for c in key_columns])
         .agg(winner)
         .select("repo", "path", "w.lsn", "w.op", "w.after", "w.schema_version")
     )
 
 
-def compact_apply_in_pandas(df: DataFrame, salt: int = 0) -> DataFrame:
+def compact_apply_in_pandas(
+    df: DataFrame,
+    salt: int = 0,
+    key_columns: tuple[str, ...] = DEFAULT_KEY_COLUMNS,
+) -> DataFrame:
     """LWW via groupBy.applyInPandas (vectorized pandas fold per key).
 
     ``salt > 0`` enables the two-phase skew defense: phase 1 reduces on
     (key, salt-of-lsn) so a hot key's events split across ``salt``
     groups; phase 2 reduces the ≤salt survivors per key.
     """
+    extra = [c for c in key_columns if c not in ("repo", "path")]
     slim = df.select(
         F.col("key.repo").alias("repo"),
         F.col("key.path").alias("path"),
+        *[F.col(f"key.{c}").alias(f"__k_{c}") for c in extra],
         "lsn",
         "op",
         "after",
         "schema_version",
     )
-    out_schema = slim.schema
+    group_cols = ["repo", "path"] + [f"__k_{c}" for c in extra]
 
     def last_writer(pdf: pd.DataFrame) -> pd.DataFrame:
         # vectorized: no iterrows (input_hint: no per-row Python)
@@ -75,7 +93,7 @@ def compact_apply_in_pandas(df: DataFrame, salt: int = 0) -> DataFrame:
     if salt > 0:
         pre = slim.withColumn("__salt", F.pmod(F.col("lsn"), salt).cast("int"))
         pre = (
-            pre.groupBy("repo", "path", "__salt")
+            pre.groupBy(*group_cols, "__salt")
             .applyInPandas(
                 lambda pdf: pdf.sort_values("lsn", kind="stable").tail(1),
                 schema=pre.schema,
@@ -83,12 +101,44 @@ def compact_apply_in_pandas(df: DataFrame, salt: int = 0) -> DataFrame:
             .drop("__salt")
         )
         slim = pre
-    return slim.groupBy("repo", "path").applyInPandas(last_writer, schema=out_schema)
+    out = slim.groupBy(*group_cols).applyInPandas(
+        last_writer, schema=slim.schema
+    )
+    return out.drop(*[f"__k_{c}" for c in extra])
 
 
-def compact(df: DataFrame, kernel: str = "max_by", salt: int = 0) -> DataFrame:
+def reduce_to_pk(df: DataFrame) -> DataFrame:
+    """Collapse custom-key compaction winners to one row per table PK
+    (repo, path) by max LSN. Needed when ``key_columns`` is finer than
+    the PK: a key-moving update yields a DELETE(old key) + CREATE(new
+    key) pair that lands on the same table row — the merge join
+    requires change sets unique per PK. Input is already one row per
+    custom key, so this second reduce is tiny."""
+    winner = F.max_by(
+        F.struct(
+            F.col("lsn"), F.col("op"), F.col("after"), F.col("schema_version")
+        ),
+        F.col("lsn"),
+    ).alias("w")
+    return (
+        df.groupBy("repo", "path")
+        .agg(winner)
+        .select("repo", "path", "w.lsn", "w.op", "w.after", "w.schema_version")
+    )
+
+
+def compact(
+    df: DataFrame,
+    kernel: str = "max_by",
+    salt: int = 0,
+    key_columns: tuple[str, ...] = DEFAULT_KEY_COLUMNS,
+) -> DataFrame:
     if kernel == "max_by":
-        return compact_max_by(df)
-    if kernel == "pandas":
-        return compact_apply_in_pandas(df, salt=salt)
-    raise ValueError(f"unknown compaction kernel {kernel!r}")
+        out = compact_max_by(df, key_columns=key_columns)
+    elif kernel == "pandas":
+        out = compact_apply_in_pandas(df, salt=salt, key_columns=key_columns)
+    else:
+        raise ValueError(f"unknown compaction kernel {kernel!r}")
+    if set(key_columns) != {"repo", "path"}:
+        out = reduce_to_pk(out)
+    return out

@@ -55,22 +55,62 @@ def skip_unchanged_updates(df: DataFrame) -> DataFrame:
 # PK-change split + key normalization
 # ---------------------------------------------------------------------------
 
-def pk_change_split(df: DataFrame) -> DataFrame:
+DEFAULT_KEY_COLUMNS = ("repo", "path")
+
+
+def _image_key(image_col: str, key_columns: tuple[str, ...]) -> Column:
+    return F.struct(
+        *[F.col(f"{image_col}.{c}").alias(c) for c in key_columns]
+    )
+
+
+def _target_key(df: DataFrame, key_columns: tuple[str, ...]) -> Column:
+    """Key of the row the event affects, built from the configured key
+    columns: before-image for deletes, after-image otherwise; tombstones
+    / imageless rows fall back to the log key (custom columns absent
+    from it are NULL — such rows are dropped upstream anyway)."""
+    return (
+        F.when(F.col("op") == OP_DELETE, _image_key("before", key_columns))
+        .when(F.col("after").isNotNull(), _image_key("after", key_columns))
+        .otherwise(
+            F.struct(
+                *[
+                    (
+                        F.col(f"key.{c}")
+                        if c in df.schema["key"].dataType.names
+                        else F.lit(None).cast("string")
+                    ).alias(c)
+                    for c in key_columns
+                ]
+            )
+        )
+    )
+
+
+def pk_change_split(
+    df: DataFrame, key_columns: tuple[str, ...] = DEFAULT_KEY_COLUMNS
+) -> DataFrame:
     """An UPDATE whose key changed becomes DELETE(old key) + CREATE(new
     key) (RelationalChangeRecordEmitter.java:171-185; headers
     ``__debezium.oldkey/newkey`` become the two rows' keys here).
 
     The CREATE gets ``lsn + 1`` so per-key LSN order stays strict; the
     generator leaves odd LSN slots free for exactly this.
+
+    ``key_columns`` is the ``message.key.columns`` analogue
+    (relational/Key.java:27-70 CustomKeyMapper,
+    RelationalDatabaseConnectorConfig.java:321): the key is built from
+    these row-image columns instead of the default PK.
     """
     cols = df.columns
+    moved = [
+        F.col(f"before.{c}") != F.col(f"after.{c}") for c in key_columns
+    ]
+    any_moved = moved[0]
+    for m in moved[1:]:
+        any_moved = any_moved | m
     is_pk_change = (
-        (F.col("op") == OP_UPDATE)
-        & F.col("before").isNotNull()
-        & (
-            (F.col("before.repo") != F.col("after.repo"))
-            | (F.col("before.path") != F.col("after.path"))
-        )
+        (F.col("op") == OP_UPDATE) & F.col("before").isNotNull() & any_moved
     )
 
     def ev(**overrides) -> Column:
@@ -79,40 +119,31 @@ def pk_change_split(df: DataFrame) -> DataFrame:
     delete_part = ev(
         op=F.lit(OP_DELETE),
         after=F.lit(None).cast(df.schema["after"].dataType),
-        key=F.struct(
-            F.col("before.repo").alias("repo"), F.col("before.path").alias("path")
-        ),
+        key=_image_key("before", key_columns),
     )
     create_part = ev(
         op=F.lit(OP_CREATE),
         lsn=F.col("lsn") + 1,
         before=F.lit(None).cast(df.schema["before"].dataType),
-        key=F.struct(
-            F.col("after.repo").alias("repo"), F.col("after.path").alias("path")
-        ),
+        key=_image_key("after", key_columns),
     )
+    # the pass-through branch must carry the SAME key struct type as the
+    # split branches (custom key columns), so normalize it here too
     arr = F.when(is_pk_change, F.array(delete_part, create_part)).otherwise(
-        F.array(ev())
+        F.array(ev(key=_target_key(df, key_columns)))
     )
     return df.select(F.inline(arr))
 
 
-def normalize_target_key(df: DataFrame) -> DataFrame:
+def normalize_target_key(
+    df: DataFrame, key_columns: tuple[str, ...] = DEFAULT_KEY_COLUMNS
+) -> DataFrame:
     """Set ``key`` to the row the event *affects*: before-image key for
     deletes, after-image key otherwise (TableSchema.keyFromColumnData,
-    relational/TableSchema.java:126). Run after :func:`pk_change_split`."""
-    key = (
-        F.when(
-            F.col("op") == OP_DELETE,
-            F.struct(F.col("before.repo").alias("repo"), F.col("before.path").alias("path")),
-        )
-        .when(
-            F.col("after").isNotNull(),
-            F.struct(F.col("after.repo").alias("repo"), F.col("after.path").alias("path")),
-        )
-        .otherwise(F.col("key"))
-    )
-    return df.withColumn("key", key)
+    relational/TableSchema.java:126; key columns configurable per
+    ``message.key.columns``, relational/Key.java:27-70). Run after
+    :func:`pk_change_split`."""
+    return df.withColumn("key", _target_key(df, key_columns))
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +387,129 @@ def scripting_filter(df: DataFrame, predicate_expr: str) -> DataFrame:
     """Keep records where the expression holds
     (debezium-scripting .../transforms/Filter.java)."""
     return df.filter(F.expr(predicate_expr))
+
+
+# ---------------------------------------------------------------------------
+# HeaderToValue / SchemaChangeEventFilter SMTs
+# ---------------------------------------------------------------------------
+
+def header_to_value(
+    df: DataFrame,
+    headers_col: str,
+    fields: tuple[str, ...],
+    operation: str = "copy",
+    prefix: str = "__header_",
+) -> DataFrame:
+    """HeaderToValue SMT (transforms/HeaderToValue.java:1-312): move or
+    copy record headers into the value. Kafka headers are modeled as a
+    ``map<string,string>`` column; ``move`` additionally removes the
+    copied keys from the map (``copy`` keeps them)."""
+    if operation not in ("copy", "move"):
+        raise ValueError(f"unknown operation {operation!r}")
+    out = df
+    for f_ in fields:
+        out = out.withColumn(
+            f"{prefix}{f_}", F.col(headers_col).getItem(f_)
+        )
+    if operation == "move":
+        out = out.withColumn(
+            headers_col,
+            F.map_filter(
+                F.col(headers_col), lambda k, _: ~k.isin(*fields)
+            ),
+        )
+    return out
+
+
+def schema_change_event_filter(
+    df: DataFrame, include_types: tuple[str, ...]
+) -> DataFrame:
+    """SchemaChangeEventFilter SMT
+    (transforms/SchemaChangeEventFilter.java:1-94): keep only
+    schema-change events whose change type is in the include list;
+    non-schema events pass through. Schema events are op='m' rows with
+    the TableChanges JSON in ``message``."""
+    is_schema = (F.col("op") == "m") & F.col("message").isNotNull()
+    ctype = F.get_json_object(F.col("message"), "$.change_type")
+    return df.filter(~is_schema | ctype.isin(*include_types))
+
+
+# ---------------------------------------------------------------------------
+# Topic naming strategies (schema/AbstractTopicNamingStrategy.java + the
+# strategy classes: Default/Schema/UnicodeReplacement variants, heartbeat
+# and transaction topics)
+# ---------------------------------------------------------------------------
+
+def topic_name(
+    prefix: str,
+    schema_col: Column | str,
+    table_col: Column | str,
+    strategy: str = "default",
+    delimiter: str = ".",
+) -> Column:
+    """Topic per naming strategy:
+
+    - ``default``: ``prefix<delim>schema<delim>table``
+      (DefaultTopicNamingStrategy)
+    - ``schema``: ``prefix<delim>schema`` (SchemaTopicNamingStrategy —
+      one topic per schema)
+    - ``sanitized``: default shape with every character outside
+      ``[a-zA-Z0-9._-]`` replaced by ``_``
+      (UnicodeReplacementTopicNamingStrategy's replacement rule)
+    """
+    s = F.col(schema_col) if isinstance(schema_col, str) else schema_col
+    t = F.col(table_col) if isinstance(table_col, str) else table_col
+    if strategy == "default":
+        return F.concat_ws(delimiter, F.lit(prefix), s, t)
+    if strategy == "schema":
+        return F.concat_ws(delimiter, F.lit(prefix), s)
+    if strategy == "sanitized":
+        full = F.concat_ws(delimiter, F.lit(prefix), s, t)
+        return F.regexp_replace(full, "[^a-zA-Z0-9._-]", "_")
+    raise ValueError(f"unknown topic naming strategy {strategy!r}")
+
+
+def heartbeat_topic(prefix: str, server: str) -> str:
+    """``__debezium-heartbeat.<server>`` (HeartbeatImpl.java:38-43)."""
+    return f"{prefix}.{server}" if prefix else f"__debezium-heartbeat.{server}"
+
+
+def transaction_topic(server: str) -> str:
+    """``<server>.transaction`` (TransactionMonitor topic)."""
+    return f"{server}.transaction"
+
+
+# ---------------------------------------------------------------------------
+# Custom converter SPI (debezium-api spi/converter/CustomConverter.java;
+# registry relational/CustomConverterRegistry.java)
+# ---------------------------------------------------------------------------
+
+class ConverterRegistry:
+    """Per-column value converters — the CustomConverter SPI analogue.
+
+    Converters are **Column → Column expression builders** (never
+    per-row Python): registration binds a field name to a function that
+    rewrites that field's expression, and :meth:`apply` rebuilds the
+    image struct in-plan, so converted columns stay inside whole-stage
+    codegen exactly like the built-in transforms."""
+
+    def __init__(self) -> None:
+        self._converters: dict[str, callable] = {}
+
+    def register(self, field: str, fn) -> None:
+        self._converters[field] = fn
+
+    def apply(self, df: DataFrame, image_cols: tuple[str, ...] = ("before", "after")) -> DataFrame:
+        out = df
+        for image in image_cols:
+            img = F.col(image)
+            for field, fn in self._converters.items():
+                img = F.when(
+                    F.col(image).isNotNull(),
+                    img.withField(field, fn(F.col(f"{image}.{field}"))),
+                )
+            out = out.withColumn(image, img)
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -713,6 +713,140 @@ def cdc_transaction_markers(spark, sf_dir):
 
 
 @_q(
+    "cdc_header_to_value",
+    f"""
+    SELECT event_id, {_OP_SQL} AS __header_op, event_type AS __header_tbl
+    FROM events
+    """,
+)
+def cdc_header_to_value(spark, sf_dir):
+    """HeaderToValue SMT (transforms/HeaderToValue.java:1-312): headers
+    (a map column) moved into value fields; 'move' also removes the
+    copied keys from the header map."""
+    from debezium_spark.operators.transforms import header_to_value
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "headers",
+        F.create_map(
+            F.lit("op"), _op_col(), F.lit("tbl"), F.col("event_type")
+        ),
+    )
+    out = header_to_value(ev, "headers", ("op", "tbl"), operation="move")
+    return out.select("event_id", "__header_op", "__header_tbl")
+
+
+@_q(
+    "cdc_schema_change_filter",
+    """
+    SELECT event_id FROM events
+    WHERE event_type <> 'signup' OR CAST(floor(value) AS INT) % 2 = 0
+    """,
+)
+def cdc_schema_change_filter(spark, sf_dir):
+    """SchemaChangeEventFilter SMT
+    (transforms/SchemaChangeEventFilter.java:1-94): schema-change
+    events (op='m' + TableChanges JSON) kept only when their change
+    type is in the include list; data events pass through. 'signup'
+    events play the schema events here, typed by value parity."""
+    from debezium_spark.operators.transforms import (
+        schema_change_event_filter,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "signup", "m")
+        .otherwise("u")
+        .alias("op"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit('{"change_type": "'),
+                F.when(
+                    F.floor(F.col("value")).cast("int") % 2 == 0,
+                    "ALTER_ADD_COLUMN",
+                ).otherwise("DROP_TABLE"),
+                F.lit('"}'),
+            ),
+        ).alias("message"),
+    )
+    return schema_change_event_filter(ev, ("ALTER_ADD_COLUMN",)).select(
+        "event_id"
+    )
+
+
+@_q(
+    "cdc_topic_naming",
+    """
+    SELECT event_id,
+           'server1.public.' || event_type AS topic_default,
+           'server1.public' AS topic_schema,
+           regexp_replace('server1.public.' || event_type || '$x',
+                          '[^a-zA-Z0-9._-]', '_', 'g') AS topic_sanitized
+    FROM events
+    """,
+)
+def cdc_topic_naming(spark, sf_dir):
+    """Topic naming strategies (schema/AbstractTopicNamingStrategy.java
+    + strategy classes): default prefix.schema.table, per-schema topic,
+    and the unicode-replacement sanitize rule."""
+    from debezium_spark.operators.transforms import topic_name
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        topic_name(
+            "server1", F.lit("public"), F.col("event_type"), "default"
+        ).alias("topic_default"),
+        topic_name(
+            "server1", F.lit("public"), F.col("event_type"), "schema"
+        ).alias("topic_schema"),
+        topic_name(
+            "server1",
+            F.lit("public"),
+            F.concat(F.col("event_type"), F.lit("$x")),
+            "sanitized",
+        ).alias("topic_sanitized"),
+    )
+
+
+@_q(
+    "cdc_cloudevents_export",
+    f"""
+    SELECT event_id,
+           '{{"specversion":"1.0","id":"' || event_id
+             || '","source":"/debezium/postgresql/server1","type":"io.debezium.postgresql.datachangeevent","time":"'
+             || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             || '","datacontenttype":"application/json","data":{{"op":"'
+             || {_OP_SQL} || '","key":' || user_id || '}}}}' AS cloudevent
+    FROM events
+    """,
+)
+def cdc_cloudevents_export(spark, sf_dir):
+    """CloudEvents export format (converters/CloudEventsConverter.java):
+    the envelope serialized as a CloudEvents 1.0 JSON record —
+    deterministic concatenation so any engine emits identical bytes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"specversion":"1.0","id":"'),
+            F.col("event_id").cast("string"),
+            F.lit(
+                '","source":"/debezium/postgresql/server1","type":"io.debezium.postgresql.datachangeevent","time":"'
+            ),
+            F.date_format(
+                F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ),
+            F.lit('","datacontenttype":"application/json","data":{"op":"'),
+            _op_col(),
+            F.lit('","key":'),
+            F.col("user_id").cast("string"),
+            F.lit("}}"),
+        ).alias("cloudevent"),
+    )
+
+
+@_q(
     "cdc_truncate_apply",
     f"""
     SELECT user_id, event_type, value, lsn FROM (

@@ -64,7 +64,11 @@ class EngineConfig:
     merge_scope: str = "touched"
     salt: int = 0
     partitions: int = 4
-    snapshot_mode: str = "initial"  # always|initial|never|initial_only
+    # always|initial|never|initial_only|custom — custom delegates the
+    # skip-vs-run decision to `custom_should_snapshot(committed_offsets)`
+    # (the Snapshotter SPI, PostgresConnectorConfig.java:195-225)
+    snapshot_mode: str = "initial"
+    custom_should_snapshot: object = None  # Callable[[dict], bool]
     table_include_regex: str | None = None
     skipped_operations: tuple[str, ...] = ()
     # fail | warn | skip — EventDispatcher error modes (:319-335)
@@ -72,6 +76,13 @@ class EngineConfig:
     # JSON-lines control file polled between batches (SignalProcessor)
     signal_path: str | None = None
     incremental_chunk_size: int = 1024  # CommonConnectorConfig.java:553-560
+    # message.key.columns analogue (relational/Key.java:27-70,
+    # RelationalDatabaseConnectorConfig.java:321): columns of the row
+    # image forming the event key. Must contain the table PK (repo,
+    # path) — a finer key only splits compaction groups (the
+    # LSN-guarded merge still converges on the PK); a coarser one would
+    # collapse distinct rows, so it is rejected at engine start.
+    key_columns: tuple[str, ...] = ("repo", "path")
 
 
 class Engine:
@@ -86,6 +97,11 @@ class Engine:
         )
         self._paused = False
         self._stopped = False
+        missing = {"repo", "path"} - set(cfg.key_columns)
+        if missing:
+            raise ValueError(
+                f"key_columns must include the table PK; missing {missing}"
+            )
         if not self.lake.exists():
             self.lake.create()
 
@@ -123,6 +139,21 @@ class Engine:
         already = self.lake.last_batch_id("snapshot") >= self.SNAPSHOT_BATCH_ID
         if mode == "never" or (mode in ("initial", "initial_only") and already):
             return None
+        if mode == "custom":
+            decider = self.cfg.custom_should_snapshot
+            if decider is None or not decider(self.lake.committed_offsets()):
+                return None
+            if already:
+                # a re-run under custom mode re-reads the source like
+                # `always` — fence on a fresh snapshot batch id
+                return self._apply_batch(
+                    snapshot_envelopes(
+                        self.spark.read.parquet(self.cfg.source_table_path),
+                        partitions=self.cfg.partitions,
+                    ),
+                    self.lake.last_batch_id("snapshot") + 1,
+                    phase="snapshot",
+                )
         if self.cfg.source_table_path is None:
             return None
         source = self.spark.read.parquet(self.cfg.source_table_path)
@@ -410,8 +441,8 @@ class Engine:
         ev = drop_tombstones(ev)
         if self.cfg.skipped_operations:
             ev = skip_operations(ev, self.cfg.skipped_operations)
-        ev = pk_change_split(ev)
-        ev = normalize_target_key(ev)
+        ev = pk_change_split(ev, self.cfg.key_columns)
+        ev = normalize_target_key(ev, self.cfg.key_columns)
 
         # 4. LWW compaction + schema alignment + fenced LSN-guarded
         #    merge. Offsets/lineage are pulled from the observation
@@ -461,7 +492,12 @@ class Engine:
                 phase=phase,
                 truncate_lsn=truncate_lsn,
             )
-        compacted = compact(ev, self.cfg.compaction_kernel, salt=self.cfg.salt)
+        compacted = compact(
+            ev,
+            self.cfg.compaction_kernel,
+            salt=self.cfg.salt,
+            key_columns=self.cfg.key_columns,
+        )
         changes = self._align(compacted)
         return self.lake.merge(
             changes,

@@ -140,6 +140,74 @@ def test_offsets_and_lineage(spark, tmp_root):
     assert snap_events == 6 * 20
 
 
+def test_snapshot_mode_custom(spark, tmp_root):
+    """snapshot.mode=custom delegates skip-vs-run to the Snapshotter
+    SPI analogue (PostgresConnectorConfig.java:195-225): the decider
+    sees committed offsets; re-runs fence on fresh snapshot batch ids."""
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=300)
+    calls = []
+
+    def decider(offsets):
+        calls.append(dict(offsets))
+        return True
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_custom"),
+        source_table_path=src_path,
+        batch_lsn_span=5000,
+        n_buckets=4,
+        snapshot_mode="custom",
+        custom_should_snapshot=decider,
+    )
+    eng = Engine(spark, cfg)
+    r = eng.run()
+    assert calls and not r[0].get("skipped")
+    # decider says no -> snapshot skipped on the next engine
+    cfg2 = EngineConfig(**{**cfg.__dict__, "custom_should_snapshot": lambda o: False})
+    eng2 = Engine(spark, cfg2)
+    assert eng2.snapshot() is None
+    # decider says yes again -> re-snapshot under a new fence id
+    cfg3 = EngineConfig(**{**cfg.__dict__})
+    eng3 = Engine(spark, cfg3)
+    res = eng3.snapshot()
+    assert res and res["batch_id"] == 1  # fresh snapshot batch id
+
+
+@pytest.mark.parametrize("kernel", ["max_by", "pandas"])
+def test_custom_message_key_columns(spark, tmp_root, kernel):
+    """message.key.columns analogue (relational/Key.java:27-70): replay
+    keyed on (repo, path, lang) — a finer key than the PK. Compaction
+    splits on the custom key, the PK-level reduce restores one change
+    per row, and the final state must equal the default-key oracle."""
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=1500)
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, f"lake_ck_{kernel}"),
+        source_table_path=src_path,
+        batch_lsn_span=1000,
+        n_buckets=8,
+        compaction_kernel=kernel,
+        key_columns=("repo", "path", "lang"),
+    )
+    engine = Engine(spark, cfg)
+    results = engine.run()
+    assert all(not r.get("skipped") for r in results)
+    _assert_state_matches(engine, _oracle_state(spark, src_path, log_path))
+
+    # a key that drops the PK is rejected
+    with pytest.raises(ValueError, match="key_columns"):
+        Engine(
+            spark,
+            EngineConfig(
+                changelog_path=log_path,
+                lake_root=os.path.join(tmp_root, "lake_badkey"),
+                source_table_path=src_path,
+                key_columns=("repo",),
+            ),
+        )
+
+
 @pytest.mark.parametrize("scope", ["touched", "full"])
 def test_truncate_apply(spark, tmp_root, scope):
     """A TRUNCATE event mid-stream wipes every row written below its

@@ -181,3 +181,66 @@ def test_reselect_columns_backfills_nulls(spark):
     assert out[1] == "stored-1"  # null back-filled from state
     assert out[2] == "fresh"  # present value untouched
     assert out[3] is None  # no state row -> stays null
+
+
+def test_header_to_value_move_and_copy(spark):
+    """HeaderToValue SMT: copy keeps header keys, move removes them."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import header_to_value
+
+    df = spark.createDataFrame(
+        [(1, {"a": "x", "b": "y"})], "id: long, headers: map<string,string>"
+    )
+    copied = header_to_value(df, "headers", ("a",), operation="copy").collect()[0]
+    assert copied["__header_a"] == "x"
+    assert set(copied["headers"]) == {"a", "b"}
+    moved = header_to_value(df, "headers", ("a",), operation="move").collect()[0]
+    assert moved["__header_a"] == "x"
+    assert set(moved["headers"]) == {"b"}
+
+
+def test_converter_registry_stays_in_plan(spark):
+    """CustomConverter SPI analogue: per-column converters are Column
+    expression rewrites applied to the image structs — no Python UDF
+    appears in the plan."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import ConverterRegistry
+
+    df = spark.createDataFrame(
+        [
+            (1, {"repo": "r", "path": "p", "lang": "py"}, None),
+            (2, None, {"repo": "r", "path": "p", "lang": "md"}),
+        ],
+        "lsn: long, after: struct<repo:string,path:string,lang:string>, "
+        "before: struct<repo:string,path:string,lang:string>",
+    )
+    reg = ConverterRegistry()
+    reg.register("lang", lambda c: F.upper(c))
+    out = reg.apply(df)
+    rows = {r["lsn"]: r for r in out.collect()}
+    assert rows[1]["after"]["lang"] == "PY" and rows[1]["before"] is None
+    assert rows[2]["before"]["lang"] == "MD" and rows[2]["after"] is None
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_schema_change_event_filter(spark):
+    from debezium_spark.operators.transforms import schema_change_event_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "m", '{"change_type": "ALTER_ADD_COLUMN"}'),
+            (2, "m", '{"change_type": "DROP_TABLE"}'),
+            (3, "u", None),
+        ],
+        "lsn: long, op: string, message: string",
+    )
+    kept = {
+        r["lsn"]
+        for r in schema_change_event_filter(df, ("ALTER_ADD_COLUMN",)).collect()
+    }
+    assert kept == {1, 3}  # data events always pass
