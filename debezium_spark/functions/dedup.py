@@ -73,12 +73,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Document pairs with shingle-Jaccard >= threshold.
 
-    Plan: doc → distinct n-gram shingles → explode → self-equi-join on
-    shingle (candidate generation) → count shared shingles per pair →
-    jaccard = |∩| / (|A| + |B| - |∩|). No cross join anywhere; AQE
-    handles residual bucket skew. ``max_postings`` drops shingles shared
-    by more than that many docs (stop-shingles) — at corpus scale this
-    is mandatory; tests leave it None for exactness.
+    Plan (``max_postings`` set — the corpus-scale shape): doc →
+    distinct n-gram shingles → ONE groupBy(shingle) building the
+    postings list, dropped when longer than the cap (stop-shingles
+    can't create quadratic buckets, and the per-shingle pair explosion
+    is bounded by cap²) → pairs generated locally from each list →
+    count shared shingles per pair → jaccard = |∩| / (|A|+|B|-|∩|).
+    Two shuffles total, one tokenization pass, no self-join.
+
+    Plan (``max_postings=None`` — exactness for small inputs): classic
+    inverted-index self-equi-join on shingle. No cross join anywhere.
     """
     sized = df.select(
         F.col(id_col).alias("id"),
@@ -87,31 +91,46 @@ def ngram_jaccard_pairs(
     sized = sized.filter(F.col("n_sh") > 0)
     posts = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     if max_postings is not None:
-        # anti-join against the OVER-cap (stop-shingle) list — that list
-        # is tiny by construction (few shingles appear in > cap docs), so
-        # it broadcasts at any corpus size; broadcasting the keep-list
-        # would be O(distinct shingles) and die at 100 TB
-        stop = (
+        lists = (
             posts.groupBy("shingle")
-            .count()
-            .filter(F.col("count") > max_postings)
-            .select("shingle")
+            .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
+            .filter(F.size("ps").between(2, max_postings))
+            .select(F.array_sort("ps").alias("ps"))  # unique ids → id order
         )
-        posts = posts.join(F.broadcast(stop), "shingle", "left_anti")
-    a = posts.select(
-        F.col("shingle"),
-        F.col("id").alias("id_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    b = posts.select(
-        F.col("shingle"),
-        F.col("id").alias("id_b"),
-        F.col("n_sh").alias("n_b"),
-    )
+        # all i<j pairs within each (bounded ≤ cap) postings list,
+        # generated JVM-side: flatten(transform_i(slice_after_i))
+        pair = lambda x, y: F.struct(  # noqa: E731
+            x["id"].alias("id_a"),
+            y["id"].alias("id_b"),
+            x["n_sh"].alias("n_a"),
+            y["n_sh"].alias("n_b"),
+        )
+        pairs_arr = F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, max_postings),
+                    lambda y: pair(x, y),
+                ),
+            )
+        )
+        co = lists.select(F.explode(pairs_arr).alias("p")).select("p.*")
+    else:
+        a = posts.select(
+            F.col("shingle"),
+            F.col("id").alias("id_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        b = posts.select(
+            F.col("shingle"),
+            F.col("id").alias("id_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        co = a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "n_a", "n_b"
+        )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        co.groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",

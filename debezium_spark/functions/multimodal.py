@@ -90,16 +90,23 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
 def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
     """Arrow-batched decode/feature-extract over mapInPandas.
 
-    The inner loop is per-batch vectorized at the Arrow boundary; the
-    stub's per-payload Python is exactly where a C codec call would sit
-    (the unavoidable Python slot). Raises NotImplementedError for mimes
-    we don't stub, mirroring a real decoder's unsupported-codec path.
+    Metadata columns (mime, n_bytes) are projected JVM-side BEFORE the
+    Python boundary, so the Arrow batch carries them as plain vectors —
+    inside the batch only the payload→feature call touches Python
+    per element, which is exactly where a C codec call would sit (the
+    unavoidable Python slot). Raises NotImplementedError for mimes we
+    don't stub, mirroring a real decoder's unsupported-codec path.
     """
+    flat = df.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "payload",
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mimes = pdf["meta"].map(lambda m: m["mime"])
-            unsupported = set(mimes) - {"text/plain"}
+            unsupported = set(pdf["mime"].unique()) - {"text/plain"}
             if unsupported:
                 raise NotImplementedError(
                     f"no decoder stub for {sorted(unsupported)}; "
@@ -108,15 +115,16 @@ def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "mime": mimes,
-                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    # the codec slot: the ONLY per-element Python
                     "feature": pdf["payload"].map(
                         lambda p: _fake_feature(bytes(p), dim)
                     ),
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(

@@ -42,6 +42,47 @@ def table_filter(
     return out
 
 
+def column_filter(
+    df: DataFrame,
+    include_regex: str | None = None,
+    exclude_regex: str | None = None,
+    image_cols: tuple[str, ...] = ("before", "after"),
+    always_keep: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """Column include/exclude filtering
+    (``column.include.list``/``column.exclude.list``;
+    relational/Tables.ColumnNameFilter,
+    RelationalSnapshotChangeEventSource.java:688-706): rebuild each row
+    image keeping only matching fields. Key columns are always kept
+    (the reference never filters the key). Pure struct projection —
+    excluded columns are pruned before they ever shuffle."""
+    import re
+
+    inc = re.compile(include_regex) if include_regex else None
+    exc = re.compile(exclude_regex) if exclude_regex else None
+
+    def keep(name: str) -> bool:
+        if name in always_keep:
+            return True
+        if inc is not None and not inc.fullmatch(name):
+            return False
+        if exc is not None and exc.fullmatch(name):
+            return False
+        return True
+
+    out = df
+    for image in image_cols:
+        fields = [f.name for f in df.schema[image].dataType.fields]
+        kept = [f for f in fields if keep(f)]
+        rebuilt = F.struct(
+            *[F.col(f"{image}.{f}").alias(f) for f in kept]
+        )
+        out = out.withColumn(
+            image, F.when(F.col(image).isNotNull(), rebuilt)
+        )
+    return out
+
+
 def skip_unchanged_updates(df: DataFrame) -> DataFrame:
     """Suppress UPDATEs whose images are identical
     (RelationalChangeRecordEmitter.java:110-119, skip-messages-without-change)."""
@@ -432,6 +473,20 @@ def schema_change_event_filter(
     is_schema = (F.col("op") == "m") & F.col("message").isNotNull()
     ctype = F.get_json_object(F.col("message"), "$.change_type")
     return df.filter(~is_schema | ctype.isin(*include_types))
+
+
+def extract_schema_to_new_record(
+    df: DataFrame, schema_columns: list[dict], image_col: str = "after"
+) -> DataFrame:
+    """ExtractSchemaToNewRecord SMT
+    (transforms/ExtractSchemaToNewRecord.java:1-202): copy the source
+    schema metadata into the record — field ids/names/types of the
+    event's table schema as a deterministic descriptor column, so
+    downstream consumers see the schema the row was written under."""
+    descriptor = ",".join(
+        f"{c['field_id']}:{c['name']}:{c['type']}" for c in schema_columns
+    )
+    return df.withColumn("__schema", F.lit(descriptor))
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,14 @@ from __future__ import annotations
 import json
 import os
 
-KNOWN_TYPES = ("pause", "resume", "stop", "execute-snapshot", "log")
+KNOWN_TYPES = (
+    "pause",
+    "resume",
+    "stop",
+    "execute-snapshot",
+    "blocking-snapshot",
+    "log",
+)
 
 
 class SignalChannel:

@@ -282,6 +282,23 @@ class Engine:
             src.unpersist()
         return results
 
+    def blocking_snapshot(
+        self, source=None, chunk_size: int | None = None
+    ) -> list[dict]:
+        """Blocking snapshot (pipeline/ChangeEventSourceCoordinator.java:
+        198-227): pause streaming → re-snapshot the (live) source →
+        resume. A dedicated phase rather than ad-hoc signal plumbing;
+        the chunk rows are watermark-stamped, so interleaved history
+        stays consistent exactly like the incremental path."""
+        was_paused = self._paused
+        self._paused = True
+        try:
+            return self.incremental_snapshot(
+                source=source, chunk_size=chunk_size
+            )
+        finally:
+            self._paused = was_paused
+
     # -- signals (signals.py; SignalProcessor.java) ------------------------
     def process_signals(self) -> list[dict]:
         """Poll and act on pending control signals. Returns the signals
@@ -309,13 +326,16 @@ class Engine:
                 self._paused = False
             elif stype == "stop":
                 self._stopped = True
-            elif stype == "execute-snapshot":
+            elif stype in ("execute-snapshot", "blocking-snapshot"):
                 src = None
                 if data.get("source_path"):
                     src = self.spark.read.parquet(data["source_path"])
-                self.incremental_snapshot(
-                    source=src, chunk_size=data.get("chunk_size")
+                run = (
+                    self.blocking_snapshot
+                    if stype == "blocking-snapshot"
+                    else self.incremental_snapshot
                 )
+                run(source=src, chunk_size=data.get("chunk_size"))
             # "log" and unknown types are recorded but have no effect
             channel.ack(sig["id"])
             handled.append(sig)

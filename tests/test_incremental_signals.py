@@ -264,3 +264,37 @@ def test_error_mode_fail_aborts_before_commit(spark, tmp_root, small_world):
     out = eng2.stream()
     assert out and all(not r.get("skipped") for r in out)
     assert eng2.final_state().count() > 0
+
+
+def test_blocking_snapshot_phase(spark, small_world):
+    """Dedicated blocking-snapshot phase: pause -> snapshot -> resume
+    (ChangeEventSourceCoordinator.java:198-227); streaming continues
+    afterwards and the final state stays oracle-consistent."""
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_blocking",
+            batch_lsn_span=800,  # several batches so streaming remains
+        ),
+    )
+    eng.stream(max_batches=1)
+    res = eng.blocking_snapshot(chunk_size=40)
+    assert res and all(not r.get("skipped") for r in res)
+    assert not eng._paused  # resumed
+    out = eng.stream()  # remaining log still applies
+    assert out and all(not r.get("skipped") for r in out)
+    phases = {r["phase"] for r in eng.lake.lineage()}
+    assert "incremental" in phases and "stream" in phases
+
+
+def test_extract_schema_to_new_record(spark):
+    from debezium_spark.operators.transforms import (
+        extract_schema_to_new_record,
+    )
+    from debezium_spark.schema_evolution import TableSchema
+
+    df = spark.createDataFrame([(1,)], "lsn: long")
+    out = extract_schema_to_new_record(df, TableSchema().columns).collect()[0]
+    assert out["__schema"].startswith("1:repo:string,2:path:string")

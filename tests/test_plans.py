@@ -144,12 +144,13 @@ def test_embedding_near_dup_is_bucketed_equi_join(spark):
 
 
 def test_ngram_jaccard_has_postings_cap(spark):
-    # stop-shingles (shared by > cap docs) are removed by an anti-join
-    # against the tiny over-cap list before the pair join
+    # capped path: postings lists built in one groupBy (stop-shingles
+    # dropped by the size filter), pairs generated locally from each
+    # bounded list — the candidate stage has NO join at all
     from debezium_spark.queries import dedup_ngram_jaccard
 
     plan = plan_of(dedup_ngram_jaccard(spark, SF_DIR))
-    assert "LeftAnti" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 

@@ -244,3 +244,27 @@ def test_schema_change_event_filter(spark):
         for r in schema_change_event_filter(df, ("ALTER_ADD_COLUMN",)).collect()
     }
     assert kept == {1, 3}  # data events always pass
+
+
+def test_column_filter_rebuilds_images(spark):
+    """column.include/exclude.list: image structs keep only matching
+    fields; key columns survive any filter."""
+    from debezium_spark.operators.transforms import column_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, {"repo": "r", "path": "p", "commit": "c1", "content": "x"}, None),
+        ],
+        "lsn: long, after: struct<repo:string,path:string,commit:string,content:string>, "
+        "before: struct<repo:string,path:string,commit:string,content:string>",
+    )
+    out = column_filter(df, exclude_regex="content")
+    row = out.collect()[0]
+    assert row["after"].asDict() == {"repo": "r", "path": "p", "commit": "c1"}
+    assert row["before"] is None
+    # include list keeps only matches + the key
+    out2 = column_filter(df, include_regex="commit")
+    assert set(out2.collect()[0]["after"].asDict()) == {"repo", "path", "commit"}
+    # the key cannot be excluded
+    out3 = column_filter(df, exclude_regex="repo|path|content")
+    assert set(out3.collect()[0]["after"].asDict()) == {"repo", "path", "commit"}
