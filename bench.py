@@ -116,6 +116,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
+    # untimed JIT/codegen + page-cache warmup: without this the first
+    # catalog entry absorbs JVM startup (~7-10 s) and reads as a
+    # regression that isn't there
+    queries["cdc_envelope_build"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
     per_query: dict[str, float] = {}
     for name, fn in queries.items():
         if name == "cdc_replay_final_state":

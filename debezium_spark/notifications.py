@@ -1,0 +1,63 @@
+"""Engine lifecycle notifications — snapshot / incremental-snapshot
+progress records.
+
+Reference: ``pipeline/notification/Notification.java:1-150`` +
+``pipeline/notification/IncrementalSnapshotNotificationService.java``:
+Debezium emits ``{id, aggregate_type, type, additional_data,
+timestamp}`` records on a notification channel (topic/log/JMX) —
+aggregate types "Initial Snapshot" / "Incremental Snapshot", types
+STARTED / IN_PROGRESS / TABLE_SCAN_COMPLETED / COMPLETED / ABORTED.
+
+Spark re-expression: an append-only JSON-lines file under the lake
+root (``_notifications``) — driver-side control-plane writes, one line
+per lifecycle event, monotonically sequenced. Consumers tail it the
+way the reference's sink channel is consumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+INITIAL_SNAPSHOT = "Initial Snapshot"
+INCREMENTAL_SNAPSHOT = "Incremental Snapshot"
+BLOCKING_SNAPSHOT = "Blocking Snapshot"
+
+STARTED = "STARTED"
+IN_PROGRESS = "IN_PROGRESS"
+TABLE_SCAN_COMPLETED = "TABLE_SCAN_COMPLETED"
+COMPLETED = "COMPLETED"
+ABORTED = "ABORTED"
+
+
+class NotificationLog:
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "_notifications", "log.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+
+    def _next_id(self) -> int:
+        return len(self.read())
+
+    def emit(
+        self,
+        aggregate_type: str,
+        notification_type: str,
+        data: dict | None = None,
+    ) -> dict:
+        rec = {
+            "id": self._next_id(),
+            "aggregate_type": aggregate_type,
+            "type": notification_type,
+            "additional_data": data or {},
+            "ts_ms": int(time.time() * 1000),
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -104,6 +104,9 @@ class Engine:
             )
         if not self.lake.exists():
             self.lake.create()
+        from debezium_spark.notifications import NotificationLog
+
+        self.notifications = NotificationLog(cfg.lake_root)
 
     def _schema_changes_from_log(self) -> list[dict]:
         """Rebuild the schema history from in-stream schema-change
@@ -156,9 +159,20 @@ class Engine:
                 )
         if self.cfg.source_table_path is None:
             return None
+        from debezium_spark import notifications as N
+
+        self.notifications.emit(N.INITIAL_SNAPSHOT, N.STARTED)
         source = self.spark.read.parquet(self.cfg.source_table_path)
         events = snapshot_envelopes(source, partitions=self.cfg.partitions)
-        return self._apply_batch(events, self.SNAPSHOT_BATCH_ID, phase="snapshot")
+        res = self._apply_batch(
+            events, self.SNAPSHOT_BATCH_ID, phase="snapshot"
+        )
+        self.notifications.emit(
+            N.INITIAL_SNAPSHOT,
+            N.COMPLETED,
+            {"batch_id": res.get("batch_id"), "skipped": bool(res.get("skipped"))},
+        )
+        return res
 
     # -- streaming phase (batches 1..N) ----------------------------------
     def stream(self, max_batches: int | None = None) -> list[dict]:
@@ -255,6 +269,8 @@ class Engine:
             read_chunk_range,
         )
 
+        from debezium_spark import notifications as N
+
         src = source if source is not None else self.live_source()
         chunk_size = chunk_size or self.cfg.incremental_chunk_size
         watermark = max(
@@ -265,10 +281,15 @@ class Engine:
             bounds = plan_chunk_bounds(src, chunk_size)
             if max_chunks is not None:
                 bounds = bounds[:max_chunks]
+            self.notifications.emit(
+                N.INCREMENTAL_SNAPSHOT,
+                N.STARTED,
+                {"chunks": len(bounds), "watermark_lsn": int(watermark)},
+            )
             results: list[dict] = []
             k = self.lake.last_batch_id("incremental") + 1
             lo: tuple[str, str] | None = None
-            for hi in bounds:
+            for i, hi in enumerate(bounds):
                 chunk = read_chunk_range(src, lo, hi)
                 events = chunk_envelopes(
                     chunk, watermark, partitions=self.cfg.partitions
@@ -276,8 +297,16 @@ class Engine:
                 results.append(
                     self._apply_batch(events, k, phase="incremental")
                 )
+                self.notifications.emit(
+                    N.INCREMENTAL_SNAPSHOT,
+                    N.IN_PROGRESS,
+                    {"chunk": i + 1, "of": len(bounds), "to_key": list(hi)},
+                )
                 lo = hi
                 k += 1
+            self.notifications.emit(
+                N.INCREMENTAL_SNAPSHOT, N.COMPLETED, {"chunks": len(bounds)}
+            )
         finally:
             src.unpersist()
         return results

@@ -298,3 +298,26 @@ def test_extract_schema_to_new_record(spark):
     df = spark.createDataFrame([(1,)], "lsn: long")
     out = extract_schema_to_new_record(df, TableSchema().columns).collect()[0]
     assert out["__schema"].startswith("1:repo:string,2:path:string")
+
+
+def test_notifications_channel(spark, small_world):
+    """Notification records (pipeline/notification/Notification.java:
+    1-150): snapshot and incremental-snapshot lifecycle events appear
+    in order on the notification log."""
+    eng = Engine(
+        spark,
+        _cfg(small_world, lake_root=f"{small_world}/lake_notif"),
+    )
+    eng.run(max_batches=1)
+    eng.incremental_snapshot(chunk_size=40, max_chunks=2)
+    kinds = [
+        (n["aggregate_type"], n["type"]) for n in eng.notifications.read()
+    ]
+    assert kinds[0] == ("Initial Snapshot", "STARTED")
+    assert ("Initial Snapshot", "COMPLETED") in kinds
+    inc = [k for k in kinds if k[0] == "Incremental Snapshot"]
+    assert inc[0][1] == "STARTED"
+    assert inc[-1][1] == "COMPLETED"
+    assert ("Incremental Snapshot", "IN_PROGRESS") in inc
+    ids = [n["id"] for n in eng.notifications.read()]
+    assert ids == list(range(len(ids)))  # monotone sequence
