@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--error-mode", choices=("fail", "warn", "skip"), default="fail")
     p.add_argument("--signal-path")
     p.add_argument("--salt", type=int, default=0)
+    p.add_argument(
+        "--key-columns",
+        default="repo,path",
+        help="message.key.columns analogue (comma list, must include repo,path)",
+    )
     p.add_argument("--max-batches", type=int)
     p.add_argument("--cores", type=int, help="local[N] when not on a cluster")
     p.add_argument(
@@ -69,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
             error_mode=args.error_mode,
             signal_path=args.signal_path,
             salt=args.salt,
+            key_columns=tuple(args.key_columns.split(",")),
         ),
     )
     if args.streaming:
