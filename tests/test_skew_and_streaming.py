@@ -152,3 +152,66 @@ def test_streaming_crash_between_merge_and_checkpoint(spark, tmp_root):
         if r["phase"] == "stream"
     ]
     assert len(pairs) == len(set(pairs))
+
+
+def test_streaming_with_in_stream_schema_events(spark, tmp_root):
+    """Structured Streaming front-end over a log that carries its own
+    schema-change events (op='m'): the schema evolves mid-stream, data
+    events are gated by their schema version, final state matches the
+    oracle fold with the same changes."""
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, 4, 15).write.parquet(src_path)
+    # change late in a short stream so some keys are never rewritten
+    # after it (mixed-schema final rows must exist)
+    change_lsn = 60 + 2 * 300 * 4 // 5
+    changes = [
+        {
+            "lsn": change_lsn,
+            "schema_version": 1,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+        }
+    ]
+    from debezium_spark.generator import schema_change_envelopes
+
+    data_log = gen_change_log(
+        spark, 4, 15, n_events=300, snapshot_lsn_base=60,
+        schema_change_lsns={1: change_lsn},
+    )
+    full = data_log.unionByName(schema_change_envelopes(spark, changes))
+    write_changelog_ordered(full, log_path, n_files=6)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_mstream"),
+        source_table_path=src_path,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    assert engine.tracker.latest_version == 1  # rebuilt from the log
+    engine.snapshot()
+    engine.run_streaming(
+        checkpoint_dir=os.path.join(tmp_root, "ckpt_m"), max_files_per_trigger=2
+    )
+    assert engine.lake.table_schema().version == 1
+
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = data_log.toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in engine.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_sized = 0
+    for k, row in got.items():
+        assert row["content"] == oracle[k]["content"], k
+        assert row.get("size_bytes") == oracle[k].get("size_bytes"), k
+        n_sized += row.get("size_bytes") is not None
+    assert 0 < n_sized < len(got)  # mixed-schema rows both exist
