@@ -475,6 +475,41 @@ def schema_change_event_filter(
     return df.filter(~is_schema | ctype.isin(*include_types))
 
 
+def pg_compatible_unwrap(
+    df: DataFrame,
+    image_cols: tuple[str, ...] = ("before", "after"),
+) -> DataFrame:
+    """Yugabyte ``PGCompatible`` / ``YBExtractNewRecordState`` unwrap
+    (connector/postgresql/transforms/yugabytedb/PGCompatible.java:17-50):
+    YB emits each cell as a ``{value, set}`` wrapper — ``set=false``
+    means the column was NOT touched by this event (NULL ≠ unset).
+    Unwraps every wrapped field to its plain value, NULL when unset.
+
+    Expects image structs whose fields are ``struct<value:..., set:
+    boolean>``; plain (already-unwrapped) fields pass through.
+    """
+    out = df
+    for image in image_cols:
+        dt = df.schema[image].dataType
+        rebuilt = []
+        for f_ in dt.fields:
+            names = getattr(f_.dataType, "names", [])
+            if "value" in names and "set" in names:
+                rebuilt.append(
+                    F.when(
+                        F.col(f"{image}.{f_.name}.set"),
+                        F.col(f"{image}.{f_.name}.value"),
+                    ).alias(f_.name)
+                )
+            else:
+                rebuilt.append(F.col(f"{image}.{f_.name}").alias(f_.name))
+        out = out.withColumn(
+            image,
+            F.when(F.col(image).isNotNull(), F.struct(*rebuilt)),
+        )
+    return out
+
+
 def extract_schema_to_new_record(
     df: DataFrame, schema_columns: list[dict], image_col: str = "after"
 ) -> DataFrame:

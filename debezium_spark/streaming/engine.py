@@ -445,7 +445,23 @@ class Engine:
                 if ch["lsn"] < lsn_hi and v > current_v:
                     self.lake.apply_schema_change(ch)
 
-        # 2. per-source-partition offset frontier + lineage (the
+        # 2. TRUNCATE lookup (op='t', Envelope.java:319) runs on the RAW
+        #    input, BEFORE the observation is attached: a filter cannot
+        #    be pushed through CollectMetrics (it would change the
+        #    observed values), so doing this later would re-scan the
+        #    whole batch; here the op='t' predicate reaches the parquet
+        #    reader and row groups without 't' in their op dictionary
+        #    are skipped — near-metadata cost.
+        truncate_lsn = None
+        t_row = (
+            events.filter(F.col("op") == "t")
+            .agg(F.max("lsn").alias("t"))
+            .collect()[0]
+        )
+        if t_row["t"] is not None:
+            truncate_lsn = int(t_row["t"])
+
+        # 3. per-source-partition offset frontier + lineage (the
         #    StreamingMeter analogue) rides along as observed metrics of
         #    the merge job itself — no separate aggregation job.
         from pyspark.sql import Observation
@@ -464,20 +480,13 @@ class Engine:
         # compacted change set). The observation fires when that cache
         # materializes.
 
-        # 3. dispatcher-stage filters + per-record transforms.
-        #    TRUNCATE (op='t', Envelope.java:319): the table effect is
-        #    delete-everything-below-its-LSN. Events at lsn <= the
-        #    batch's max truncate LSN are wiped by it anyway, so they
-        #    are dropped up front (this also removes the 't' rows
-        #    themselves); the merge wipes state below it. The lookup is
-        #    one column-pruned (op, lsn) scan of the batch slice.
+        # 4. dispatcher-stage filters + per-record transforms.
+        #    Events at lsn <= the batch's max truncate LSN are wiped by
+        #    the truncate anyway, so they are dropped up front (this
+        #    also removes the 't' rows themselves); the merge wipes
+        #    state below it.
         ev = events
-        truncate_lsn = None
-        row = ev.filter(F.col("op") == "t").agg(
-            F.max("lsn").alias("t")
-        ).collect()[0]
-        if row["t"] is not None:
-            truncate_lsn = int(row["t"])
+        if truncate_lsn is not None:
             ev = ev.filter(F.col("lsn") > truncate_lsn)
         # schema-change events (op='m') were dispatched to the schema
         # path above — keep them out of the data pipeline

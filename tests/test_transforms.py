@@ -268,3 +268,34 @@ def test_column_filter_rebuilds_images(spark):
     # the key cannot be excluded
     out3 = column_filter(df, exclude_regex="repo|path|content")
     assert set(out3.collect()[0]["after"].asDict()) == {"repo", "path", "commit"}
+
+
+def test_pg_compatible_unwrap(spark):
+    """YB {value,set} cell wrappers -> plain values; set=false (column
+    untouched) unwraps to NULL even when value is present."""
+    from debezium_spark.operators.transforms import pg_compatible_unwrap
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                {
+                    "repo": "r1",
+                    "commit": {"value": "abc", "set": True},
+                    "content": {"value": "stale", "set": False},
+                },
+                None,
+            )
+        ],
+        "lsn: long, after: struct<repo:string,"
+        "commit:struct<value:string,set:boolean>,"
+        "content:struct<value:string,set:boolean>>, "
+        "before: struct<repo:string,"
+        "commit:struct<value:string,set:boolean>,"
+        "content:struct<value:string,set:boolean>>",
+    )
+    row = pg_compatible_unwrap(df).collect()[0]
+    assert row["after"]["repo"] == "r1"  # plain field passes through
+    assert row["after"]["commit"] == "abc"
+    assert row["after"]["content"] is None  # unset -> NULL
+    assert row["before"] is None
