@@ -77,11 +77,15 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decoder+encoder: md5-seeded
-    floats in [0,1). Replace with e.g. PIL decode + CNN embedding."""
+    floats in [0,1). Replace with e.g. PIL decode + CNN embedding.
+
+    Seed = ``payload || '|i'`` (text suffix, not raw bytes) so a SQL
+    oracle can reproduce the digest with ``md5(text || '|0')`` and
+    value-check the Arrow decode pipeline end-to-end."""
     out: list[float] = []
     i = 0
     while len(out) < dim:
-        h = hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+        h = hashlib.md5(payload + f"|{i}".encode()).digest()
         out.extend(b / 255.0 for b in h)
         i += 1
     return out[:dim]

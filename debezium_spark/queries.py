@@ -847,6 +847,49 @@ def cdc_cloudevents_export(spark, sf_dir):
 
 
 @_q(
+    "cdc_avro_json_export",
+    f"""
+    SELECT event_id,
+           '{{"lsn":' || event_id
+             || ',"op":{{"string":"' || {_OP_SQL}
+             || '"}},"key":{{"long":' || user_id || '}},"after":'
+             || CASE WHEN event_type = 'error' THEN 'null'
+                ELSE '{{"long":' || CAST(floor(value * 100) AS BIGINT) || '}}' END
+             || '}}' AS avro_json
+    FROM events
+    """,
+)
+def cdc_avro_json_export(spark, sf_dir):
+    """Avro JSON-encoding export (engine/format Avro; Avro's JSON
+    encoding wraps nullable-union values as {"type": value} and encodes
+    null branches as bare null) — the deterministic text form of the
+    Avro format family; binary Avro needs a schema-registry client the
+    sandbox doesn't ship, but the encoding rules are format-exact."""
+    ev = _t(spark, sf_dir, "events")
+    after = F.when(F.col("event_type") == "error", F.lit("null")).otherwise(
+        F.concat(
+            F.lit('{"long":'),
+            F.floor(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("}"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"lsn":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"op":{"string":"'),
+            _op_col(),
+            F.lit('"},"key":{"long":'),
+            F.col("user_id").cast("string"),
+            F.lit('},"after":'),
+            after,
+            F.lit("}"),
+        ).alias("avro_json"),
+    )
+
+
+@_q(
     "cdc_truncate_apply",
     f"""
     SELECT user_id, event_type, value, lsn FROM (
@@ -1088,15 +1131,42 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
-@_q("multimodal_decode_features")  # rows-only: md5-byte fake features
+@_q(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS mime,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           16::BIGINT AS dim,
+           floor(list_sum(list_transform(range(1, 17),
+             j -> CAST(CAST(CAST(concat('0x', substr(md5(text || '|0'), j*2-1, 2))
+                  AS INT) / 255.0 AS REAL) AS DOUBLE))) * 1e6)::BIGINT
+             AS feat_l1_micro
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
     """Arrow-batched decode/feature-extract via mapInPandas (codec step
-    stubbed — deterministic fake features; see functions/multimodal.py).
-    Rows-only check: the feature bytes aren't SQL-expressible."""
+    stubbed — deterministic md5-seeded fake features; see
+    functions/multimodal.py). The oracle recomputes the digest floats
+    in SQL and checks the features' L1 mass in integer micro-units, so
+    the Python-side Arrow pipeline is VALUE-checked end-to-end, not
+    just row-counted."""
     media = M.to_media_table(_t(spark, sf_dir, "documents"))
     feats = M.decode_stub_features(media, dim=16)
+    l1 = F.floor(
+        F.aggregate(
+            F.col("feature"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double"),
+        )
+        * 1e6
+    ).cast("long")
     return feats.select(
-        "media_id", "mime", "n_bytes", F.size("feature").alias("dim")
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.size("feature").cast("long").alias("dim"),
+        l1.alias("feat_l1_micro"),
     )
 
 

@@ -62,6 +62,10 @@ class EngineConfig:
     # "full": single-shuffle merge-as-compaction rewrite (right for
     # dense batches: snapshot, backfill, uniform-update replay).
     merge_scope: str = "touched"
+    # column.include.list / column.exclude.list analogue (regex over
+    # row-image field names; key columns always kept)
+    column_include_regex: str | None = None
+    column_exclude_regex: str | None = None
     salt: int = 0
     partitions: int = 4
     # always|initial|never|initial_only|custom — custom delegates the
@@ -495,6 +499,14 @@ class Engine:
         )
         if self.cfg.table_include_regex:
             ev = table_filter(ev, include_regex=self.cfg.table_include_regex)
+        if self.cfg.column_include_regex or self.cfg.column_exclude_regex:
+            from debezium_spark.operators.transforms import column_filter
+
+            ev = column_filter(
+                ev,
+                include_regex=self.cfg.column_include_regex,
+                exclude_regex=self.cfg.column_exclude_regex,
+            )
         ev = enforce_valid(ev, self.cfg.error_mode)
         ev = drop_tombstones(ev)
         if self.cfg.skipped_operations:
@@ -572,11 +584,17 @@ class Engine:
         events that predate an ADD COLUMN contribute NULL for it
         (mixed-schema batches, SURVEY §7.4)."""
         schema = self.lake.table_schema()
+        # columns removed by the column filter are absent from the image
+        # struct — they land as NULL in the lake (never captured)
+        present = set(compacted.schema["after"].dataType.names)
         cols = [F.col("op"), F.col("lsn")]
         for c in schema.columns:
             p = c["physical"]
             if p in ("repo", "path"):
                 cols.append(F.col(p).cast(c["type"]).alias(p))
+                continue
+            if p not in present:
+                cols.append(F.lit(None).cast(c["type"]).alias(p))
                 continue
             val = F.col("after").getField(p)
             try:

@@ -328,3 +328,26 @@ def test_full_scope_matches_touched(spark, tmp_root):
         assert eng.lake.committed_offsets()  # frontier recorded
         assert eng.lake.lineage()  # lineage rows recorded
     assert states["touched"] == states["full"]
+
+
+def test_engine_column_exclude(spark, tmp_root):
+    """column.exclude.list wired into the dispatcher: the excluded
+    column is never captured — NULL in the lake — while everything else
+    still matches the oracle."""
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=600)
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_colx"),
+        source_table_path=src_path,
+        batch_lsn_span=2000,
+        n_buckets=8,
+        column_exclude_regex="commit",
+    )
+    engine = Engine(spark, cfg)
+    engine.run()
+    oracle = _oracle_state(spark, src_path, log_path)
+    got = _engine_state_map(engine)
+    assert set(got) == set(oracle)
+    for k, row in got.items():
+        assert row["commit"] is None, k  # excluded -> never captured
+        assert row["content"] == oracle[k]["content"], k
