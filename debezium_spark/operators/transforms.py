@@ -544,8 +544,15 @@ def topic_name(
     - ``schema``: ``prefix<delim>schema`` (SchemaTopicNamingStrategy —
       one topic per schema)
     - ``sanitized``: default shape with every character outside
-      ``[a-zA-Z0-9._-]`` replaced by ``_``
-      (UnicodeReplacementTopicNamingStrategy's replacement rule)
+      ``[a-zA-Z0-9._-]`` replaced by ``_`` (the plain replacement rule)
+    - ``unicode``: every character outside ``[.\\-A-Za-z0-9]``
+      (underscore included — it is the escape character) encoded as
+      ``_u<hex>`` with minimal lowercase hex, ``00``-prefixed when it
+      has ≤ 2 digits — exactly
+      ``schema/UnicodeReplacementFunction.java:20-27`` +
+      ``AbstractUnicodeTopicNamingStrategy.java:30-33``
+    (the regex strategy family, Default/SchemaRegexTopicNamingStrategy,
+    is :func:`by_logical_table_router`.)
     """
     s = F.col(schema_col) if isinstance(schema_col, str) else schema_col
     t = F.col(table_col) if isinstance(table_col, str) else table_col
@@ -556,6 +563,22 @@ def topic_name(
     if strategy == "sanitized":
         full = F.concat_ws(delimiter, F.lit(prefix), s, t)
         return F.regexp_replace(full, "[^a-zA-Z0-9._-]", "_")
+    if strategy == "unicode":
+        full = F.concat_ws(delimiter, F.lit(prefix), s, t)
+        chars = F.filter(
+            F.split(full, ""), lambda c: c != F.lit("")
+        )
+
+        def esc(c: Column) -> Column:
+            h = F.lower(F.hex(F.ascii(c)))
+            h = F.when(
+                F.length(h) <= 2, F.concat(F.lit("00"), h)
+            ).otherwise(h)
+            return F.when(c.rlike("^[.\\-A-Za-z0-9]$"), c).otherwise(
+                F.concat(F.lit("_u"), h)
+            )
+
+        return F.array_join(F.transform(chars, esc), "")
     raise ValueError(f"unknown topic naming strategy {strategy!r}")
 
 

@@ -774,21 +774,42 @@ def cdc_schema_change_filter(spark, sf_dir):
     )
 
 
+_UNICODE_TOPIC_SQL = """
+    array_to_string(list_transform(range(1, strlen(uraw) + 1), i ->
+      CASE WHEN regexp_matches(substr(uraw, i, 1), '^[.\\-A-Za-z0-9]$')
+           THEN substr(uraw, i, 1)
+           ELSE '_u' || CASE WHEN strlen(printf('%x', unicode(substr(uraw, i, 1)))) <= 2
+                        THEN '00' || printf('%x', unicode(substr(uraw, i, 1)))
+                        ELSE printf('%x', unicode(substr(uraw, i, 1))) END
+      END), '')
+"""
+
+
 @_q(
     "cdc_topic_naming",
-    """
+    f"""
+    WITH f AS (SELECT event_id,
+                      'server1.public.' || event_type AS base,
+                      'server1.public.' || event_type || '_$' AS uraw
+               FROM events)
     SELECT event_id,
-           'server1.public.' || event_type AS topic_default,
+           base AS topic_default,
            'server1.public' AS topic_schema,
-           regexp_replace('server1.public.' || event_type || '$x',
-                          '[^a-zA-Z0-9._-]', '_', 'g') AS topic_sanitized
-    FROM events
+           regexp_replace(base || '$x', '[^a-zA-Z0-9._-]', '_', 'g')
+             AS topic_sanitized,
+           {_UNICODE_TOPIC_SQL} AS topic_unicode
+    FROM f
     """,
 )
 def cdc_topic_naming(spark, sf_dir):
     """Topic naming strategies (schema/AbstractTopicNamingStrategy.java
-    + strategy classes): default prefix.schema.table, per-schema topic,
-    and the unicode-replacement sanitize rule."""
+    + the Default/Schema × plain/Unicode strategy classes): default
+    prefix.schema.table, per-schema topic, plain `_` sanitize, and the
+    exact `_u<hex>` unicode escaping of
+    UnicodeReplacementFunction.java:20-27 — minimal lowercase hex,
+    ``00``-prefixed when ≤ 2 digits; underscore is the escape
+    character so it escapes too (`_` → `_u005f`). The unicode column's
+    input carries `_$` so both escape paths are exercised."""
     from debezium_spark.operators.transforms import topic_name
 
     ev = _t(spark, sf_dir, "events")
@@ -806,6 +827,12 @@ def cdc_topic_naming(spark, sf_dir):
             F.concat(F.col("event_type"), F.lit("$x")),
             "sanitized",
         ).alias("topic_sanitized"),
+        topic_name(
+            "server1",
+            F.lit("public"),
+            F.concat(F.col("event_type"), F.lit("_$")),
+            "unicode",
+        ).alias("topic_unicode"),
     )
 
 

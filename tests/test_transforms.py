@@ -299,3 +299,18 @@ def test_pg_compatible_unwrap(spark):
     assert row["after"]["commit"] == "abc"
     assert row["after"]["content"] is None  # unset -> NULL
     assert row["before"] is None
+
+
+def test_topic_name_unicode_escape(spark):
+    """UnicodeReplacementFunction semantics: minimal lowercase hex,
+    00-prefixed when <= 2 digits; underscore is the escape char and
+    escapes itself."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import topic_name
+
+    df = spark.createDataFrame([("a_b$c",)], "t: string")
+    out = df.select(
+        topic_name("p", F.lit("s"), F.col("t"), "unicode").alias("x")
+    ).collect()[0]["x"]
+    assert out == "p.s.a_u005fb_u0024c"
