@@ -227,7 +227,8 @@ def cosine_near_dup_pairs(
         )
     if integer_sim:
         sim = F.floor(cosine(F.col("va"), F.col("vb")) * 1e4).cast("long")
-        thr = int(threshold * 1e4)
+        # round, not truncate: 0.7*1e4 is 6999.999... in IEEE754
+        thr = round(threshold * 1e4)
         return (
             pairs.withColumn("sim_dmil", sim)
             .filter(F.col("sim_dmil") >= thr)

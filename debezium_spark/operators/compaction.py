@@ -39,6 +39,23 @@ from pyspark.sql import functions as F
 DEFAULT_KEY_COLUMNS = ("repo", "path")
 
 
+def _lww_reduce(df: DataFrame, group_exprs: list) -> DataFrame:
+    """One max-by-LSN reduction: the winner payload
+    (lsn, op, after, schema_version) shared by the custom-key pass and
+    the PK-level pass so the two can never drift apart."""
+    winner = F.max_by(
+        F.struct(
+            F.col("lsn"), F.col("op"), F.col("after"), F.col("schema_version")
+        ),
+        F.col("lsn"),
+    ).alias("w")
+    return (
+        df.groupBy(*group_exprs)
+        .agg(winner)
+        .select("repo", "path", "w.lsn", "w.op", "w.after", "w.schema_version")
+    )
+
+
 def compact_max_by(
     df: DataFrame, key_columns: tuple[str, ...] = DEFAULT_KEY_COLUMNS
 ) -> DataFrame:
@@ -50,16 +67,8 @@ def compact_max_by(
     the LSN-guarded merge still converges on the PK; a coarser key
     would collapse distinct table rows.
     """
-    winner = F.max_by(
-        F.struct(
-            F.col("lsn"), F.col("op"), F.col("after"), F.col("schema_version")
-        ),
-        F.col("lsn"),
-    ).alias("w")
-    return (
-        df.groupBy(*[F.col(f"key.{c}").alias(c) for c in key_columns])
-        .agg(winner)
-        .select("repo", "path", "w.lsn", "w.op", "w.after", "w.schema_version")
+    return _lww_reduce(
+        df, [F.col(f"key.{c}").alias(c) for c in key_columns]
     )
 
 
@@ -113,18 +122,9 @@ def reduce_to_pk(df: DataFrame) -> DataFrame:
     the PK: a key-moving update yields a DELETE(old key) + CREATE(new
     key) pair that lands on the same table row — the merge join
     requires change sets unique per PK. Input is already one row per
-    custom key, so this second reduce is tiny."""
-    winner = F.max_by(
-        F.struct(
-            F.col("lsn"), F.col("op"), F.col("after"), F.col("schema_version")
-        ),
-        F.col("lsn"),
-    ).alias("w")
-    return (
-        df.groupBy("repo", "path")
-        .agg(winner)
-        .select("repo", "path", "w.lsn", "w.op", "w.after", "w.schema_version")
-    )
+    custom key, so this second reduce is tiny; the shared winner
+    payload lives in :func:`_lww_reduce`."""
+    return _lww_reduce(df, ["repo", "path"])
 
 
 def compact(

@@ -110,6 +110,13 @@ def _target_key(df: DataFrame, key_columns: tuple[str, ...]) -> Column:
     columns: before-image for deletes, after-image otherwise; tombstones
     / imageless rows fall back to the log key (custom columns absent
     from it are NULL — such rows are dropped upstream anyway)."""
+    # the fallback's missing-column NULLs must carry the IMAGE field's
+    # type (a bigint key column typed string here would make the
+    # when/otherwise branches incompatible at analysis time)
+    after_types = {
+        f.name: f.dataType for f in df.schema["after"].dataType.fields
+    }
+    key_names = df.schema["key"].dataType.names
     return (
         F.when(F.col("op") == OP_DELETE, _image_key("before", key_columns))
         .when(F.col("after").isNotNull(), _image_key("after", key_columns))
@@ -118,8 +125,8 @@ def _target_key(df: DataFrame, key_columns: tuple[str, ...]) -> Column:
                 *[
                     (
                         F.col(f"key.{c}")
-                        if c in df.schema["key"].dataType.names
-                        else F.lit(None).cast("string")
+                        if c in key_names
+                        else F.lit(None).cast(after_types[c])
                     ).alias(c)
                     for c in key_columns
                 ]

@@ -113,22 +113,40 @@ def read_chunk_range(
     return source.filter(after_key(lo) & upper)
 
 
+_ROW_FIELD_TYPES = (
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+    ("size_bytes", "bigint"),
+)
+
+
 def chunk_envelopes(
     chunk: DataFrame,
     watermark_lsn: int,
     partitions: int = 4,
     table: str = TABLE_NAME,
+    schema_version: int = 0,
 ) -> DataFrame:
     """READ envelopes for one chunk, stamped at the low watermark LSN —
     the LWW merge makes 'streamed event ≥ watermark beats chunk row'
-    fall out (the reference's window dedup)."""
+    fall out (the reference's window dedup).
+
+    The after image carries every envelope row field the chunk source
+    provides (schema-evolved columns included — a back-fill must not
+    revert them to NULL); absent fields are NULL. ``schema_version``
+    should be the engine's current version so evolved columns pass the
+    mixed-schema gate."""
+    present = set(chunk.columns)
     after = F.struct(
-        F.col("repo"),
-        F.col("path"),
-        F.col("commit"),
-        F.col("lang"),
-        F.col("content"),
-        F.lit(None).cast("bigint").alias("size_bytes"),
+        *[
+            (
+                F.col(f).cast(t) if f in present else F.lit(None).cast(t)
+            ).alias(f)
+            for f, t in _ROW_FIELD_TYPES
+        ]
     )
     return chunk.select(
         F.pmod(F.xxhash64("repo"), partitions).cast("int").alias("partition_id"),
@@ -144,6 +162,6 @@ def chunk_envelopes(
             F.lit(table).alias("table"),
         ).alias("source"),
         F.lit(BASE_TS_MS).cast("bigint").alias("ts_ms"),
-        F.lit(0).cast("int").alias("schema_version"),
+        F.lit(int(schema_version)).cast("int").alias("schema_version"),
         F.lit(False).alias("is_tombstone"),
     )

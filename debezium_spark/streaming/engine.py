@@ -123,9 +123,15 @@ class Engine:
         schema events are O(1) per table lifetime."""
         import json
 
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.parquet(self.cfg.changelog_path)
-        except Exception:
+        except AnalysisException:
+            # log not there yet (streaming dir that hasn't received
+            # files) — later arrivals are dispatched per batch by
+            # _apply_batch's control-row pass; any OTHER read error
+            # (corrupt log) propagates
             return []
         if "message" not in df.columns:
             return []
@@ -146,6 +152,7 @@ class Engine:
         already = self.lake.last_batch_id("snapshot") >= self.SNAPSHOT_BATCH_ID
         if mode == "never" or (mode in ("initial", "initial_only") and already):
             return None
+        batch_id = self.SNAPSHOT_BATCH_ID
         if mode == "custom":
             decider = self.cfg.custom_should_snapshot
             if decider is None or not decider(self.lake.committed_offsets()):
@@ -153,14 +160,7 @@ class Engine:
             if already:
                 # a re-run under custom mode re-reads the source like
                 # `always` — fence on a fresh snapshot batch id
-                return self._apply_batch(
-                    snapshot_envelopes(
-                        self.spark.read.parquet(self.cfg.source_table_path),
-                        partitions=self.cfg.partitions,
-                    ),
-                    self.lake.last_batch_id("snapshot") + 1,
-                    phase="snapshot",
-                )
+                batch_id = self.lake.last_batch_id("snapshot") + 1
         if self.cfg.source_table_path is None:
             return None
         from debezium_spark import notifications as N
@@ -168,9 +168,7 @@ class Engine:
         self.notifications.emit(N.INITIAL_SNAPSHOT, N.STARTED)
         source = self.spark.read.parquet(self.cfg.source_table_path)
         events = snapshot_envelopes(source, partitions=self.cfg.partitions)
-        res = self._apply_batch(
-            events, self.SNAPSHOT_BATCH_ID, phase="snapshot"
-        )
+        res = self._apply_batch(events, batch_id, phase="snapshot")
         self.notifications.emit(
             N.INITIAL_SNAPSHOT,
             N.COMPLETED,
@@ -223,26 +221,41 @@ class Engine:
         """Reconstructed current upstream state — what the reference's
         ExecuteSnapshot re-reads (it always queries the live database).
         = applied final state ∪ source rows no event has ever touched
-        (touched = any key in the changelog at LSN ≤ the committed
-        watermark; keys the stream deleted stay absent — re-reading the
-        stale snapshot parquet would resurrect them)."""
-        cols = ["repo", "path", "commit", "lang", "content"]
-        state = self.final_state().select(*cols)
+        (keys the stream deleted stay absent — re-reading the stale
+        snapshot parquet would resurrect them).
+
+        Touched = any key the changelog AFFECTED at LSN ≤ the committed
+        watermark: both the log key (old key / delete target) AND the
+        after-image key — a PK-change update moves a row onto a key
+        that appears only in ``after``, and missing it would union the
+        stale source row next to the streamed one.
+
+        Columns are the lake's PHYSICAL schema (evolved columns
+        included) so chunk rows preserve schema-evolved values; source
+        rows contribute NULL for columns added after the snapshot."""
+        state = self.lake.read_state(logical=False)
         if self.cfg.source_table_path is None:
             return state
-        src = self.spark.read.parquet(self.cfg.source_table_path).select(*cols)
+        src = self.spark.read.parquet(self.cfg.source_table_path)
         watermark = max(self.lake.committed_offsets().values(), default=-1)
-        touched = (
-            self.spark.read.parquet(self.cfg.changelog_path)
-            .filter(F.col("lsn") <= watermark)
-            .select(
-                F.col("key.repo").alias("repo"),
-                F.col("key.path").alias("path"),
-            )
-            .distinct()
+        log = self.spark.read.parquet(self.cfg.changelog_path).filter(
+            F.col("lsn") <= watermark
         )
-        untouched = src.join(touched, ["repo", "path"], "left_anti")
-        return state.unionByName(untouched)
+        logk = log.select(
+            F.col("key.repo").alias("repo"), F.col("key.path").alias("path")
+        )
+        newk = log.filter(F.col("after").isNotNull()).select(
+            F.col("after.repo").alias("repo"),
+            F.col("after.path").alias("path"),
+        )
+        touched = logk.unionByName(newk).distinct()
+        # back-fill only rows that are in NEITHER state NOR the touched
+        # set: state rows are already present (snapshot applied them),
+        # and touched-but-absent rows were deleted by the stream
+        untouched = src.join(touched, ["repo", "path"], "left_anti").join(
+            state.select("repo", "path"), ["repo", "path"], "left_anti"
+        )
+        return state.unionByName(untouched, allowMissingColumns=True)
 
     def incremental_snapshot(
         self,
@@ -293,10 +306,19 @@ class Engine:
             results: list[dict] = []
             k = self.lake.last_batch_id("incremental") + 1
             lo: tuple[str, str] | None = None
+            # stamp chunks at the CURRENT schema version so evolved
+            # columns carried by the live source pass the mixed-schema
+            # gate instead of being wiped back to NULL
+            sv = min(
+                self.tracker.latest_version, self.lake.table_schema().version
+            )
             for i, hi in enumerate(bounds):
                 chunk = read_chunk_range(src, lo, hi)
                 events = chunk_envelopes(
-                    chunk, watermark, partitions=self.cfg.partitions
+                    chunk,
+                    watermark,
+                    partitions=self.cfg.partitions,
+                    schema_version=sv,
                 )
                 results.append(
                     self._apply_batch(events, k, phase="incremental")
@@ -449,21 +471,38 @@ class Engine:
                 if ch["lsn"] < lsn_hi and v > current_v:
                     self.lake.apply_schema_change(ch)
 
-        # 2. TRUNCATE lookup (op='t', Envelope.java:319) runs on the RAW
-        #    input, BEFORE the observation is attached: a filter cannot
-        #    be pushed through CollectMetrics (it would change the
-        #    observed values), so doing this later would re-scan the
-        #    whole batch; here the op='t' predicate reaches the parquet
-        #    reader and row groups without 't' in their op dictionary
-        #    are skipped — near-metadata cost.
+        # 2. Control-row pass on the RAW input, BEFORE the observation
+        #    is attached (a filter cannot be pushed through
+        #    CollectMetrics — it would change the observed values): ONE
+        #    job collects the batch's 't' (truncate) and 'm' (schema
+        #    message) rows. The op IN ('t','m') predicate reaches the
+        #    parquet reader; row groups without control ops in their op
+        #    dictionary are skipped — near-metadata cost. Schema events
+        #    arriving mid-stream (files the init scan never saw) are
+        #    dispatched here, so the streaming front-end learns DDL from
+        #    the log exactly like the batch path.
+        import json
+
         truncate_lsn = None
-        t_row = (
-            events.filter(F.col("op") == "t")
-            .agg(F.max("lsn").alias("t"))
-            .collect()[0]
+        ctl_cols = ["lsn", "op"] + (
+            ["message"] if "message" in events.columns else []
         )
-        if t_row["t"] is not None:
-            truncate_lsn = int(t_row["t"])
+        ctl = (
+            events.filter(F.col("op").isin("t", "m"))
+            .select(*ctl_cols)
+            .collect()
+        )
+        for r in sorted(ctl, key=lambda r: r["lsn"]):
+            if r["op"] == "t":
+                truncate_lsn = max(truncate_lsn or -1, int(r["lsn"]))
+            elif r["op"] == "m" and ("message" in ctl_cols) and r["message"]:
+                ch = json.loads(r["message"])
+                if int(ch["schema_version"]) > self.tracker.latest_version:
+                    self.tracker.apply(ch)
+                    if lsn_hi is None:
+                        # streaming front-end: the change takes effect
+                        # from this batch on (its lsn is in-batch)
+                        self.lake.apply_schema_change(ch)
 
         # 3. per-source-partition offset frontier + lineage (the
         #    StreamingMeter analogue) rides along as observed metrics of
@@ -506,6 +545,9 @@ class Engine:
                 ev,
                 include_regex=self.cfg.column_include_regex,
                 exclude_regex=self.cfg.column_exclude_regex,
+                # key columns can never be filtered (the reference's
+                # ColumnNameFilter exempts them) — including custom ones
+                always_keep=tuple(self.cfg.key_columns),
             )
         ev = enforce_valid(ev, self.cfg.error_mode)
         ev = drop_tombstones(ev)

@@ -321,3 +321,55 @@ def test_notifications_channel(spark, small_world):
     assert ("Incremental Snapshot", "IN_PROGRESS") in inc
     ids = [n["id"] for n in eng.notifications.read()]
     assert ids == list(range(len(ids)))  # monotone sequence
+
+
+def test_live_source_covers_pk_change_targets(spark, tmp_path):
+    """A PK-change update moves a row onto a key that appears only in
+    the event's after image. live_source must count that key as touched
+    — otherwise the stale source row is unioned next to the streamed
+    one and an execute-snapshot can revert the move."""
+    from debezium_spark.envelope import EVENT_SCHEMA
+    from debezium_spark.generator import gen_source_table
+
+    src_p = str(tmp_path / "src")
+    log_p = str(tmp_path / "log")
+    gen_source_table(spark, 2, 10).write.parquet(src_p)
+    rows = spark.read.parquet(src_p).orderBy("repo", "path").limit(2).collect()
+    k1, k2 = rows[0], rows[1]
+
+    def img(row, content):
+        return {
+            "repo": row["repo"], "path": row["path"], "commit": "c" * 40,
+            "lang": row["lang"], "content": content, "size_bytes": None,
+        }
+
+    ev = {
+        "partition_id": 0, "lsn": 100, "op": "u",
+        "key": {"repo": k1["repo"], "path": k1["path"]},
+        "before": img(k1, k1["content"]),
+        "after": img(k2, "moved-content"),  # PK-change onto k2
+        "source": {"ts_ms": 1, "snapshot": "false", "txId": 1, "table": "repo_files"},
+        "ts_ms": 1, "schema_version": 0, "is_tombstone": False, "message": None,
+    }
+    spark.createDataFrame([ev], EVENT_SCHEMA).write.parquet(log_p)
+
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=log_p, lake_root=str(tmp_path / "lake"),
+            source_table_path=src_p, batch_lsn_span=200, n_buckets=4,
+        ),
+    )
+    eng.run()
+    lv = eng.live_source()
+    dup = (
+        lv.groupBy("repo", "path").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0  # k2 must not appear twice (streamed + stale source)
+    eng.incremental_snapshot(chunk_size=8)
+    final = {
+        (r["repo"], r["path"]): r["content"]
+        for r in eng.final_state().collect()
+    }
+    assert (k1["repo"], k1["path"]) not in final  # moved away
+    assert final[(k2["repo"], k2["path"])] == "moved-content"  # not reverted

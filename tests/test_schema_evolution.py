@@ -185,3 +185,47 @@ def test_evolution_end_to_end(spark, tmp_root):
     # rows written before the ADD COLUMN have NULL size_bytes; rows
     # written after have it populated — both must exist
     assert 0 < n_sized < len(got)
+
+
+def test_incremental_snapshot_preserves_evolved_columns(spark, tmp_root):
+    """A back-fill after schema evolution must NOT wipe evolved columns:
+    chunk rows carry the live source's evolved values at the current
+    schema version (previously they were stamped v0 with NULLs and
+    reverted size_bytes table-wide)."""
+    from debezium_spark.generator import schema_change_envelopes
+
+    changes = _changes()
+    schema_change_lsns = {c["schema_version"]: c["lsn"] for c in changes}
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    data_log = gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE,
+        schema_change_lsns=schema_change_lsns,
+    )
+    data_log.unionByName(
+        schema_change_envelopes(spark, changes)
+    ).write.parquet(log_path)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_inc_evo"),
+        source_table_path=src_path,
+        batch_lsn_span=977,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    engine.run()
+    before = {
+        (r["repo"], r["path"]): r["size_bytes"]
+        for r in engine.final_state().collect()
+    }
+    assert any(v is not None for v in before.values())
+
+    engine.incremental_snapshot(chunk_size=32)  # default live source
+
+    after = {
+        (r["repo"], r["path"]): r["size_bytes"]
+        for r in engine.final_state().collect()
+    }
+    assert after == before  # back-fill changed nothing
