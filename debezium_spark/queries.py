@@ -303,7 +303,7 @@ def cdc_offset_frontier(spark, sf_dir):
 @_q(
     "cdc_snapshot_read",
     """
-    SELECT c_custkey, 'r' AS op, 0 AS lsn,
+    SELECT c_custkey, 'r' AS op, CAST(0 AS BIGINT) AS lsn,
            CASE WHEN c_custkey = (SELECT MIN(c_custkey) FROM customer) THEN 'first'
                 WHEN c_custkey = (SELECT MAX(c_custkey) FROM customer) THEN 'last'
                 ELSE 'true' END AS snapshot,

@@ -84,11 +84,23 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            otypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             orows = [tuple(r) for r in rel.fetchall()]
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {ex}")
             failures.append(name)
             continue
+        # the external driver's value hash is TYPE-sensitive (DuckDB
+        # HUGEINT for uncast SUM broke four round-1 queries despite
+        # identical values) — surface dtype drift loudly
+        dmap = {
+            "BIGINT": "bigint", "INTEGER": "int", "VARCHAR": "string",
+            "DOUBLE": "double", "FLOAT": "float", "BOOLEAN": "boolean",
+        }
+        for c, st in df.dtypes:
+            ot = dmap.get(otypes.get(c, "?"), otypes.get(c, "?").lower())
+            if c in otypes and ot != st:
+                print(f"WARN {name}: column {c} spark={st} oracle={otypes[c]}")
         ok = True
         if sorted(cols) != sorted(ocols):
             print(f"FAIL {name}: cols {sorted(cols)} != {sorted(ocols)}")
