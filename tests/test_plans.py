@@ -170,3 +170,15 @@ def test_wholestage_codegen_on_quality_score(spark):
     # formatted mode marks codegen stages with "[codegen id : N]"
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_control_row_pass_pushes_to_scan(spark, changelog_path):
+    # the per-batch 't'/'m' lookup must reach the parquet reader (its
+    # row groups dictionary-skip when no control ops are present) — it
+    # runs on the raw input precisely because a filter cannot cross a
+    # CollectMetrics node
+    ev = read_changelog_range(spark, changelog_path, 0, 10_000)
+    ctl = ev.filter(F.col("op").isin("t", "m")).select("lsn", "op")
+    plan = plan_of(ctl)
+    assert "PushedFilters" in plan
+    assert "In(op" in plan

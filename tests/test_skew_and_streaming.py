@@ -215,3 +215,45 @@ def test_streaming_with_in_stream_schema_events(spark, tmp_root):
         assert row.get("size_bytes") == oracle[k].get("size_bytes"), k
         n_sized += row.get("size_bytes") is not None
     assert 0 < n_sized < len(got)  # mixed-schema rows both exist
+
+
+def test_streaming_with_truncate(spark, tmp_root):
+    """TRUNCATE arriving through the Structured Streaming front-end:
+    the control-row pass finds it inside its micro-batch and the merge
+    wipes state below its LSN; final state matches the oracle fold."""
+    from debezium_spark.generator import truncate_envelopes
+
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, 4, 15).write.parquet(src_path)
+    log = gen_change_log(spark, 4, 15, n_events=800, snapshot_lsn_base=60)
+    t_lsn = 60 + 801  # mid-stream, odd unused slot
+    full = log.unionByName(
+        truncate_envelopes(spark, [t_lsn]), allowMissingColumns=True
+    )
+    write_changelog_ordered(full, log_path, n_files=5)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_tstream"),
+        source_table_path=src_path,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    engine.snapshot()
+    engine.run_streaming(
+        checkpoint_dir=os.path.join(tmp_root, "ckpt_t"), max_files_per_trigger=2
+    )
+    oracle = _oracle(spark, src_path, log_path)
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in engine.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    for k, v in got.items():
+        assert v == oracle[k]["content"], k
+    lsns = [
+        r["_lsn"]
+        for r in engine.lake.read_state(with_sys=True).select("_lsn").collect()
+    ]
+    assert lsns and all(l > t_lsn for l in lsns)
