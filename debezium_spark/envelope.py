@@ -157,12 +157,14 @@ def is_valid_truncate(row) -> bool:
 
 def is_valid_message(row) -> bool:
     # op='m' rows carry a payload in `message`, no row images.
+    # row["message"] (not .get): pyspark Row has no .get(), and the
+    # field is always present in EVENT_SCHEMA.
     return (
         row["op"] == OP_MESSAGE
         and not row["is_tombstone"]
         and row["after"] is None
         and row["before"] is None
-        and row.get("message") is not None
+        and row["message"] is not None
     )
 
 

@@ -35,13 +35,13 @@ class NotificationLog:
     def __init__(self, root: str):
         self.path = os.path.join(root, "_notifications", "log.jsonl")
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        self._seq: int | None = None  # lazy: read once, then count up
 
     def _next_id(self) -> int:
-        if self._seq is None:
-            self._seq = len(self.read())
-        self._seq += 1
-        return self._seq - 1
+        # derived from the file at write time, never cached: two engine
+        # instances sharing one lake root (e.g. restart tests) must
+        # still produce monotone ids. The log is a small control-plane
+        # file; a line count per emit is cheap.
+        return len(self.read())
 
     def emit(
         self,

@@ -36,12 +36,23 @@ def read_changelog_range(
     )
 
 
-def lsn_bounds(spark: SparkSession, path: str) -> tuple[int, int]:
-    row = (
-        spark.read.parquet(path)
-        .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
-        .collect()[0]
-    )
+def lsn_bounds(spark: SparkSession, path: str) -> tuple[int, int] | None:
+    """(min, max) LSN of the log, or ``None`` for a log that does not
+    exist yet or holds zero events — a streaming-tail deployment starts
+    consuming before the first segment lands, and the engine must treat
+    that as a clean no-op rather than crash on ``int(None)``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = (
+            spark.read.parquet(path)
+            .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
+            .collect()[0]
+        )
+    except AnalysisException:
+        return None
+    if row["lo"] is None:
+        return None
     return int(row["lo"]), int(row["hi"])
 
 

@@ -37,10 +37,26 @@ _ROW_DDL = (
 )
 
 
+_ROW_FIELD_TYPES = (
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+    ("size_bytes", "bigint"),
+)
+
+
 def snapshot_envelopes(
     source: DataFrame, partitions: int = 4, table: str = TABLE_NAME
 ) -> DataFrame:
-    """Emit READ envelopes for the source table (op='r', lsn=0)."""
+    """Emit READ envelopes for the source table (op='r', lsn=0).
+
+    Columns absent from ``source`` (a snapshot select-statement
+    override projected them away,
+    ``relational/RelationalDatabaseConnectorConfig.java:346``) land as
+    NULL in the after image — never captured, like the reference's
+    overridden SELECT."""
     bounds = source.agg(
         F.min(F.concat_ws(" ", "repo", "path")).alias("lo"),
         F.max(F.concat_ws(" ", "repo", "path")).alias("hi"),
@@ -51,13 +67,14 @@ def snapshot_envelopes(
         .when(keystr == bounds["hi"], F.lit(SNAPSHOT_LAST))
         .otherwise(F.lit(SNAPSHOT_TRUE))
     )
+    present = set(source.columns)
     after = F.struct(
-        F.col("repo"),
-        F.col("path"),
-        F.col("commit"),
-        F.col("lang"),
-        F.col("content"),
-        F.lit(None).cast("bigint").alias("size_bytes"),
+        *[
+            (
+                F.col(f).cast(t) if f in present else F.lit(None).cast(t)
+            ).alias(f)
+            for f, t in _ROW_FIELD_TYPES
+        ]
     )
     return source.select(
         F.pmod(F.xxhash64("repo"), partitions).cast("int").alias("partition_id"),

@@ -80,6 +80,15 @@ class EngineConfig:
     # JSON-lines control file polled between batches (SignalProcessor)
     signal_path: str | None = None
     incremental_chunk_size: int = 1024  # CommonConnectorConfig.java:553-560
+    # seconds between signal polls while an in-flight snapshot is
+    # paused (pause-snapshot ... resume-snapshot round-trip)
+    signal_poll_interval: float = 0.1
+    # snapshot.select.statement.overrides analogue
+    # (relational/RelationalDatabaseConnectorConfig.java:346): per-table
+    # {"filter": <SQL predicate>, "columns": [<projected columns>]}
+    # applied to the snapshot read. Key columns are always kept; the
+    # predicate reaches the source scan as a pushed filter.
+    snapshot_overrides: dict | None = None
     # message.key.columns analogue (relational/Key.java:27-70,
     # RelationalDatabaseConnectorConfig.java:321): columns of the row
     # image forming the event key. Must contain the table PK (repo,
@@ -101,6 +110,11 @@ class Engine:
         )
         self._paused = False
         self._stopped = False
+        # in-flight snapshot control (StopSnapshot.java:31,
+        # Pause/ResumeIncrementalSnapshot.java): polled between chunks
+        self._in_snapshot = False
+        self._snapshot_stopped = False
+        self._snapshot_paused = False
         missing = {"repo", "path"} - set(cfg.key_columns)
         if missing:
             raise ValueError(
@@ -167,6 +181,7 @@ class Engine:
 
         self.notifications.emit(N.INITIAL_SNAPSHOT, N.STARTED)
         source = self.spark.read.parquet(self.cfg.source_table_path)
+        source = self._apply_snapshot_override(source)
         events = snapshot_envelopes(source, partitions=self.cfg.partitions)
         res = self._apply_batch(events, batch_id, phase="snapshot")
         self.notifications.emit(
@@ -175,6 +190,28 @@ class Engine:
             {"batch_id": res.get("batch_id"), "skipped": bool(res.get("skipped"))},
         )
         return res
+
+    def _apply_snapshot_override(self, source: DataFrame) -> DataFrame:
+        """``snapshot.select.statement.overrides`` analogue
+        (``relational/RelationalDatabaseConnectorConfig.java:346``): a
+        per-table predicate + projection applied to the snapshot read.
+        The predicate is a Spark SQL expression, so it reaches the
+        source scan as a pushed filter; the projection restricts the
+        captured columns (key columns always kept — dropped columns are
+        never captured, like an overridden ``SELECT col, ...``)."""
+        from debezium_spark.generator import TABLE_NAME
+
+        ov = (self.cfg.snapshot_overrides or {}).get(TABLE_NAME)
+        if not ov:
+            return source
+        if ov.get("filter"):
+            source = source.filter(F.expr(ov["filter"]))
+        if ov.get("columns"):
+            keep = list(
+                dict.fromkeys(list(self.cfg.key_columns) + list(ov["columns"]))
+            )
+            source = source.select(*[c for c in source.columns if c in keep])
+        return source
 
     # -- streaming phase (batches 1..N) ----------------------------------
     def stream(self, max_batches: int | None = None) -> list[dict]:
@@ -185,7 +222,12 @@ class Engine:
         fenced + LSN-guarded)."""
         if self.cfg.snapshot_mode == "initial_only":
             return []
-        lo, hi = lsn_bounds(self.spark, self.cfg.changelog_path)
+        bounds = lsn_bounds(self.spark, self.cfg.changelog_path)
+        if bounds is None:
+            # empty / not-yet-written log: nothing to replay (clean
+            # no-op — the WAL tail starting before the first segment)
+            return []
+        lo, hi = bounds
         span = self.cfg.batch_lsn_span
         results = []
         k = max(self.lake.last_batch_id("stream"), 0)  # next stream batch index
@@ -236,23 +278,35 @@ class Engine:
         state = self.lake.read_state(logical=False)
         if self.cfg.source_table_path is None:
             return state
+        from pyspark.errors import AnalysisException
+
         src = self.spark.read.parquet(self.cfg.source_table_path)
         watermark = max(self.lake.committed_offsets().values(), default=-1)
-        log = self.spark.read.parquet(self.cfg.changelog_path).filter(
-            F.col("lsn") <= watermark
-        )
-        logk = log.select(
-            F.col("key.repo").alias("repo"), F.col("key.path").alias("path")
-        )
-        newk = log.filter(F.col("after").isNotNull()).select(
-            F.col("after.repo").alias("repo"),
-            F.col("after.path").alias("path"),
-        )
-        touched = logk.unionByName(newk).distinct()
-        # back-fill only rows that are in NEITHER state NOR the touched
-        # set: state rows are already present (snapshot applied them),
-        # and touched-but-absent rows were deleted by the stream
-        untouched = src.join(touched, ["repo", "path"], "left_anti").join(
+        try:
+            log = self.spark.read.parquet(self.cfg.changelog_path).filter(
+                F.col("lsn") <= watermark
+            )
+        except AnalysisException:
+            # changelog dir not created yet (execute-snapshot fired on a
+            # streaming-tail deployment before the first segment landed):
+            # nothing is touched — back-fill from source + state only
+            log = None
+        untouched = src
+        if log is not None:
+            logk = log.select(
+                F.col("key.repo").alias("repo"), F.col("key.path").alias("path")
+            )
+            newk = log.filter(F.col("after").isNotNull()).select(
+                F.col("after.repo").alias("repo"),
+                F.col("after.path").alias("path"),
+            )
+            touched = logk.unionByName(newk).distinct()
+            # back-fill only rows that are in NEITHER state NOR the
+            # touched set: state rows are already present (snapshot
+            # applied them), and touched-but-absent rows were deleted by
+            # the stream
+            untouched = untouched.join(touched, ["repo", "path"], "left_anti")
+        untouched = untouched.join(
             state.select("repo", "path"), ["repo", "path"], "left_anti"
         )
         return state.unionByName(untouched, allowMissingColumns=True)
@@ -312,7 +366,23 @@ class Engine:
             sv = min(
                 self.tracker.latest_version, self.lake.table_schema().version
             )
+            self._in_snapshot = True
+            self._snapshot_stopped = False
+            self._snapshot_paused = False
+            aborted = False
             for i, hi in enumerate(bounds):
+                # poll control signals between chunks — the reference's
+                # stop-snapshot / pause-snapshot / resume-snapshot
+                # actions (pipeline/signal/actions/snapshotting/
+                # StopSnapshot.java:31, PauseIncrementalSnapshot.java,
+                # ResumeIncrementalSnapshot.java) act at chunk
+                # granularity; per-chunk fences stay intact, so a later
+                # execute-snapshot resumes idempotently (chunks already
+                # applied are LWW no-ops).
+                self._poll_snapshot_signals()
+                if self._snapshot_stopped:
+                    aborted = True
+                    break
                 chunk = read_chunk_range(src, lo, hi)
                 events = chunk_envelopes(
                     chunk,
@@ -330,12 +400,38 @@ class Engine:
                 )
                 lo = hi
                 k += 1
-            self.notifications.emit(
-                N.INCREMENTAL_SNAPSHOT, N.COMPLETED, {"chunks": len(bounds)}
-            )
+            if aborted:
+                self.notifications.emit(
+                    N.INCREMENTAL_SNAPSHOT,
+                    N.ABORTED,
+                    {"chunks_done": len(results), "of": len(bounds)},
+                )
+            else:
+                self.notifications.emit(
+                    N.INCREMENTAL_SNAPSHOT, N.COMPLETED, {"chunks": len(bounds)}
+                )
         finally:
+            self._in_snapshot = False
             src.unpersist()
         return results
+
+    def _poll_snapshot_signals(self) -> None:
+        """Between-chunk signal poll. While paused, keep polling until a
+        resume-snapshot (or stop-snapshot / engine stop) arrives — the
+        in-flight snapshot stalls without losing its chunk position."""
+        import time as _time
+
+        self.process_signals(during_snapshot=True)
+        while (
+            self._snapshot_paused
+            and not self._snapshot_stopped
+            and not self._stopped
+        ):
+            _time.sleep(self.cfg.signal_poll_interval)
+            self.process_signals(during_snapshot=True)
+        if self._stopped:
+            # engine-level stop also halts the in-flight snapshot
+            self._snapshot_stopped = True
 
     def blocking_snapshot(
         self, source=None, chunk_size: int | None = None
@@ -355,11 +451,29 @@ class Engine:
             self._paused = was_paused
 
     # -- signals (signals.py; SignalProcessor.java) ------------------------
-    def process_signals(self) -> list[dict]:
+    def process_signals(self, during_snapshot: bool = False) -> list[dict]:
         """Poll and act on pending control signals. Returns the signals
         handled. pause → stop consuming until a later resume; stop →
         halt; execute-snapshot → run an incremental snapshot now (from
-        the reconstructed live source, or ``data.source_path``).
+        the reconstructed live source, or ``data.source_path``);
+        stop-snapshot / pause-snapshot / resume-snapshot → control the
+        in-flight incremental snapshot at chunk granularity
+        (``pipeline/signal/actions/snapshotting/StopSnapshot.java:31``,
+        ``PauseIncrementalSnapshot.java``,
+        ``ResumeIncrementalSnapshot.java``).
+
+        ``during_snapshot=True`` is the between-chunk poll: snapshot-
+        triggering signals are deferred (left pending, NOT acked) so an
+        in-flight snapshot never recurses into another one — they fire
+        at the next engine-loop poll, exactly like the reference's
+        single snapshot-source slot.
+
+        execute-snapshot honors the reference's payload
+        (``ExecuteSnapshot.java`` + ``AdditionalCondition.java``):
+        ``data-collections`` names the tables to snapshot (signals for
+        other tables are no-ops) and ``additional-conditions`` carries
+        per-table predicates pushed into the chunked re-read's pruned
+        scans.
 
         Each signal is acked only AFTER its action completed
         (at-least-once, like the reference committing signal offsets
@@ -368,6 +482,7 @@ class Engine:
         re-fire idempotent."""
         if not self.cfg.signal_path:
             return []
+        from debezium_spark.generator import TABLE_NAME
         from debezium_spark.signals import SignalChannel
 
         channel = SignalChannel(self.cfg.signal_path)
@@ -381,10 +496,39 @@ class Engine:
                 self._paused = False
             elif stype == "stop":
                 self._stopped = True
+            elif stype == "stop-snapshot":
+                self._snapshot_stopped = True
+            elif stype == "pause-snapshot":
+                self._snapshot_paused = True
+            elif stype == "resume-snapshot":
+                self._snapshot_paused = False
             elif stype in ("execute-snapshot", "blocking-snapshot"):
+                if during_snapshot:
+                    # defer: leave pending for the engine-loop poll
+                    continue
+                tables = data.get("data-collections") or data.get(
+                    "data_collections"
+                )
+                if tables and TABLE_NAME not in tables:
+                    channel.ack(sig["id"])
+                    handled.append(sig)
+                    continue
                 src = None
                 if data.get("source_path"):
                     src = self.spark.read.parquet(data["source_path"])
+                conds = data.get("additional-conditions") or data.get(
+                    "additional_conditions"
+                )
+                preds = [
+                    c["filter"]
+                    for c in (conds or [])
+                    if c.get("filter")
+                    and c.get("data-collection", TABLE_NAME) == TABLE_NAME
+                ]
+                if preds:
+                    src = src if src is not None else self.live_source()
+                    for p in preds:
+                        src = src.filter(F.expr(p))
                 run = (
                     self.blocking_snapshot
                     if stype == "blocking-snapshot"
@@ -499,9 +643,15 @@ class Engine:
                 ch = json.loads(r["message"])
                 if int(ch["schema_version"]) > self.tracker.latest_version:
                     self.tracker.apply(ch)
-                    if lsn_hi is None:
-                        # streaming front-end: the change takes effect
-                        # from this batch on (its lsn is in-batch)
+                    # a change NEWLY learned from this batch takes
+                    # effect now, unconditionally: its LSN is in-batch
+                    # by construction, so data rows in THIS batch may
+                    # already carry the evolved column — deferring the
+                    # lake apply to the next batch would project them
+                    # against the old schema and silently drop the
+                    # values to NULL. (Step 1 only replays changes the
+                    # tracker knew at entry, so no double-apply.)
+                    if int(ch["schema_version"]) > self.lake.table_schema().version:
                         self.lake.apply_schema_change(ch)
 
         # 3. per-source-partition offset frontier + lineage (the

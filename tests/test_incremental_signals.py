@@ -289,6 +289,328 @@ def test_blocking_snapshot_phase(spark, small_world):
     assert "incremental" in phases and "stream" in phases
 
 
+def test_stop_snapshot_signal_halts_in_flight_snapshot(spark, small_world):
+    """stop-snapshot (pipeline/signal/actions/snapshotting/StopSnapshot
+    .java:31) cancels an in-flight incremental snapshot at chunk
+    granularity: the loop halts after the current chunk with per-chunk
+    fences intact, emits ABORTED, and a later execute-snapshot
+    completes the work idempotently (already-applied chunks are LWW
+    no-ops)."""
+    import threading
+
+    sig_path = f"{small_world}/sig_stop.jsonl"
+    ch = SignalChannel(sig_path)
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            signal_path=sig_path,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_stopsnap",
+        ),
+    )
+    eng.stream()
+
+    # fire stop-snapshot as soon as the first chunk committed
+    def stop_after_first_chunk():
+        import time
+
+        while not any(
+            n["type"] == "IN_PROGRESS" for n in eng.notifications.read()
+        ):
+            time.sleep(0.01)
+        ch.send("st", "stop-snapshot")
+
+    t = threading.Thread(target=stop_after_first_chunk, daemon=True)
+    t.start()
+    results = eng.incremental_snapshot(chunk_size=12)
+    t.join()
+    notes = eng.notifications.read()
+    aborted = [
+        n for n in notes
+        if n["aggregate_type"] == "Incremental Snapshot"
+        and n["type"] == "ABORTED"
+    ]
+    assert aborted, "stop-snapshot did not abort the snapshot"
+    assert aborted[-1]["additional_data"]["chunks_done"] < aborted[-1][
+        "additional_data"
+    ]["of"]
+    assert len(results) >= 1  # at least the first chunk committed
+
+    # a later execute-snapshot completes the remainder; final state =
+    # full replay + back-filled untouched keys (idempotent resume)
+    results2 = eng.incremental_snapshot(chunk_size=12)
+    assert all(not r.get("skipped") for r in results2)
+    src = spark.read.parquet(f"{small_world}/src")
+    assert eng.final_state().count() >= src.count() * 0.5
+    # incremental fences stayed monotone across the abort: every
+    # (batch, partition) committed exactly once, batch ids in order
+    pairs = [
+        (r["batch_id"], r["partition_id"])
+        for r in eng.lake.lineage()
+        if r["phase"] == "incremental"
+    ]
+    assert len(pairs) == len(set(pairs))
+    ids = [b for b, _ in pairs]
+    assert ids == sorted(ids)
+
+
+def test_pause_resume_snapshot_round_trip(spark, small_world):
+    """pause-snapshot stalls the chunk loop between chunks until a
+    resume-snapshot arrives (PauseIncrementalSnapshot.java /
+    ResumeIncrementalSnapshot.java); the snapshot then completes in
+    full."""
+    import threading
+    import time
+
+    sig_path = f"{small_world}/sig_pause.jsonl"
+    ch = SignalChannel(sig_path)
+    # pre-written: the snapshot's own between-chunk poll must see it
+    # before the first chunk (no engine-loop poll consumes it first)
+    ch.send("p", "pause-snapshot")
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            signal_path=sig_path,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_pausesnap",
+        ),
+    )
+    delay = 0.6
+    t = threading.Thread(
+        target=lambda: (time.sleep(delay), ch.send("r", "resume-snapshot")),
+        daemon=True,
+    )
+    t0 = time.time()
+    t.start()
+    results = eng.incremental_snapshot(chunk_size=40)
+    t.join()
+    assert time.time() - t0 >= delay  # the pause actually stalled
+    assert results and all(not r.get("skipped") for r in results)
+    assert not eng._snapshot_paused
+    notes = eng.notifications.read()
+    assert any(
+        n["aggregate_type"] == "Incremental Snapshot"
+        and n["type"] == "COMPLETED"
+        for n in notes
+    )
+
+
+def test_execute_snapshot_data_collections_and_additional_conditions(
+    spark, small_world
+):
+    """ExecuteSnapshot payload semantics (ExecuteSnapshot.java +
+    AdditionalCondition.java): data-collections scopes the signal to
+    named tables (others are acked no-ops); additional-conditions
+    carries a per-table predicate so only the filtered slice is
+    re-snapshotted — untouched keys are unaffected."""
+    # a sparser world than small_world: many keys stay untouched, so the
+    # filtered back-fill has something to add
+    gen_source_table(spark, 6, 30).write.parquet(f"{small_world}/src_cond")
+    gen_change_log(
+        spark, 6, 30, n_events=150, snapshot_lsn_base=180
+    ).write.parquet(f"{small_world}/log_cond")
+    sig_path = f"{small_world}/sig_cond.jsonl"
+    ch = SignalChannel(sig_path)
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            changelog_path=f"{small_world}/log_cond",
+            source_table_path=f"{small_world}/src_cond",
+            signal_path=sig_path,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_cond",
+        ),
+    )
+    eng.stream()
+    before = {
+        (r["repo"], r["path"]): r["commit"]
+        for r in eng.final_state().collect()
+    }
+
+    # a signal for another table must not trigger anything
+    ch.send("c0", "execute-snapshot", {"data-collections": ["other_table"]})
+    eng.process_signals()
+    assert not any(
+        r["phase"] == "incremental" for r in eng.lake.lineage()
+    )
+    assert ch.poll() == []  # acked as a no-op
+
+    # filtered re-snapshot: only the lang='py' slice is read back
+    ch.send(
+        "c1",
+        "execute-snapshot",
+        {
+            "data-collections": ["repo_files"],
+            "additional-conditions": [
+                {"data-collection": "repo_files", "filter": "lang = 'py'"}
+            ],
+            "chunk_size": 40,
+        },
+    )
+    eng.process_signals()
+    after = {
+        (r["repo"], r["path"]): r["commit"]
+        for r in eng.final_state().collect()
+    }
+    # streamed values survive (watermark dedup)
+    for k, commit in before.items():
+        assert after[k] == commit, f"filtered snapshot reverted {k}"
+    # newly back-filled keys are exactly the untouched py-slice keys
+    new_keys = set(after) - set(before)
+    src_lang = {
+        (r["repo"], r["path"]): r["lang"]
+        for r in spark.read.parquet(f"{small_world}/src_cond").collect()
+    }
+    assert new_keys, "filtered back-fill added nothing"
+    assert all(src_lang[k] == "py" for k in new_keys)
+
+
+def test_additional_condition_predicate_reaches_the_chunk_scan(
+    spark, small_world
+):
+    """The additional-condition predicate must be visible as a pushed
+    filter on the chunk's pruned scan — at 100 TB the re-snapshot reads
+    only matching row groups, not the whole table."""
+    from pyspark.sql import functions as SF
+
+    from debezium_spark.sources.incremental import (
+        plan_chunk_bounds,
+        read_chunk_range,
+    )
+
+    src = spark.read.parquet(f"{small_world}/src").filter(
+        SF.expr("lang = 'py'")
+    )
+    bounds = plan_chunk_bounds(src, 16)
+    chunk = read_chunk_range(src, None, bounds[0])
+    plan = chunk._sc._jvm.PythonSQLUtils.explainString(
+        chunk._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,py)" in plan
+
+
+def test_incremental_snapshot_is_read_only_on_the_log(spark, small_world):
+    """Read-only incremental-snapshot semantics
+    (MySqlReadOnlyIncrementalSnapshotChangeEventSource analogue): the
+    engine's committed-offset watermark never writes control rows to
+    the change log — the log's file set is byte-identical across the
+    snapshot."""
+    import os
+
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_ro",
+        ),
+    )
+    eng.stream(max_batches=2)
+    log_dir = f"{small_world}/log"
+
+    def fingerprint():
+        out = {}
+        for n in sorted(os.listdir(log_dir)):
+            p = os.path.join(log_dir, n)
+            st = os.stat(p)
+            out[n] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = fingerprint()
+    eng.incremental_snapshot(chunk_size=40)
+    assert fingerprint() == before
+
+
+def test_empty_changelog_is_clean_noop(spark, tmp_root):
+    """A WAL tail that starts before the first log segment lands (or a
+    log with zero events) must be a clean no-op, not an int(None)
+    crash (lsn_bounds on an empty/missing log)."""
+    from debezium_spark.envelope import EVENT_SCHEMA
+    from debezium_spark.generator import gen_source_table
+
+    gen_source_table(spark, 2, 10).write.parquet(f"{tmp_root}/src")
+
+    # missing log directory
+    eng = Engine(
+        spark,
+        _cfg(
+            tmp_root,
+            changelog_path=f"{tmp_root}/no_such_log",
+            lake_root=f"{tmp_root}/lake_nolog",
+        ),
+    )
+    res = eng.run()
+    assert len(res) == 1 and not res[0].get("skipped")  # snapshot only
+    assert eng.final_state().count() == 20
+
+    # present-but-empty log (zero events)
+    spark.createDataFrame([], EVENT_SCHEMA).write.parquet(
+        f"{tmp_root}/empty_log"
+    )
+    eng2 = Engine(
+        spark,
+        _cfg(
+            tmp_root,
+            changelog_path=f"{tmp_root}/empty_log",
+            lake_root=f"{tmp_root}/lake_emptylog",
+        ),
+    )
+    res2 = eng2.run()
+    assert len(res2) == 1
+    assert eng2.final_state().count() == 20
+
+
+def test_snapshot_select_statement_override(spark, tmp_root):
+    """snapshot.select.statement.overrides analogue
+    (RelationalDatabaseConnectorConfig.java:346): a per-table predicate
+    + projection restricts what the initial snapshot captures;
+    FIRST/LAST markers are computed over the overridden result set."""
+    from debezium_spark.generator import gen_source_table
+    from debezium_spark.sources.snapshot import snapshot_envelopes
+
+    gen_source_table(spark, 3, 12).write.parquet(f"{tmp_root}/src")
+    eng = Engine(
+        spark,
+        _cfg(
+            tmp_root,
+            changelog_path=f"{tmp_root}/no_log",
+            lake_root=f"{tmp_root}/lake_override",
+            snapshot_overrides={
+                "repo_files": {
+                    "filter": "lang = 'py'",
+                    "columns": ["repo", "path", "commit", "lang"],
+                }
+            },
+        ),
+    )
+    eng.run()
+    rows = eng.final_state().collect()
+    src = spark.read.parquet(f"{tmp_root}/src")
+    n_py = src.filter(F.col("lang") == "py").count()
+    assert 0 < len(rows) == n_py
+    assert all(r["lang"] == "py" for r in rows)
+    # projected-away column was never captured
+    assert all(r["content"] is None for r in rows)
+    assert all(r["commit"] is not None for r in rows)
+
+    # FIRST/LAST markers sit on the min/max key of the FILTERED set
+    filtered = src.filter(F.col("lang") == "py")
+    env = snapshot_envelopes(filtered).select(
+        "key", F.col("source.snapshot").alias("marker")
+    )
+    marks = {r["marker"] for r in env.collect()}
+    assert marks == {"first", "true", "last"}
+    ordered = sorted(
+        (r["key"]["repo"], r["key"]["path"], r["marker"])
+        for r in env.collect()
+    )
+    assert ordered[0][2] == "first" and ordered[-1][2] == "last"
+
+
 def test_extract_schema_to_new_record(spark):
     from debezium_spark.operators.transforms import (
         extract_schema_to_new_record,

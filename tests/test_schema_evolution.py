@@ -187,6 +187,106 @@ def test_evolution_end_to_end(spark, tmp_root):
     assert 0 < n_sized < len(got)
 
 
+def test_streaming_ddl_learned_in_batch_applies_same_batch(spark, tmp_root):
+    """A schema change arriving through the streaming front-end while
+    the tracker ALREADY holds an earlier change must be applied to the
+    lake inside the same micro-batch: data rows alongside it carry the
+    new column, and deferring the apply to the next batch would project
+    their evolved values to NULL permanently. (Engine init must happen
+    BEFORE the second change's log segment exists — otherwise the init
+    scan learns it and the in-batch dispatch path never runs.)"""
+    import shutil
+    import time
+
+    from debezium_spark.generator import schema_change_envelopes
+    from debezium_spark.sources.changelog import write_changelog_ordered
+
+    changes = [
+        {
+            "lsn": BASE + 1,
+            "schema_version": 1,
+            "change_type": "ALTER_RENAME_COLUMN",
+            "column_name": "language",
+            "prev_name": "lang",
+        },
+        {
+            "lsn": BASE + int(2 * N_EVENTS * 0.6),
+            "schema_version": 2,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+        },
+    ]
+    cut_lsn = changes[1]["lsn"]
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    data_log = gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE,
+        schema_change_lsns={c["schema_version"]: c["lsn"] for c in changes},
+    )
+    stage1 = data_log.filter(f"lsn < {cut_lsn}").unionByName(
+        schema_change_envelopes(spark, changes[:1])
+    )
+    stage2 = data_log.filter(f"lsn >= {cut_lsn}").unionByName(
+        schema_change_envelopes(spark, changes[1:])
+    )
+    write_changelog_ordered(stage1, log_path, n_files=3)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_lateddl"),
+        source_table_path=src_path,
+        n_buckets=8,
+    )
+    engine = Engine(spark, cfg)
+    assert engine.tracker.latest_version == 1  # only the rename so far
+
+    # the ADD COLUMN change + the data rows that use it land AFTER init,
+    # in one late segment → one micro-batch holds both the 'm' row and
+    # evolved data rows
+    side = os.path.join(tmp_root, "side")
+    write_changelog_ordered(stage2, side, n_files=1)
+    t0 = time.time() + 5
+    for i, f in enumerate(
+        sorted(
+            n
+            for n in os.listdir(side)
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+    ):
+        shutil.copy(os.path.join(side, f), os.path.join(log_path, f))
+        os.utime(os.path.join(log_path, f), (t0 + i, t0 + i))
+
+    engine.snapshot()
+    engine.run_streaming(
+        checkpoint_dir=os.path.join(tmp_root, "ckpt_lateddl"),
+        max_files_per_trigger=2,
+    )
+    assert engine.lake.table_schema().version == 2
+
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = data_log.toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in engine.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_sized = 0
+    for k, row in got.items():
+        assert row["content"] == oracle[k]["content"], k
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+        n_sized += row["size_bytes"] is not None
+    # rows written by the very batch that learned the ADD COLUMN keep
+    # their size_bytes — the regression dropped ALL of them to NULL
+    assert n_sized > 0
+
+
 def test_incremental_snapshot_preserves_evolved_columns(spark, tmp_root):
     """A back-fill after schema evolution must NOT wipe evolved columns:
     chunk rows carry the live source's evolved values at the current
