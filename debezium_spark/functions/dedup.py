@@ -326,67 +326,148 @@ def simhash64(
     )
 
 
+def simhash_blocks(n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) of each block when the 64-bit signature is split
+    into ``n_blocks`` near-equal blocks (wider blocks first)."""
+    base, rem = divmod(64, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def _block_col(off: int, width: int) -> Column:
+    """Block value extracted from the (hi, lo) 32-bit halves — every
+    intermediate stays in non-negative signed-64 range, so the same
+    arithmetic runs in any SQL engine (mirrored by
+    :func:`simhash_block_sql`)."""
+    mask = (1 << width) - 1
+    lo, hi = F.col("simhash_lo"), F.col("simhash_hi")
+    if off + width <= 32:
+        v = F.shiftright(lo, off) if off else lo
+    elif off >= 32:
+        v = F.shiftright(hi, off - 32) if off > 32 else hi
+    else:  # straddles the half boundary
+        v = F.shiftright(lo, off).bitwiseOR(F.shiftleft(hi, 32 - off))
+    return v.bitwiseAND(F.lit(mask))
+
+
+def simhash_block_sql(
+    off: int, width: int, hi: str = "simhash_hi", lo: str = "simhash_lo"
+) -> str:
+    """SQL expression computing the identical block value (for DuckDB
+    oracles) — must stay bit-for-bit in lockstep with
+    :func:`_block_col`."""
+    mask = (1 << width) - 1
+    if off + width <= 32:
+        v = f"({lo} >> {off})" if off else lo
+    elif off >= 32:
+        v = f"({hi} >> {off - 32})" if off > 32 else hi
+    else:
+        v = f"(({lo} >> {off}) | ({hi} << {32 - off}))"
+    return f"({v} & {mask})"
+
+
+def simhash_band_pairs(n_blocks: int) -> list[tuple[int, int]]:
+    """All C(n_blocks, 2) block-index pairs — one band table each."""
+    return [
+        (i, j) for i in range(n_blocks) for j in range(i + 1, n_blocks)
+    ]
+
+
 def simhash_near_pairs(
     df: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Candidate generation: band the 64-bit signature into 4×16-bit
-    chunks — any pair within Hamming 3 shares at least one exact chunk
-    (pigeonhole); for larger radii this is a high-recall heuristic.
-    Join on (chunk_idx, chunk_value), verify with bit_count(xor).
+    Candidate generation (Manku-style paired-block banding): split the
+    64-bit signature into ``max_hamming + 2`` blocks and use every
+    PAIR of blocks as a band key — with ≤ k differing bits at most k
+    blocks are touched, leaving ≥ 2 intact, so some pair matches
+    exactly (pigeonhole): exact recall for Hamming ≤ max_hamming. For
+    k=3 that is C(5,2)=10 tables of ~26-bit keys — a 2^10× larger key
+    space than single 16-bit chunks, so bucket populations stay small
+    as the corpus grows instead of growing as n/65k (the round-2
+    scale-killer).
 
-    Works on the two 32-bit halves (never the packed 64-bit word), so
-    every value stays in non-negative 32-bit range — the identical
-    arithmetic runs in any SQL engine with no overflow/sign games
-    (hamming = popcount(hi_a⊕hi_b) + popcount(lo_a⊕lo_b)).
+    ``max_bucket`` bounds worst-case work by construction: a band
+    bucket holding more than this many docs (a degenerate hot
+    signature region) is dropped from candidate generation — the same
+    discipline as ``max_postings`` in the n-gram index; per-bucket
+    pair work is ≤ max_bucket² regardless of corpus size.
+
+    Shape: ONE groupBy per (table, band-key) building a bounded
+    postings list, pairs generated locally from each list (join-free
+    candidate stage), verified with popcount on the two 32-bit halves
+    (hamming = popcount(hi_a⊕hi_b) + popcount(lo_a⊕lo_b) — every value
+    signed-64-safe, reproducible in any SQL engine).
     """
+    n_blocks = max_hamming + 2
     sig = simhash_parts(df, id_col, text_col)
-    chunk_vals = [
-        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("simhash_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("simhash_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
-    ]
-    chunks = sig.select(
+    blocks = [_block_col(o, w) for o, w in simhash_blocks(n_blocks)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("ti"),
+                (blocks[i] * F.lit(8192) + blocks[j]).alias("bv"),
+            )
+            for t, (i, j) in enumerate(simhash_band_pairs(n_blocks))
+        ]
+    )
+    banded = sig.select(
         "id",
         "simhash_hi",
         "simhash_lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(c).alias("ci"), cv.alias("cv"))
-                    for c, cv in enumerate(chunk_vals)
-                ]
-            )
-        ).alias("ch"),
-    ).select("id", "simhash_hi", "simhash_lo", "ch.ci", "ch.cv")
-    a = chunks.select(
-        "ci",
-        "cv",
-        F.col("id").alias("id_a"),
-        F.col("simhash_hi").alias("hi_a"),
-        F.col("simhash_lo").alias("lo_a"),
+        F.explode(bands).alias("ch"),
+    ).select("id", "simhash_hi", "simhash_lo", "ch.ti", "ch.bv")
+    lists = (
+        banded.groupBy("ti", "bv")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    "id",
+                    F.col("simhash_hi").alias("hi"),
+                    F.col("simhash_lo").alias("lo"),
+                )
+            ).alias("ps")
+        )
+        .filter(F.size("ps").between(2, max_bucket))
+        .select(F.array_sort("ps").alias("ps"))  # unique ids → id order
     )
-    b = chunks.select(
-        "ci",
-        "cv",
-        F.col("id").alias("id_b"),
-        F.col("simhash_hi").alias("hi_b"),
-        F.col("simhash_lo").alias("lo_b"),
+    pair = lambda x, y: F.struct(  # noqa: E731
+        x["id"].alias("id_a"),
+        y["id"].alias("id_b"),
+        x["hi"].alias("hi_a"),
+        x["lo"].alias("lo_a"),
+        y["hi"].alias("hi_b"),
+        y["lo"].alias("lo_b"),
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, max_bucket),
+                lambda y: pair(x, y),
+            ),
+        )
+    )
+    cand = (
+        lists.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
     )
     hamming = (
         F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
         + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
     ).cast("long")
     return (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -54,6 +54,27 @@ def hyperplanes(
     return _planes(dim, n_planes, seed)
 
 
+def auto_plane_count(
+    n_rows: int,
+    target_bucket: int = 4,
+    ladder: tuple[int, ...] = (8, 16, 24, 32),
+) -> int:
+    """Corpus-scaled LSH width: the smallest ladder width ``w`` whose
+    bucket space keeps the MEAN population at or under
+    ``target_bucket`` (``2^w · target_bucket ≥ n``). A fixed width is
+    a fixture-scale artifact — bucket populations grow linearly with
+    the corpus, so within-bucket pair work re-becomes quadratic at the
+    10^10 target; scaling w ≈ log2(n / target_bucket) keeps expected
+    per-bucket work constant at any n (the hard worst-case bound is
+    the separate ``max_bucket`` population cap). The ladder is
+    deliberately coarse so widths stay stable across nearby corpus
+    sizes (an oracle can enumerate the variants)."""
+    for w in ladder:
+        if (1 << w) * target_bucket >= n_rows:
+            return w
+    return ladder[-1]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -134,22 +155,44 @@ def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "qvec",
+    max_bucket: int | None = None,
+    target_bucket: int = 32,
+    ladder: tuple[int, ...] = (4, 8, 16, 32),
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored. Recall trades with n_planes; bucket join replaces the
     full scan — at 10^10 vectors this is the difference between a
-    broadcast-scan and an indexed lookup."""
+    broadcast-scan and an indexed lookup.
+
+    ``n_planes=None`` (default) scales the width to the corpus
+    (:func:`auto_plane_count`, one count job) so mean bucket size stays
+    ~``target_bucket`` at any n. ``max_bucket`` additionally hard-caps
+    each bucket's corpus population (first ``max_bucket`` ids,
+    deterministic) — the bucketed index is materialized once in
+    production, so the cap's window runs at index build, not per
+    query."""
+    if n_planes is None:
+        n_planes = auto_plane_count(
+            corpus.count(), target_bucket=target_bucket, ladder=ladder
+        )
     planes = _planes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         _as_double(F.col(vec_col)).alias("v"),
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket").orderBy("nbr_id")
+        c = (
+            c.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
     q = queries.select(
         F.col(qid_col).alias("query_id"),
         _as_double(F.col(qvec_col)).alias("qv"),
@@ -171,24 +214,37 @@ def ann_lsh_topk(
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
     integer_sim: bool = False,
+    max_bucket: int | None = 64,
+    target_bucket: int = 4,
+    ladder: tuple[int, ...] = (8, 16, 24, 32),
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold).
 
     ``exact=True`` compares all pairs via a self-join keyed by a
     broadcast of ids — only for oracle-checkable small inputs.
     Default path buckets by LSH signature first (the scale path):
-    candidate generation is an equi-join on (table, bucket) — never a
-    cross join. ``n_tables`` is the OR-construction: each table uses
-    independently seeded planes, a pair is a candidate if it collides
-    in ANY table (recall at cosine c is 1-(1-p^n_planes)^n_tables with
+    candidates share a (table, bucket) key — never a cross join.
+    ``n_tables`` is the OR-construction: each table uses independently
+    seeded planes, a pair is a candidate if it collides in ANY table
+    (recall at cosine c is 1-(1-p^n_planes)^n_tables with
     p = 1 - acos(c)/π).
+
+    Two bounds keep candidate work from going quadratic at corpus
+    scale: ``n_planes=None`` scales the signature width with the
+    corpus (:func:`auto_plane_count` — mean bucket stays
+    ~``target_bucket`` at any n), and ``max_bucket`` hard-caps each
+    bucket's population (an over-full bucket — a degenerate hot region
+    — is dropped, the ``max_postings`` discipline), making per-bucket
+    pair work ≤ max_bucket² by construction. With ``max_bucket`` set,
+    candidate generation is join-free: ONE groupBy per (table, bucket)
+    builds a bounded postings list and pairs explode locally.
 
     ``integer_sim=True`` emits ``sim_dmil = floor(cosine·1e4)`` instead
     of a rounded double — the engine-portable form a SQL oracle can
@@ -202,6 +258,10 @@ def cosine_near_dup_pairs(
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        if n_planes is None:
+            n_planes = auto_plane_count(
+                base.count(), target_bucket=target_bucket, ladder=ladder
+            )
         buckets = [
             F.struct(
                 F.lit(t).alias("tbl"),
@@ -214,17 +274,45 @@ def cosine_near_dup_pairs(
         bk = base.select(
             "id", "v", F.explode(F.array(*buckets)).alias("tb")
         ).select("id", "v", "tb.tbl", "tb.bk")
-        a = bk.select(
-            "tbl", "bk", F.col("id").alias("id_a"), F.col("v").alias("va")
-        )
-        b = bk.select(
-            "tbl", "bk", F.col("id").alias("id_b"), F.col("v").alias("vb")
-        )
-        pairs = (
-            a.join(b, ["tbl", "bk"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
+        if max_bucket is not None:
+            lists = (
+                bk.groupBy("tbl", "bk")
+                .agg(F.collect_list(F.struct("id", "v")).alias("ps"))
+                .filter(F.size("ps").between(2, max_bucket))
+                .select(F.array_sort("ps").alias("ps"))  # unique ids
+            )
+            mk = lambda x, y: F.struct(  # noqa: E731
+                x["id"].alias("id_a"),
+                y["id"].alias("id_b"),
+                x["v"].alias("va"),
+                y["v"].alias("vb"),
+            )
+            pairs_arr = F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, max_bucket),
+                        lambda y: mk(x, y),
+                    ),
+                )
+            )
+            pairs = (
+                lists.select(F.explode(pairs_arr).alias("p"))
+                .select("p.*")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+        else:
+            a = bk.select(
+                "tbl", "bk", F.col("id").alias("id_a"), F.col("v").alias("va")
+            )
+            b = bk.select(
+                "tbl", "bk", F.col("id").alias("id_b"), F.col("v").alias("vb")
+            )
+            pairs = (
+                a.join(b, ["tbl", "bk"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .dropDuplicates(["id_a", "id_b"])
+            )
     if integer_sim:
         sim = F.floor(cosine(F.col("va"), F.col("vb")) * 1e4).cast("long")
         # round, not truncate: 0.7*1e4 is 6999.999... in IEEE754

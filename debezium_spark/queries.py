@@ -1361,40 +1361,59 @@ def text_simhash(spark, sf_dir):
     )
 
 
-_SIMHASH_NEAR_ORACLE = f"""
+def _simhash_near_oracle(max_hamming: int = 3, max_bucket: int = 64) -> str:
+    """Mirror of dedup.simhash_near_pairs: paired-block band keys
+    (C(k+2, 2) tables), population-capped buckets, popcount verify —
+    block expressions generated from the same helpers so the two
+    engines stay in bit-for-bit lockstep."""
+    n_blocks = max_hamming + 2
+    blocks = [
+        D.simhash_block_sql(o, w) for o, w in D.simhash_blocks(n_blocks)
+    ]
+    tables = D.simhash_band_pairs(n_blocks)
+    cases = " ".join(
+        f"WHEN {t} THEN ({blocks[i]} * 8192 + {blocks[j]})"
+        for t, (i, j) in enumerate(tables)
+    )
+    return f"""
     WITH sig AS ({_SIMHASH_ORACLE}),
-    chunks AS (
-      SELECT doc_id AS id, simhash_hi, simhash_lo, c.ci,
-             CASE c.ci
-               WHEN 0 THEN simhash_lo & 65535
-               WHEN 1 THEN (simhash_lo >> 16) & 65535
-               WHEN 2 THEN simhash_hi & 65535
-               ELSE (simhash_hi >> 16) & 65535 END AS cv
-      FROM sig, LATERAL unnest(range(0, 4)) AS c(ci)
+    bands AS (
+      SELECT doc_id AS id, simhash_hi, simhash_lo, t.ti,
+             CASE t.ti {cases} END AS bv
+      FROM sig, LATERAL unnest(range(0, {len(tables)})) AS t(ti)
+    ),
+    ok AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY ti, bv) AS bsz FROM bands
+      ) WHERE bsz BETWEEN 2 AND {max_bucket}
     ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
              a.simhash_hi AS hi_a, a.simhash_lo AS lo_a,
              b.simhash_hi AS hi_b, b.simhash_lo AS lo_b
-      FROM chunks a JOIN chunks b USING (ci, cv)
+      FROM ok a JOIN ok b USING (ti, bv)
       WHERE a.id < b.id
     )
     SELECT id_a, id_b,
            CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
                 AS BIGINT) AS hamming
     FROM cand
-    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
-"""
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+          <= {max_hamming}
+    """
 
 
-@_q("dedup_simhash_near", _SIMHASH_NEAR_ORACLE)
+@_q("dedup_simhash_near", _simhash_near_oracle())
 def dedup_simhash_near(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3: exact recall under 4×16-bit
-    chunk banding by pigeonhole) + popcount verification on the 32-bit
-    halves — every value stays unsigned-32-safe so the DuckDB oracle
-    runs the identical arithmetic."""
+    """SimHash near-dup pairs (Hamming ≤ 3, exact recall by pigeonhole
+    over C(5,2)=10 paired-block band tables of ~26-bit keys) + popcount
+    verification on the 32-bit halves. Band buckets are population-
+    capped (max_bucket=64) so candidate work stays bounded by
+    construction at any corpus size — the 16-bit single-chunk scheme's
+    buckets grew as n/65k. Every value stays signed-64-safe so the
+    DuckDB oracle runs the identical arithmetic."""
     return D.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3
+        _t(spark, sf_dir, "documents"), max_hamming=3, max_bucket=64
     )
 
 
@@ -1482,19 +1501,53 @@ def _cos_dmil(a: str, b: str) -> str:
       * 1e4)::BIGINT"""
 
 
-def _near_dup_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
-    banded = " UNION ALL ".join(
-        f"SELECT vec_id, v, {t} AS tbl, "
-        + _sql_bucket(S.hyperplanes(64, n_planes, seed=f"lsh{t}"))
-        + " AS bk FROM e"
-        for t in range(n_tables)
-    )
+def _width_variants(
+    target_bucket: int, ladder: tuple[int, ...], cover_n: int = 100_000
+) -> list[tuple[int, int, int]]:
+    """(width, n_lo_exclusive, n_hi_inclusive) ladder rungs covering
+    corpus counts up to ``cover_n`` — exactly the widths
+    similarity.auto_plane_count picks in that range. The oracle
+    enumerates these; production corpora beyond cover_n continue up
+    the same ladder in the library."""
+    out, prev = [], 0
+    for w in ladder:
+        bound = (1 << w) * target_bucket
+        out.append((w, prev, bound))
+        prev = bound
+        if bound >= cover_n:
+            break
+    return out
+
+
+def _near_dup_oracle(n_tables: int = 4, max_bucket: int = 64) -> str:
+    # corpus-count-gated width variants: the SAME rule the Spark side
+    # evaluates (auto_plane_count, target_bucket=4, ladder 8/16/24/32),
+    # so exactly one branch is non-empty for any input
+    parts = []
+    for w, lo, hi in _width_variants(4, (8, 16, 24, 32)):
+        banded = " UNION ALL ".join(
+            f"SELECT vec_id, v, {t} AS tbl, "
+            + _sql_bucket(S.hyperplanes(64, w, seed=f"lsh{t}"))
+            + " AS bk FROM e"
+            for t in range(n_tables)
+        )
+        parts.append(
+            f"SELECT * FROM ({banded}) WHERE"
+            f" (SELECT c FROM n) > {lo} AND (SELECT c FROM n) <= {hi}"
+        )
+    banded_all = " UNION ALL ".join(parts)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    banded AS ({banded}),
+    n AS (SELECT COUNT(*) AS c FROM e),
+    banded AS ({banded_all}),
+    ok AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY tbl, bk) AS bsz FROM banded
+      ) WHERE bsz BETWEEN 2 AND {max_bucket}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM banded a JOIN banded b USING (tbl, bk)
+      FROM ok a JOIN ok b USING (tbl, bk)
       WHERE a.vec_id < b.vec_id
     ),
     p AS (
@@ -1511,31 +1564,52 @@ def _near_dup_oracle(n_planes: int = 8, n_tables: int = 4) -> str:
 @_q("embedding_near_dup", _near_dup_oracle())
 def embedding_near_dup(spark, sf_dir):
     """Embedding near-dup pairs (cosine ≥ 0.35, integer deci-milli) via
-    multi-table hyperplane LSH — the 10^10-vector scale shape: candidate
-    generation is an equi-join on (table, bucket-signature), never an
-    all-pairs join; 8 planes × 4 OR-tables keeps ~90% recall at
-    cosine ≥ 0.95 while cutting candidates by ~2^8 per table. The
-    DuckDB oracle inlines the deterministic md5-seeded plane literals
-    and reproduces the exact candidate set."""
+    multi-table hyperplane LSH — the 10^10-vector scale shape with both
+    bounds on candidate work: the signature WIDTH scales with the
+    corpus (auto_plane_count: mean bucket ~4 at any n — a fixed width's
+    buckets grow linearly with corpus and pair work goes quadratic) and
+    each bucket's population is hard-capped (max_bucket=64, the
+    max_postings discipline), so per-bucket pair work is bounded by
+    construction. Candidate generation is join-free: one groupBy per
+    (table, bucket) with local pair explosion from the bounded lists.
+    The DuckDB oracle inlines the deterministic md5-seeded plane
+    literals for every ladder width in the test range, gated by the
+    same corpus-count rule, and reproduces the exact candidate set."""
     e = _t(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(
         e,
         threshold=0.35,
-        n_planes=8,
+        n_planes=None,  # corpus-scaled (target_bucket=4, ladder 8/16/24/32)
         n_tables=4,
         dim=64,
         exact=False,
         integer_sim=True,
+        max_bucket=64,
     )
 
 
-def _ann_lsh_oracle(n_planes: int = 4) -> str:
-    bucket = _sql_bucket(S.hyperplanes(64, n_planes, seed="lsh"))
+def _ann_lsh_oracle(max_bucket: int = 256) -> str:
+    # same count-gated width ladder the Spark side evaluates
+    # (auto_plane_count, target_bucket=32, ladder 4/8/16/32)
+    parts = []
+    for w, lo, hi in _width_variants(32, (4, 8, 16, 32)):
+        bucket = _sql_bucket(S.hyperplanes(64, w, seed="lsh"))
+        parts.append(
+            f"SELECT vec_id, v, {bucket} AS bk FROM e WHERE"
+            f" (SELECT c FROM n) > {lo} AND (SELECT c FROM n) <= {hi}"
+        )
+    bucketed = " UNION ALL ".join(parts)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c AS (SELECT vec_id AS nbr_id, v, {bucket} AS bk FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, {bucket} AS bk
-          FROM e WHERE vec_id < 10),
+    n AS (SELECT COUNT(*) AS c FROM e),
+    bkt AS ({bucketed}),
+    c AS (
+      SELECT vec_id AS nbr_id, v, bk FROM bkt
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY bk ORDER BY vec_id)
+              <= {max_bucket}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bk FROM bkt
+          WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, c.nbr_id, {_cos_dmil('q.qv', 'c.v')} AS sim_dmil
       FROM q JOIN c USING (bk) WHERE c.nbr_id <> q.query_id
@@ -1553,13 +1627,20 @@ def _ann_lsh_oracle(n_planes: int = 4) -> str:
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (random-hyperplane signatures,
     bucket equi-join, exact re-rank inside buckets) — the 10^10-vector
-    scale path. Integer deci-milli similarity + inlined plane literals
-    make the DuckDB oracle exact."""
+    scale path. The signature width scales with the corpus
+    (auto_plane_count: mean bucket ~32 at any n) and each bucket's
+    corpus population is hard-capped (max_bucket=256, applied once at
+    index build), so a query's candidate list is bounded by
+    construction. Integer deci-milli similarity + inlined plane
+    literals (every ladder width in the test range, gated by the same
+    corpus-count rule) make the DuckDB oracle exact."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return S.ann_lsh_topk(e, q, k=5, n_planes=4, dim=64)
+    return S.ann_lsh_topk(
+        e, q, k=5, n_planes=None, dim=64, max_bucket=256
+    )
 
 
 @_q(

@@ -160,6 +160,51 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(0, 1)] == 0
 
 
+def test_simhash_banding_exact_recall_vs_brute_force(spark):
+    """Paired-block banding must find EVERY pair within Hamming ≤ k
+    (pigeonhole over k+2 blocks) — checked against a brute-force
+    popcount over all pairs of the sf0.001 documents corpus with the
+    bucket cap disabled."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {
+        r["id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in D.simhash_parts(docs).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        ha, la = sigs[a]
+        for b in ids[i + 1 :]:
+            hb, lb = sigs[b]
+            if bin(ha ^ hb).count("1") + bin(la ^ lb).count("1") <= 3:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(
+            docs, max_hamming=3, max_bucket=10**9
+        ).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture has near-dup clusters
+
+
+def test_simhash_bucket_cap_bounds_hot_buckets(spark):
+    """max_bucket drops degenerate hot buckets by construction: a
+    cluster larger than the cap produces no pairs (bounded work), a
+    small cluster still pairs fully."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    rows += [(100 + i, "one two three four five six seven") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(df, max_hamming=3, max_bucket=4).collect()
+    }
+    assert pairs == {(100, 101), (100, 102), (101, 102)}
+    # cap lifted: the big cluster's 45 pairs appear
+    uncapped = D.simhash_near_pairs(df, max_hamming=3, max_bucket=64).count()
+    assert uncapped == 45 + 3
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
@@ -211,6 +256,47 @@ def test_ann_lsh_topk_subset_of_bruteforce(spark, vecs):
     approx = S.ann_lsh_topk(vecs, q, k=3, n_planes=2, dim=4).collect()
     brute = S.brute_force_topk(vecs, q, k=4).collect()
     assert {r["nbr_id"] for r in approx} <= {r["nbr_id"] for r in brute}
+
+
+def test_auto_plane_count_scales_with_corpus():
+    """The width rule must grow ~log2(n): fixed widths make bucket
+    populations linear in corpus size (quadratic pair work at 10^10)."""
+    a = S.auto_plane_count
+    assert a(100) == 8
+    assert a(1024) == 8  # boundary inclusive
+    assert a(1025) == 16
+    assert a(10**6) == 24
+    assert a(10**10) == 32
+    assert a(10**12) == 32  # ladder top
+    # ann ladder
+    assert a(500, target_bucket=32, ladder=(4, 8, 16, 32)) == 4
+    assert a(5000, target_bucket=32, ladder=(4, 8, 16, 32)) == 8
+    # monotone non-decreasing in n
+    widths = [a(n) for n in (10, 10**3, 10**4, 10**6, 10**9, 10**11)]
+    assert widths == sorted(widths)
+    # mean bucket population stays bounded at every rung
+    for n in (10**3, 10**6, 10**9):
+        assert n / (1 << a(n)) <= 4
+
+
+def test_embedding_bucket_cap_bounds_hot_buckets(spark):
+    """max_bucket drops degenerate hot buckets (population > cap) from
+    candidate generation — bounded work by construction; small clusters
+    still pair fully."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(100 + i, [0.0, 0.0, 1.0, 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in S.cosine_near_dup_pairs(
+            df, threshold=0.9, n_planes=4, dim=4, max_bucket=4
+        ).collect()
+    }
+    assert capped == {(100, 101), (100, 102), (101, 102)}
+    uncapped = S.cosine_near_dup_pairs(
+        df, threshold=0.9, n_planes=4, dim=4, max_bucket=64
+    ).count()
+    assert uncapped == 45 + 3
 
 
 def test_media_table_and_metadata(spark, docs):

@@ -132,15 +132,17 @@ def test_minhash_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_embedding_near_dup_is_bucketed_equi_join(spark):
-    # the measured near-dup query must be the LSH shape: candidate
-    # generation via (table, bucket) equi-join — an all-pairs
-    # nested-loop would be quadratic at any scale
+def test_embedding_near_dup_candidate_stage_is_join_free(spark):
+    # the measured near-dup query is the capped-LSH shape: bounded
+    # postings lists per (table, bucket) in one groupBy, pairs explode
+    # locally and carry their vectors — NO join anywhere, so per-bucket
+    # work is ≤ max_bucket² at any corpus size (an all-pairs
+    # nested-loop would be quadratic at any scale)
     from debezium_spark.queries import embedding_near_dup
 
     plan = plan_of(embedding_near_dup(spark, SF_DIR))
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ngram_jaccard_has_postings_cap(spark):
@@ -150,6 +152,18 @@ def test_ngram_jaccard_has_postings_cap(spark):
     from debezium_spark.queries import dedup_ngram_jaccard
 
     plan = plan_of(dedup_ngram_jaccard(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_near_dup_candidate_stage_is_join_free(spark):
+    # paired-block banding builds bounded postings lists in one groupBy
+    # (population-capped buckets); pairs are generated locally from
+    # each list — the candidate stage has NO join, so per-bucket work
+    # is ≤ max_bucket² at any corpus size
+    from debezium_spark.queries import dedup_simhash_near
+
+    plan = plan_of(dedup_simhash_near(spark, SF_DIR))
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
