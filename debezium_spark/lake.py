@@ -39,10 +39,20 @@ from debezium_spark.schema_evolution import TableSchema
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        broadcast_merge_threshold: int = 50_000,
+    ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # compacted change sets at or under this row count merge via the
+        # broadcast plan (state side exchange-free); larger ones fall
+        # back to the shuffled full-outer join
+        self.broadcast_merge_threshold = broadcast_merge_threshold
         self._manifest_cache: dict[int, dict] = {}
 
     # -- layout helpers ------------------------------------------------
@@ -201,9 +211,13 @@ class LakeTable:
         guard (state keeps the hidden ``_lsn`` of the event that wrote
         each row) makes any stale or duplicated event a no-op, so even
         out-of-order batch delivery converges to the same final state.
-        Only touched buckets are read and rewritten (copy-on-write);
-        on Iceberg both sides are bucket-partitioned, so this join is a
-        storage-partitioned join with no shuffle of the big side.
+        Only touched buckets are read and rewritten (copy-on-write).
+        Sparse batches (change set ≤ ``broadcast_merge_threshold``)
+        apply via :meth:`_merge_new_state`'s broadcast plan — the state
+        side flows scan → broadcast join → write with zero shuffles,
+        matching what Iceberg's storage-partitioned join gives the
+        production path; dense batches fall back to one full-outer
+        shuffle join (or use :meth:`merge_full`).
         """
         man = self.manifest()
         if batch_id <= self.last_batch_id(phase):
@@ -241,50 +255,22 @@ class LakeTable:
             old = self.read_state(buckets=touched, logical=False, with_sys=True)
             if truncate_lsn is not None:
                 old = old.filter(F.col("_lsn") > truncate_lsn)
-            phys = [c["physical"] for c in schema.columns]
-            types = {c["physical"]: c["type"] for c in schema.columns}
-            non_key = [p for p in phys if p not in ("repo", "path")]
-            o = old.select(
-                "repo",
-                "path",
-                F.col("_lsn").alias("__o_lsn"),
-                *[F.col(p).alias(f"__o_{p}") for p in non_key],
-            )
-            c = changes.select(
-                "repo",
-                "path",
-                F.col("lsn").alias("__c_lsn"),
-                F.col("op").alias("__c_op"),
-                *[
-                    F.col(p).cast(types[p]).alias(f"__c_{p}")
-                    for p in non_key
-                ],
-            )
-            j = o.join(c, ["repo", "path"], "full_outer")
-            take = F.col("__c_lsn").isNotNull() & (
-                F.col("__o_lsn").isNull() | (F.col("__c_lsn") > F.col("__o_lsn"))
-            )
-            deleted = take & (F.col("__c_op") == "d")
-            survives = ~deleted & (F.col("__o_lsn").isNotNull() | take)
-            new_state = j.filter(survives).select(
-                "repo",
-                "path",
-                *[
-                    F.when(take, F.col(f"__c_{p}"))
-                    .otherwise(F.col(f"__o_{p}"))
-                    .alias(p)
-                    for p in non_key
-                ],
-                F.when(take, F.col("__c_lsn"))
-                .otherwise(F.col("__o_lsn"))
-                .cast("bigint")
-                .alias("_lsn"),
-            )
-            new_state = new_state.withColumn("bucket", self._bucket_col())
+            use_bc = n_changes <= self.broadcast_merge_threshold
+            new_state = self._merge_new_state(
+                old, changes, schema, broadcast=use_bc
+            ).withColumn("bucket", self._bucket_col())
             out_dir = os.path.join(self.root, f"data/v{new_version}")
+            # broadcast plan: no repartition either — the state flows
+            # scan → broadcast-join → write with ZERO shuffles (tasks
+            # align with the bucket-dir file splits at scale, so
+            # partitionBy still emits ~one file per bucket)
+            writer = (
+                new_state
+                if use_bc
+                else new_state.repartition(max(len(touched), 1), "bucket")
+            )
             (
-                new_state.repartition(max(len(touched), 1), "bucket")
-                .write.partitionBy("bucket")
+                writer.write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(out_dir)
             )
@@ -324,6 +310,96 @@ class LakeTable:
         if lineage_rows:
             self._append_lineage(batch_id, lineage_rows, phase)
         return {"skipped": False, "version": new_version, "batch_id": batch_id}
+
+    def _merge_new_state(
+        self,
+        old: DataFrame,
+        changes: DataFrame,
+        schema: TableSchema,
+        broadcast: bool,
+    ) -> DataFrame:
+        """New state of the touched buckets after applying a KEY-UNIQUE
+        compacted change set to ``old`` under the LSN guard.
+
+        ``broadcast=True`` is the sparse-batch plan (the 10^10-scale
+        steady state): the change set is small, so the big state side
+        never shuffles —
+
+            updates/deletes/carry: old LEFT JOIN broadcast(changes)
+            inserts: changes ANTI broadcast(old-keys SEMI broadcast(changes))
+
+        Every join builds on the broadcast side; the only scan of old
+        beyond the main pass is a column-pruned (repo, path) key scan
+        for insert detection. This is the parquet stand-in's proof of
+        the claim that on Iceberg the merge is a storage-partitioned
+        join: zero Exchange nodes on the state side (plan-pinned in
+        test_plans).
+
+        ``broadcast=False`` is the dense fallback: one full-outer
+        shuffle join of both sides.
+        """
+        phys = [c["physical"] for c in schema.columns]
+        types = {c["physical"]: c["type"] for c in schema.columns}
+        non_key = [p for p in phys if p not in ("repo", "path")]
+        o = old.select(
+            "repo",
+            "path",
+            F.col("_lsn").alias("__o_lsn"),
+            *[F.col(p).alias(f"__o_{p}") for p in non_key],
+        )
+        c = changes.select(
+            "repo",
+            "path",
+            F.col("lsn").alias("__c_lsn"),
+            F.col("op").alias("__c_op"),
+            *[F.col(p).cast(types[p]).alias(f"__c_{p}") for p in non_key],
+        )
+        take = F.col("__c_lsn").isNotNull() & (
+            F.col("__o_lsn").isNull() | (F.col("__c_lsn") > F.col("__o_lsn"))
+        )
+        deleted = take & (F.col("__c_op") == "d")
+        picked = [
+            "repo",
+            "path",
+            *[
+                F.when(take, F.col(f"__c_{p}"))
+                .otherwise(F.col(f"__o_{p}"))
+                .alias(p)
+                for p in non_key
+            ],
+            F.when(take, F.col("__c_lsn"))
+            .otherwise(F.col("__o_lsn"))
+            .cast("bigint")
+            .alias("_lsn"),
+        ]
+        if broadcast:
+            upd = (
+                o.join(F.broadcast(c), ["repo", "path"], "left_outer")
+                .filter(~deleted)
+                .select(*picked)
+            )
+            # matched keys are ≤ |changes| rows — broadcastable for the
+            # anti join, so insert detection costs only a key-pruned
+            # scan of old, never a state-side shuffle
+            matched = o.select("repo", "path").join(
+                F.broadcast(c.select("repo", "path")),
+                ["repo", "path"],
+                "left_semi",
+            )
+            inserts = (
+                c.join(F.broadcast(matched), ["repo", "path"], "left_anti")
+                .filter(F.col("__c_op") != "d")
+                .select(
+                    "repo",
+                    "path",
+                    *[F.col(f"__c_{p}").alias(p) for p in non_key],
+                    F.col("__c_lsn").cast("bigint").alias("_lsn"),
+                )
+            )
+            return upd.unionByName(inserts)
+        j = o.join(c, ["repo", "path"], "full_outer")
+        survives = ~deleted & (F.col("__o_lsn").isNotNull() | take)
+        return j.filter(survives).select(*picked)
 
     def merge_full(
         self,
