@@ -162,16 +162,37 @@ def minhash_signature(
     of hash_j(shingle).
 
     Built as ONE aggregation: explode shingles, compute all J hashes per
-    shingle as an array column, groupBy(id).agg(min per slot) via
-    element-wise array min fold. Map-side combine keeps shuffle volume
-    at J longs per doc regardless of document size.
+    shingle, groupBy(id).agg(min per slot). Map-side combine keeps
+    shuffle volume at J longs per doc regardless of document size.
+
+    Portable hash family: one md5's 32 hex chars yield FOUR independent
+    32-bit words (``int(md5('mh{k}|'+x)[8m:8m+8], 16)``), so J hashes
+    cost ⌈J/4⌉ digest computations per shingle instead of J — the
+    digest is the dominant per-shingle cost at corpus scale. The
+    digests are materialized in an explicit projection before the
+    aggregate so the 4-way reuse never depends on codegen CSE.
     """
     posts = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
     )
     if portable:
-        hashes = [portable_hash32(F.col("shingle"), salt=j) for j in range(num_hashes)]
+        n_digests = (num_hashes + 3) // 4
+        posts = posts.select(
+            "id",
+            *[
+                F.md5(
+                    F.concat(F.lit(f"mh{k}|"), F.col("shingle"))
+                ).alias(f"d{k}")
+                for k in range(n_digests)
+            ],
+        )
+        hashes = [
+            F.conv(
+                F.substring(F.col(f"d{j // 4}"), 1 + 8 * (j % 4), 8), 16, 10
+            ).cast("long")
+            for j in range(num_hashes)
+        ]
     else:
         hashes = [
             F.xxhash64(F.col("shingle"), F.lit(j)) for j in range(num_hashes)

@@ -585,7 +585,13 @@ def topic_name(
                 F.concat(F.lit("_u"), h)
             )
 
-        return F.array_join(F.transform(chars, esc), "")
+        # fast path: a name made only of safe characters is its own
+        # escaping — the all-safe rlike guard lets CASE skip the
+        # per-character split/transform for the (overwhelming) common
+        # case; only names that actually need escaping pay for it
+        return F.when(full.rlike("^[.\\-A-Za-z0-9]*$"), full).otherwise(
+            F.array_join(F.transform(chars, esc), "")
+        )
     raise ValueError(f"unknown topic naming strategy {strategy!r}")
 
 

@@ -916,6 +916,106 @@ def cdc_avro_json_export(spark, sf_dir):
     )
 
 
+def _avro_binary_oracle() -> str:
+    from debezium_spark.functions import serde_binary as B
+
+    zz = B.zigzag_varint_sql
+    cents = "CAST(floor(value * 100) AS BIGINT)"
+    return f"""
+    SELECT event_id,
+           concat(
+             {zz('event_id')},
+             '02', {B.avro_string_sql(f"({_OP_SQL})")},
+             '02', {zz('user_id')},
+             CASE WHEN event_type = 'error' THEN '00'
+                  ELSE concat('02', {zz(cents)}) END
+           ) AS avro_hex,
+           concat('00', '00000001',
+             {zz('event_id')},
+             '02', {B.avro_string_sql(f"({_OP_SQL})")},
+             '02', {zz('user_id')},
+             CASE WHEN event_type = 'error' THEN '00'
+                  ELSE concat('02', {zz(cents)}) END
+           ) AS confluent_hex
+    FROM events
+    """
+
+
+@_q("cdc_avro_binary_export", _avro_binary_oracle())
+def cdc_avro_binary_export(spark, sf_dir):
+    """BINARY Avro export (engine/format/Avro.java; Avro spec binary
+    encoding) — record {lsn: long, op: union(null,string),
+    key: union(null,long), after: union(null,long)}, zigzag-varint
+    longs, length-prefixed UTF-8 strings, union branch indexes; plus
+    the Confluent wire framing (magic 0x00 + big-endian schema id).
+    Pure column expressions — whole-stage codegen, no UDF, no
+    schema-registry client needed for the bytes themselves; emitted as
+    the hex of the wire frame so the DuckDB oracle (built from the
+    same piece structure) matches bit-for-bit."""
+    from debezium_spark.functions import serde_binary as B
+
+    ev = _t(spark, sf_dir, "events")
+    zz = B.zigzag_varint_hex
+    cents = F.floor(F.col("value") * 100).cast("long")
+    body = F.concat(
+        zz(F.col("event_id")),
+        F.lit("02"),
+        B.avro_string_hex(_op_col()),
+        F.lit("02"),
+        zz(F.col("user_id").cast("long")),
+        F.when(F.col("event_type") == "error", F.lit("00")).otherwise(
+            F.concat(F.lit("02"), zz(cents))
+        ),
+    )
+    return ev.select(
+        "event_id",
+        body.alias("avro_hex"),
+        B.confluent_frame_hex(body, schema_id=1).alias("confluent_hex"),
+    )
+
+
+def _protobuf_oracle() -> str:
+    from debezium_spark.functions import serde_binary as B
+
+    cents = "CAST(floor(value * 100) AS BIGINT)"
+    return f"""
+    SELECT event_id,
+           concat(
+             '08', {B.uvarint_sql('event_id')},
+             {B.protobuf_string_field_sql(0x12, f"({_OP_SQL})")},
+             '18', {B.uvarint_sql('user_id')},
+             CASE WHEN event_type = 'error' THEN ''
+                  ELSE concat('20', {B.zigzag_varint_sql(cents)}) END
+           ) AS proto_hex
+    FROM events
+    """
+
+
+@_q("cdc_protobuf_export", _protobuf_oracle())
+def cdc_protobuf_export(spark, sf_dir):
+    """BINARY Protobuf export (engine/format/Protobuf.java; protobuf
+    wire format) — message {int64 lsn=1; string op=2; int64 key=3;
+    optional sint64 after_cents=4}: varint tags/values, len-delimited
+    strings, zigzag for sint64, absent field for the null branch.
+    Pure column expressions, hex of the wire bytes, oracle built from
+    the same piece structure."""
+    from debezium_spark.functions import serde_binary as B
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    proto = F.concat(
+        F.lit("08"),
+        B.uvarint_hex(F.col("event_id").cast("long")),
+        B.protobuf_string_field_hex(0x12, _op_col()),
+        F.lit("18"),
+        B.uvarint_hex(F.col("user_id").cast("long")),
+        F.when(F.col("event_type") == "error", F.lit("")).otherwise(
+            F.concat(F.lit("20"), B.zigzag_varint_hex(cents))
+        ),
+    )
+    return ev.select("event_id", proto.alias("proto_hex"))
+
+
 @_q(
     "cdc_truncate_apply",
     f"""
@@ -1259,8 +1359,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     rows = num_hashes // bands
+    # 4 hash words per md5 digest — same family as
+    # dedup.minhash_signature (portable): md5('mh{k}|'||g) hex chars
+    # [8m, 8m+8)
     mins = ", ".join(
-        f"MIN(CAST(concat('0x', substr(md5('{j}|' || g), 1, 8)) AS BIGINT)) AS h{j}"
+        f"MIN(CAST(concat('0x', substr(md5('mh{j // 4}|' || g),"
+        f" {1 + 8 * (j % 4)}, 8)) AS BIGINT)) AS h{j}"
         for j in range(num_hashes)
     )
     band_keys = ", ".join(
