@@ -32,6 +32,12 @@ KNOWN_TYPES = (
     "stop",
     "execute-snapshot",
     "blocking-snapshot",
+    # in-flight snapshot control, polled between chunks
+    # (actions/snapshotting/StopSnapshot.java:31,
+    # PauseIncrementalSnapshot.java, ResumeIncrementalSnapshot.java)
+    "stop-snapshot",
+    "pause-snapshot",
+    "resume-snapshot",
     "log",
 )
 
