@@ -91,30 +91,16 @@ def ngram_jaccard_pairs(
     sized = sized.filter(F.col("n_sh") > 0)
     posts = sized.select("id", "n_sh", F.explode("sh").alias("shingle"))
     if max_postings is not None:
-        lists = (
-            posts.groupBy("shingle")
-            .agg(F.collect_list(F.struct("id", "n_sh")).alias("ps"))
-            .filter(F.size("ps").between(2, max_postings))
-            .select(F.array_sort("ps").alias("ps"))  # unique ids → id order
+        # shared capped-postings pair stage; co-occurrences keep their
+        # multiplicity — the per-pair count IS the intersection size
+        co = capped_pair_explode(
+            posts, ["shingle"], F.struct("id", "n_sh"), max_postings
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
-        # all i<j pairs within each (bounded ≤ cap) postings list,
-        # generated JVM-side: flatten(transform_i(slice_after_i))
-        pair = lambda x, y: F.struct(  # noqa: E731
-            x["id"].alias("id_a"),
-            y["id"].alias("id_b"),
-            x["n_sh"].alias("n_a"),
-            y["n_sh"].alias("n_b"),
-        )
-        pairs_arr = F.flatten(
-            F.transform(
-                F.col("ps"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ps"), i + 2, max_postings),
-                    lambda y: pair(x, y),
-                ),
-            )
-        )
-        co = lists.select(F.explode(pairs_arr).alias("p")).select("p.*")
     else:
         a = posts.select(
             F.col("shingle"),
@@ -398,6 +384,45 @@ def simhash_band_pairs(n_blocks: int) -> list[tuple[int, int]]:
     ]
 
 
+def capped_pair_explode(
+    bucketed: DataFrame, key_cols: list[str], item: Column, cap: int
+) -> DataFrame:
+    """All i<j item pairs co-located in a bucket whose population is in
+    ``[2, cap]`` — the shared capped-postings candidate stage (n-gram
+    inverted index, simhash bands, embedding LSH buckets all use this
+    exact shape).
+
+    ``item`` must be a struct whose FIRST field is the item's unique
+    id (postings sort by it, and the strict ``a.id < b.id`` guard
+    excludes self-pairs if an id ever appears twice in one bucket).
+    Returns columns ``a``, ``b`` (the item structs) WITH multiplicity —
+    one row per co-occurrence, so callers that count shared buckets
+    (n-gram) aggregate, and callers that want distinct pairs
+    (simhash / embeddings) dropDuplicates on ``(a.id, b.id)``.
+    One groupBy; pair work ≤ cap² per bucket by construction; no join.
+    """
+    lists = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.collect_list(item).alias("ps"))
+        .filter(F.size("ps").between(2, cap))
+        .select(F.array_sort("ps").alias("ps"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, cap),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        lists.select(F.explode(pairs_arr).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a")["id"] < F.col("b")["id"])
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -431,12 +456,19 @@ def simhash_near_pairs(
     """
     n_blocks = max_hamming + 2
     sig = simhash_parts(df, id_col, text_col)
-    blocks = [_block_col(o, w) for o, w in simhash_blocks(n_blocks)]
+    layout = simhash_blocks(n_blocks)
+    blocks = [_block_col(o, w) for o, w in layout]
     bands = F.array(
         *[
             F.struct(
                 F.lit(t).alias("ti"),
-                (blocks[i] * F.lit(8192) + blocks[j]).alias("bv"),
+                # band key = b_i · 2^width_j + b_j — the multiplier is
+                # block j's OWN width so the key is injective for any
+                # block layout (a fixed 8192 collided whenever
+                # width_j > 13, silently merging buckets)
+                (
+                    blocks[i] * F.lit(1 << layout[j][1]) + blocks[j]
+                ).alias("bv"),
             )
             for t, (i, j) in enumerate(simhash_band_pairs(n_blocks))
         ]
@@ -447,40 +479,21 @@ def simhash_near_pairs(
         "simhash_lo",
         F.explode(bands).alias("ch"),
     ).select("id", "simhash_hi", "simhash_lo", "ch.ti", "ch.bv")
-    lists = (
-        banded.groupBy("ti", "bv")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    "id",
-                    F.col("simhash_hi").alias("hi"),
-                    F.col("simhash_lo").alias("lo"),
-                )
-            ).alias("ps")
-        )
-        .filter(F.size("ps").between(2, max_bucket))
-        .select(F.array_sort("ps").alias("ps"))  # unique ids → id order
-    )
-    pair = lambda x, y: F.struct(  # noqa: E731
-        x["id"].alias("id_a"),
-        y["id"].alias("id_b"),
-        x["hi"].alias("hi_a"),
-        x["lo"].alias("lo_a"),
-        y["hi"].alias("hi_b"),
-        y["lo"].alias("lo_b"),
-    )
-    pairs_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, max_bucket),
-                lambda y: pair(x, y),
-            ),
-        )
+    item = F.struct(
+        "id",
+        F.col("simhash_hi").alias("hi"),
+        F.col("simhash_lo").alias("lo"),
     )
     cand = (
-        lists.select(F.explode(pairs_arr).alias("p"))
-        .select("p.*")
+        capped_pair_explode(banded, ["ti", "bv"], item, max_bucket)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("b.hi").alias("hi_b"),
+            F.col("b.lo").alias("lo_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = (

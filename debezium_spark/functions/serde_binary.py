@@ -14,6 +14,13 @@ Encoding output is an UPPERCASE HEX STRING of the wire bytes (both
 engines hex identically; raw binary columns hash differently across
 drivers). ``unhex()`` of the result is the on-wire frame.
 
+NULL contract: these primitives encode REQUIRED values — a NULL input
+null-propagates through Spark's ``concat`` but is silently skipped by
+DuckDB's, so the two twins would diverge. Callers must route nullable
+fields through an explicit union/presence branch (``CASE WHEN x IS
+NULL THEN <null-branch> ELSE <encoded> END``) on BOTH sides, as the
+catalog export queries do.
+
 Core primitives (Avro spec §binary encoding; protobuf wire format):
 
 - ``zigzag_varint``: Avro long/int = varint of zigzag(n). DuckDB

@@ -275,30 +275,18 @@ def cosine_near_dup_pairs(
             "id", "v", F.explode(F.array(*buckets)).alias("tb")
         ).select("id", "v", "tb.tbl", "tb.bk")
         if max_bucket is not None:
-            lists = (
-                bk.groupBy("tbl", "bk")
-                .agg(F.collect_list(F.struct("id", "v")).alias("ps"))
-                .filter(F.size("ps").between(2, max_bucket))
-                .select(F.array_sort("ps").alias("ps"))  # unique ids
-            )
-            mk = lambda x, y: F.struct(  # noqa: E731
-                x["id"].alias("id_a"),
-                y["id"].alias("id_b"),
-                x["v"].alias("va"),
-                y["v"].alias("vb"),
-            )
-            pairs_arr = F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ps"), i + 2, max_bucket),
-                        lambda y: mk(x, y),
-                    ),
-                )
-            )
+            from debezium_spark.functions.dedup import capped_pair_explode
+
             pairs = (
-                lists.select(F.explode(pairs_arr).alias("p"))
-                .select("p.*")
+                capped_pair_explode(
+                    bk, ["tbl", "bk"], F.struct("id", "v"), max_bucket
+                )
+                .select(
+                    F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.v").alias("va"),
+                    F.col("b.v").alias("vb"),
+                )
                 .dropDuplicates(["id_a", "id_b"])
             )
         else:

@@ -45,14 +45,20 @@ class LakeTable:
         root: str,
         n_buckets: int = 32,
         broadcast_merge_threshold: int = 50_000,
+        broadcast_merge_max_bytes: int = 256 * 1024 * 1024,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
-        # compacted change sets at or under this row count merge via the
+        # compacted change sets at or under BOTH bounds merge via the
         # broadcast plan (state side exchange-free); larger ones fall
-        # back to the shuffled full-outer join
+        # back to the shuffled full-outer join. The byte bound matters:
+        # an explicit broadcast() hint bypasses
+        # autoBroadcastJoinThreshold, and row count alone says nothing
+        # when the payload column holds multi-KB documents (50k × 200KB
+        # would blow past Spark's 8GB broadcast hard limit)
         self.broadcast_merge_threshold = broadcast_merge_threshold
+        self.broadcast_merge_max_bytes = broadcast_merge_max_bytes
         self._manifest_cache: dict[int, dict] = {}
 
     # -- layout helpers ------------------------------------------------
@@ -231,12 +237,27 @@ class LakeTable:
         # the cached result feeds the merge join — without this the
         # upstream compaction shuffle would run three times.
         changes.persist()
-        bucket_counts = {
-            r["bucket"]: r["cnt"]
-            for r in changes.groupBy("bucket")
-            .agg(F.count("*").alias("cnt"))
+        # one ≤n_buckets-row job yields touched buckets, change count,
+        # AND a byte estimate (string payload lengths + 8B/scalar) that
+        # gates the broadcast plan
+        size_expr = F.lit(24)
+        for c in schema.columns:
+            if c["type"] == "string":
+                size_expr = size_expr + F.coalesce(
+                    F.octet_length(F.col(c["physical"])), F.lit(0)
+                )
+            else:
+                size_expr = size_expr + F.lit(8)
+        rows = (
+            changes.groupBy("bucket")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(size_expr).alias("bytes"),
+            )
             .collect()
-        }
+        )
+        bucket_counts = {r["bucket"]: r["cnt"] for r in rows}
+        est_bytes = int(sum(r["bytes"] or 0 for r in rows))
         touched = sorted(bucket_counts)
         n_changes = int(sum(bucket_counts.values()))
         if truncate_lsn is not None:
@@ -255,7 +276,10 @@ class LakeTable:
             old = self.read_state(buckets=touched, logical=False, with_sys=True)
             if truncate_lsn is not None:
                 old = old.filter(F.col("_lsn") > truncate_lsn)
-            use_bc = n_changes <= self.broadcast_merge_threshold
+            use_bc = (
+                n_changes <= self.broadcast_merge_threshold
+                and est_bytes <= self.broadcast_merge_max_bytes
+            )
             new_state = self._merge_new_state(
                 old, changes, schema, broadcast=use_bc
             ).withColumn("bucket", self._bucket_col())

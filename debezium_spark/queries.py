@@ -921,21 +921,26 @@ def _avro_binary_oracle() -> str:
 
     zz = B.zigzag_varint_sql
     cents = "CAST(floor(value * 100) AS BIGINT)"
+    # a NULL value takes the union's null branch exactly like a delete
+    # (Spark's concat null-propagates while DuckDB's skips NULLs, so
+    # the null branch must be decided explicitly on both sides)
+    after = (
+        "CASE WHEN event_type = 'error' OR value IS NULL THEN '00'"
+        f" ELSE concat('02', {zz(cents)}) END"
+    )
     return f"""
     SELECT event_id,
            concat(
              {zz('event_id')},
              '02', {B.avro_string_sql(f"({_OP_SQL})")},
              '02', {zz('user_id')},
-             CASE WHEN event_type = 'error' THEN '00'
-                  ELSE concat('02', {zz(cents)}) END
+             {after}
            ) AS avro_hex,
            concat('00', '00000001',
              {zz('event_id')},
              '02', {B.avro_string_sql(f"({_OP_SQL})")},
              '02', {zz('user_id')},
-             CASE WHEN event_type = 'error' THEN '00'
-                  ELSE concat('02', {zz(cents)}) END
+             {after}
            ) AS confluent_hex
     FROM events
     """
@@ -957,13 +962,14 @@ def cdc_avro_binary_export(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     zz = B.zigzag_varint_hex
     cents = F.floor(F.col("value") * 100).cast("long")
+    no_after = (F.col("event_type") == "error") | F.col("value").isNull()
     body = F.concat(
         zz(F.col("event_id")),
         F.lit("02"),
         B.avro_string_hex(_op_col()),
         F.lit("02"),
         zz(F.col("user_id").cast("long")),
-        F.when(F.col("event_type") == "error", F.lit("00")).otherwise(
+        F.when(no_after, F.lit("00")).otherwise(
             F.concat(F.lit("02"), zz(cents))
         ),
     )
@@ -984,7 +990,7 @@ def _protobuf_oracle() -> str:
              '08', {B.uvarint_sql('event_id')},
              {B.protobuf_string_field_sql(0x12, f"({_OP_SQL})")},
              '18', {B.uvarint_sql('user_id')},
-             CASE WHEN event_type = 'error' THEN ''
+             CASE WHEN event_type = 'error' OR value IS NULL THEN ''
                   ELSE concat('20', {B.zigzag_varint_sql(cents)}) END
            ) AS proto_hex
     FROM events
@@ -1003,13 +1009,14 @@ def cdc_protobuf_export(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100).cast("long")
+    no_after = (F.col("event_type") == "error") | F.col("value").isNull()
     proto = F.concat(
         F.lit("08"),
         B.uvarint_hex(F.col("event_id").cast("long")),
         B.protobuf_string_field_hex(0x12, _op_col()),
         F.lit("18"),
         B.uvarint_hex(F.col("user_id").cast("long")),
-        F.when(F.col("event_type") == "error", F.lit("")).otherwise(
+        F.when(no_after, F.lit("")).otherwise(
             F.concat(F.lit("20"), B.zigzag_varint_hex(cents))
         ),
     )
@@ -1471,12 +1478,13 @@ def _simhash_near_oracle(max_hamming: int = 3, max_bucket: int = 64) -> str:
     block expressions generated from the same helpers so the two
     engines stay in bit-for-bit lockstep."""
     n_blocks = max_hamming + 2
-    blocks = [
-        D.simhash_block_sql(o, w) for o, w in D.simhash_blocks(n_blocks)
-    ]
+    layout = D.simhash_blocks(n_blocks)
+    blocks = [D.simhash_block_sql(o, w) for o, w in layout]
     tables = D.simhash_band_pairs(n_blocks)
+    # per-pair multiplier = 2^width_j (same injective key as the Spark
+    # side)
     cases = " ".join(
-        f"WHEN {t} THEN ({blocks[i]} * 8192 + {blocks[j]})"
+        f"WHEN {t} THEN ({blocks[i]} * {1 << layout[j][1]} + {blocks[j]})"
         for t, (i, j) in enumerate(tables)
     )
     return f"""
@@ -1606,21 +1614,29 @@ def _cos_dmil(a: str, b: str) -> str:
 
 
 def _width_variants(
-    target_bucket: int, ladder: tuple[int, ...], cover_n: int = 100_000
-) -> list[tuple[int, int, int]]:
-    """(width, n_lo_exclusive, n_hi_inclusive) ladder rungs covering
-    corpus counts up to ``cover_n`` — exactly the widths
-    similarity.auto_plane_count picks in that range. The oracle
-    enumerates these; production corpora beyond cover_n continue up
-    the same ladder in the library."""
-    out, prev = [], 0
-    for w in ladder:
+    target_bucket: int, ladder: tuple[int, ...]
+) -> list[tuple[int, int, int | None]]:
+    """(width, n_lo_exclusive, n_hi_inclusive_or_None) for EVERY ladder
+    rung — exactly the widths similarity.auto_plane_count picks. The
+    last rung is open-ended (auto_plane_count falls back to
+    ``ladder[-1]`` above its bound), so the oracle stays correct at
+    ANY corpus size instead of silently matching nothing past a
+    coverage cliff."""
+    out: list[tuple[int, int, int | None]] = []
+    prev = 0
+    for w in ladder[:-1]:
         bound = (1 << w) * target_bucket
         out.append((w, prev, bound))
         prev = bound
-        if bound >= cover_n:
-            break
+    out.append((ladder[-1], prev, None))
     return out
+
+
+def _count_gate(lo: int, hi: int | None, count_sql: str) -> str:
+    g = f"({count_sql}) > {lo}"
+    if hi is not None:
+        g += f" AND ({count_sql}) <= {hi}"
+    return g
 
 
 def _near_dup_oracle(n_tables: int = 4, max_bucket: int = 64) -> str:
@@ -1636,8 +1652,8 @@ def _near_dup_oracle(n_tables: int = 4, max_bucket: int = 64) -> str:
             for t in range(n_tables)
         )
         parts.append(
-            f"SELECT * FROM ({banded}) WHERE"
-            f" (SELECT c FROM n) > {lo} AND (SELECT c FROM n) <= {hi}"
+            f"SELECT * FROM ({banded}) WHERE "
+            + _count_gate(lo, hi, "SELECT c FROM n")
         )
     banded_all = " UNION ALL ".join(parts)
     return f"""
@@ -1699,8 +1715,8 @@ def _ann_lsh_oracle(max_bucket: int = 256) -> str:
     for w, lo, hi in _width_variants(32, (4, 8, 16, 32)):
         bucket = _sql_bucket(S.hyperplanes(64, w, seed="lsh"))
         parts.append(
-            f"SELECT vec_id, v, {bucket} AS bk FROM e WHERE"
-            f" (SELECT c FROM n) > {lo} AND (SELECT c FROM n) <= {hi}"
+            f"SELECT vec_id, v, {bucket} AS bk FROM e WHERE "
+            + _count_gate(lo, hi, "SELECT c FROM n")
         )
     bucketed = " UNION ALL ".join(parts)
     return f"""

@@ -36,6 +36,21 @@ def read_changelog_range(
     )
 
 
+def changelog_absent(path: str) -> bool:
+    """True iff the changelog directory does not exist yet or holds no
+    parquet segments — the ONLY condition under which a read error may
+    be treated as "no events yet". Any other analysis failure (a
+    mistyped path pointing at a different table, a segment without an
+    ``lsn`` column) must propagate: swallowing it would silently replay
+    nothing and report a converged state."""
+    if not os.path.isdir(path):
+        return True
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return False
+    return True
+
+
 def lsn_bounds(spark: SparkSession, path: str) -> tuple[int, int] | None:
     """(min, max) LSN of the log, or ``None`` for a log that does not
     exist yet or holds zero events — a streaming-tail deployment starts
@@ -50,7 +65,9 @@ def lsn_bounds(spark: SparkSession, path: str) -> tuple[int, int] | None:
             .collect()[0]
         )
     except AnalysisException:
-        return None
+        if changelog_absent(path):
+            return None
+        raise
     if row["lo"] is None:
         return None
     return int(row["lo"]), int(row["hi"])

@@ -139,14 +139,18 @@ class Engine:
 
         from pyspark.errors import AnalysisException
 
+        from debezium_spark.sources.changelog import changelog_absent
+
         try:
             df = self.spark.read.parquet(self.cfg.changelog_path)
         except AnalysisException:
             # log not there yet (streaming dir that hasn't received
             # files) — later arrivals are dispatched per batch by
             # _apply_batch's control-row pass; any OTHER read error
-            # (corrupt log) propagates
-            return []
+            # (corrupt log, wrong path) propagates
+            if changelog_absent(self.cfg.changelog_path):
+                return []
+            raise
         if "message" not in df.columns:
             return []
         rows = (
@@ -280,6 +284,8 @@ class Engine:
             return state
         from pyspark.errors import AnalysisException
 
+        from debezium_spark.sources.changelog import changelog_absent
+
         src = self.spark.read.parquet(self.cfg.source_table_path)
         watermark = max(self.lake.committed_offsets().values(), default=-1)
         try:
@@ -289,7 +295,11 @@ class Engine:
         except AnalysisException:
             # changelog dir not created yet (execute-snapshot fired on a
             # streaming-tail deployment before the first segment landed):
-            # nothing is touched — back-fill from source + state only
+            # nothing is touched — back-fill from source + state only.
+            # Any other analysis failure propagates: treating it as
+            # "untouched" would resurrect stream-deleted keys.
+            if not changelog_absent(self.cfg.changelog_path):
+                raise
             log = None
         untouched = src
         if log is not None:

@@ -188,6 +188,71 @@ def test_simhash_banding_exact_recall_vs_brute_force(spark):
     assert len(want) > 0  # the fixture has near-dup clusters
 
 
+def test_simhash_band_keys_injective_for_any_layout():
+    """Band key = b_i · 2^width_j + b_j must be injective over
+    (b_i, b_j) for EVERY block layout — a fixed multiplier collided
+    whenever width_j exceeded it, silently merging buckets (inflated
+    populations → cap drops → lost pairs)."""
+    import random
+
+    rnd = random.Random(7)
+    for n_blocks in (3, 4, 5, 6, 10):
+        layout = D.simhash_blocks(n_blocks)
+        assert sum(w for _, w in layout) == 64
+        for i, j in D.simhash_band_pairs(n_blocks):
+            wj = layout[j][1]
+            seen = {}
+            for _ in range(500):
+                bi = rnd.randrange(1 << layout[i][1])
+                bj = rnd.randrange(1 << wj)
+                key = bi * (1 << wj) + bj
+                assert seen.setdefault(key, (bi, bj)) == (bi, bj)
+
+
+def test_simhash_exact_recall_other_radius(spark):
+    """The banding guarantee is parameterized (k+2 blocks for radius
+    k) — verify recall at k=2 too, where 4×16-bit blocks make the
+    old fixed-8192 key collide."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    sigs = {
+        r["id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in D.simhash_parts(docs).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        ha, la = sigs[a]
+        for b in ids[i + 1 :]:
+            hb, lb = sigs[b]
+            if bin(ha ^ hb).count("1") + bin(la ^ lb).count("1") <= 2:
+                want.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(
+            docs, max_hamming=2, max_bucket=10**9
+        ).collect()
+    }
+    assert got == want and want
+
+
+def test_capped_pair_explode_excludes_self_pairs(spark):
+    """A duplicated item id inside one bucket must not produce an
+    (a, a) pair — the strict a.id < b.id guard matches the join-based
+    shape's invariant."""
+    rows = [(1, "k"), (1, "k"), (2, "k")]
+    df = spark.createDataFrame(rows, "id: long, bk: string")
+    pairs = [
+        (r["a"]["id"], r["b"]["id"])
+        for r in D.capped_pair_explode(
+            df, ["bk"], F.struct("id"), 16
+        ).collect()
+    ]
+    assert (1, 1) not in pairs
+    assert sorted(set(pairs)) == [(1, 2)]
+
+
 def test_simhash_bucket_cap_bounds_hot_buckets(spark):
     """max_bucket drops degenerate hot buckets by construction: a
     cluster larger than the cap produces no pairs (bounded work), a

@@ -564,6 +564,32 @@ def test_empty_changelog_is_clean_noop(spark, tmp_root):
     assert eng2.final_state().count() == 20
 
 
+def test_misconfigured_changelog_raises_not_noop(spark, tmp_root):
+    """Only a truly absent/empty log is a clean no-op. A changelog_path
+    pointing at the WRONG parquet table (no lsn column) must raise —
+    swallowing it would silently replay nothing and report a converged
+    state (silent data loss)."""
+    from pyspark.errors import AnalysisException
+
+    from debezium_spark.generator import gen_source_table
+    from debezium_spark.sources.changelog import lsn_bounds
+
+    gen_source_table(spark, 2, 5).write.parquet(f"{tmp_root}/src")
+    with pytest.raises(AnalysisException):
+        lsn_bounds(spark, f"{tmp_root}/src")  # exists, but not a log
+    eng = Engine(
+        spark,
+        _cfg(
+            tmp_root,
+            changelog_path=f"{tmp_root}/src",  # mistyped: the source dir
+            lake_root=f"{tmp_root}/lake_misconf",
+            snapshot_mode="never",
+        ),
+    )
+    with pytest.raises(AnalysisException):
+        eng.stream()
+
+
 def test_snapshot_select_statement_override(spark, tmp_root):
     """snapshot.select.statement.overrides analogue
     (RelationalDatabaseConnectorConfig.java:346): a per-table predicate

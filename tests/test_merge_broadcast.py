@@ -101,6 +101,22 @@ def test_sparse_merge_state_side_is_exchange_free(spark, tmp_root):
     assert "Join FullOuter" in plan_fo or "SortMergeJoin" in plan_fo
 
 
+def test_byte_gate_falls_back_and_stays_correct(spark, tmp_root):
+    """The broadcast gate bounds BYTES too (an explicit broadcast hint
+    bypasses autoBroadcastJoinThreshold; 50k rows of multi-KB payloads
+    would blow the 8GB broadcast limit): a change set under the row
+    threshold but over the byte bound must take the shuffled fallback
+    and still produce the identical state."""
+    tiny = _seed(
+        spark, os.path.join(tmp_root, "bytegate"),
+        broadcast_merge_max_bytes=100,  # forces the fallback
+    )
+    ref = _seed(spark, os.path.join(tmp_root, "bytegate_ref"))
+    tiny.merge(_mixed_batch(spark), 2)
+    ref.merge(_mixed_batch(spark), 2)
+    assert _state(tiny) == _state(ref)
+
+
 def test_broadcast_merge_respects_truncate(spark, tmp_root):
     lt = _seed(spark, os.path.join(tmp_root, "tr"))
     # truncate at 4000 wipes the seed (lsn 1000+k); post-truncate rows

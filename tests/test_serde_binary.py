@@ -138,6 +138,7 @@ def events_dir(spark, tmp_path):
         (2, 1000000, "click", 0.0),
         (3, 42, "error", 99.99),  # delete → null after
         (4, 2**31, "view", -5.5),
+        (5, 9, "view", None),  # NULL value → null union branch
     ]
     d = str(tmp_path)
     spark.createDataFrame(
@@ -155,7 +156,7 @@ def test_avro_binary_export_roundtrip(spark, events_dir):
         rec = decode_avro_record(bytes.fromhex(got[eid]["avro_hex"]))
         op = {"signup": "c", "error": "d"}.get(etype, "u")
         assert rec["lsn"] == eid and rec["op"] == op and rec["key"] == uid
-        if etype == "error":
+        if etype == "error" or value is None:
             assert rec["after"] is None
         else:
             import math
@@ -176,7 +177,7 @@ def test_protobuf_export_roundtrip(spark, events_dir):
         msg = decode_protobuf(bytes.fromhex(got[eid]["proto_hex"]))
         op = {"signup": "c", "error": "d"}.get(etype, "u")
         assert msg["lsn"] == eid and msg["op"] == op and msg["key"] == uid
-        if etype == "error":
+        if etype == "error" or value is None:
             assert "after" not in msg
         else:
             import math
