@@ -46,6 +46,16 @@ def main(argv: list[str] | None = None) -> int:
         default="repo,path",
         help="message.key.columns analogue (comma list, must include repo,path)",
     )
+    p.add_argument(
+        "--snapshot-filter",
+        help="snapshot.select.statement.overrides analogue: SQL "
+        "predicate applied to the initial snapshot read",
+    )
+    p.add_argument(
+        "--snapshot-columns",
+        help="comma list of columns the snapshot captures (key columns "
+        "always kept)",
+    )
     p.add_argument("--max-batches", type=int)
     p.add_argument("--cores", type=int, help="local[N] when not on a cluster")
     p.add_argument(
@@ -56,8 +66,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint", help="checkpoint dir for --streaming")
     args = p.parse_args(argv)
 
+    from debezium_spark.generator import TABLE_NAME
     from debezium_spark.session import get_spark
     from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    overrides = None
+    if args.snapshot_filter or args.snapshot_columns:
+        ov: dict = {}
+        if args.snapshot_filter:
+            ov["filter"] = args.snapshot_filter
+        if args.snapshot_columns:
+            ov["columns"] = args.snapshot_columns.split(",")
+        overrides = {TABLE_NAME: ov}
 
     spark = get_spark("debezium_spark", cores=args.cores)
     eng = Engine(
@@ -75,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             signal_path=args.signal_path,
             salt=args.salt,
             key_columns=tuple(args.key_columns.split(",")),
+            snapshot_overrides=overrides,
         ),
     )
     if args.streaming:
