@@ -46,6 +46,7 @@ class LakeTable:
         n_buckets: int = 32,
         broadcast_merge_threshold: int = 50_000,
         broadcast_merge_max_bytes: int = 256 * 1024 * 1024,
+        lww_light_threshold: int = 2_000_000,
     ):
         self.spark = spark
         self.root = root
@@ -59,6 +60,12 @@ class LakeTable:
         # would blow past Spark's 8GB broadcast hard limit)
         self.broadcast_merge_threshold = broadcast_merge_threshold
         self.broadcast_merge_max_bytes = broadcast_merge_max_bytes
+        # merge_full winner election: when the distinct-key count is at
+        # or under this, LWW winners are elected over a column-pruned
+        # (key, lsn, src) shuffle and winner rows are fetched map-side
+        # via a broadcast filter — full payloads never shuffle. 0/None
+        # disables (always the single wide max_by shuffle).
+        self.lww_light_threshold = lww_light_threshold
         self._manifest_cache: dict[int, dict] = {}
 
     # -- layout helpers ------------------------------------------------
@@ -441,12 +448,16 @@ class LakeTable:
         initial snapshot, backfills), the touched-bucket COW of
         :meth:`merge` degenerates to a full rewrite anyway but pays two
         extra jobs (bucket discovery + change-set cache). This path
-        does the whole apply as ONE action and ONE shuffle:
+        does the whole apply as ONE action:
 
             union(state rows as op='u' events at their stored _lsn,
                   change rows (op, lsn, physical cols) — possibly many
                   per key, compaction NOT required upstream)
-            → max_by((row), (lsn, src)) per (repo, path)   [LWW]
+            → LWW winner per (repo, path): either the light plan
+              (argmax over a pruned (key, lsn, src) shuffle +
+              broadcast winner fetch — payloads never shuffle; used
+              when keys ≤ lww_light_threshold) or one wide max_by
+              shuffle
             → drop winners whose op = 'd'
             → write, partitioned by bucket
 
@@ -484,26 +495,74 @@ class LakeTable:
             *[F.col(p).cast(types[p]).alias(p) for p in phys],
         )
         merged = o.unionByName(c)
-        winner = F.max_by(
-            F.struct(
-                F.col("op"),
-                F.col("lsn"),
-                *[F.col(p) for p in non_key],
-            ),
-            F.struct(F.col("lsn"), F.col("__src")),
-        ).alias("w")
-        new_state = (
-            merged.groupBy("repo", "path")
-            .agg(winner)
-            .filter(F.col("w.op") != "d")
-            .select(
-                "repo",
-                "path",
-                *[F.col(f"w.{p}").alias(p) for p in non_key],
-                F.col("w.lsn").cast("bigint").alias("_lsn"),
+        # Winner election, light plan (argmax pushdown): shuffle ONLY
+        # (key, lsn, src) — a column-pruned pass the parquet scans
+        # serve cheaply — then fetch the winning rows map-side with a
+        # broadcast of the (small) winner set joined on the UNIQUE
+        # identity (key, lsn, src). Full payloads never enter an
+        # exchange: at ~2 KB/event this cuts per-batch shuffle bytes
+        # ~6×, which is the guest-kernel/network path that caps replay
+        # throughput. Falls back to the single wide max_by shuffle when
+        # the key count exceeds the broadcastable threshold (the light
+        # pass already paid is ~1/6 of the wide shuffle).
+        # Precondition (engine invariant): (key, lsn, __src) is unique
+        # — LSNs are unique per event, state contributes one row per
+        # key, and the two halves of a PK-change split carry different
+        # keys.
+        win = None
+        if self.lww_light_threshold:
+            win = (
+                merged.select("repo", "path", "lsn", "__src")
+                .groupBy("repo", "path")
+                .agg(F.max(F.struct("lsn", "__src")).alias("w"))
+                .select(
+                    "repo",
+                    "path",
+                    F.col("w.lsn").alias("lsn"),
+                    F.col("w.__src").alias("__src"),
+                )
             )
-            .withColumn("bucket", self._bucket_col())
-        )
+            win.persist()
+            if win.count() > self.lww_light_threshold:
+                win.unpersist()
+                win = None
+        if win is not None:
+            new_state = (
+                merged.join(
+                    F.broadcast(win),
+                    ["repo", "path", "lsn", "__src"],
+                    "inner",
+                )
+                .filter(F.col("op") != "d")
+                .select(
+                    "repo",
+                    "path",
+                    *[F.col(p) for p in non_key],
+                    F.col("lsn").cast("bigint").alias("_lsn"),
+                )
+                .withColumn("bucket", self._bucket_col())
+            )
+        else:
+            winner = F.max_by(
+                F.struct(
+                    F.col("op"),
+                    F.col("lsn"),
+                    *[F.col(p) for p in non_key],
+                ),
+                F.struct(F.col("lsn"), F.col("__src")),
+            ).alias("w")
+            new_state = (
+                merged.groupBy("repo", "path")
+                .agg(winner)
+                .filter(F.col("w.op") != "d")
+                .select(
+                    "repo",
+                    "path",
+                    *[F.col(f"w.{p}").alias(p) for p in non_key],
+                    F.col("w.lsn").cast("bigint").alias("_lsn"),
+                )
+                .withColumn("bucket", self._bucket_col())
+            )
         out_dir = os.path.join(self.root, f"data/v{new_version}")
         (
             new_state.repartition(self.n_buckets, "bucket")
@@ -511,6 +570,8 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out_dir)
         )
+        if win is not None:
+            win.unpersist()
         written = {
             int(n.split("=")[1])
             for n in os.listdir(out_dir)

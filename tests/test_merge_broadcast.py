@@ -117,6 +117,30 @@ def test_byte_gate_falls_back_and_stays_correct(spark, tmp_root):
     assert _state(tiny) == _state(ref)
 
 
+def test_merge_full_light_winner_plan_equals_wide_shuffle(spark, tmp_root):
+    """merge_full's light winner election (pruned (key,lsn,src) shuffle
+    + broadcast winner fetch — payloads never shuffle) must be value-
+    identical to the wide max_by shuffle on every op mix, including the
+    state-wins-lsn-ties guard."""
+    light = _seed(spark, os.path.join(tmp_root, "mf_light"))  # default on
+    wide = _seed(
+        spark, os.path.join(tmp_root, "mf_wide"), lww_light_threshold=0
+    )
+    batch = _mixed_batch(spark).unionByName(
+        # lsn tie with state: seed wrote k=30 at lsn 1030; an event at
+        # the SAME lsn must lose (state wins ties, strict guard)
+        _changes(spark, [("r2", "p030", "c-tie-30", "py", "tie-30", "u", 1030)])
+    )
+    light.merge_full(batch, 2)
+    wide.merge_full(batch, 2)
+    s_l, s_w = _state(light), _state(wide)
+    assert s_l == s_w
+    by_key = {(r[0], r[1]): r for r in s_l}
+    assert by_key[("r2", "p030")][4] == "base-30"  # tie → state kept
+    assert ("r0", "p100") in {(r[0], r[1]) for r in s_l}  # insert
+    assert ("r2", "p010") not in {(r[0], r[1]) for r in s_l}  # delete
+
+
 def test_broadcast_merge_respects_truncate(spark, tmp_root):
     lt = _seed(spark, os.path.join(tmp_root, "tr"))
     # truncate at 4000 wipes the seed (lsn 1000+k); post-truncate rows
