@@ -46,7 +46,7 @@ class LakeTable:
         n_buckets: int = 32,
         broadcast_merge_threshold: int = 50_000,
         broadcast_merge_max_bytes: int = 256 * 1024 * 1024,
-        lww_light_threshold: int = 2_000_000,
+        lww_light_threshold: int = 0,
     ):
         self.spark = spark
         self.root = root
@@ -63,8 +63,14 @@ class LakeTable:
         # merge_full winner election: when the distinct-key count is at
         # or under this, LWW winners are elected over a column-pruned
         # (key, lsn, src) shuffle and winner rows are fetched map-side
-        # via a broadcast filter — full payloads never shuffle. 0/None
-        # disables (always the single wide max_by shuffle).
+        # via a broadcast filter — full payloads never shuffle.
+        # DEFAULT OFF (0): measured on this host (tmpfs shuffle,
+        # CPU-bound transforms) the double input pass costs MORE than
+        # the 6× shuffle-byte saving — interleaved A/B at 54M events /
+        # 8 cores: light 463-727k ev/s vs wide 806-905k (ratio
+        # 1.11-1.86, BENCH_HISTORY lww_light_ab_r3). Opt in for
+        # deployments where network shuffle of wide payloads is the
+        # bottleneck and the input is cheap to rescan.
         self.lww_light_threshold = lww_light_threshold
         self._manifest_cache: dict[int, dict] = {}
 

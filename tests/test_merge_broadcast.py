@@ -122,10 +122,12 @@ def test_merge_full_light_winner_plan_equals_wide_shuffle(spark, tmp_root):
     + broadcast winner fetch — payloads never shuffle) must be value-
     identical to the wide max_by shuffle on every op mix, including the
     state-wins-lsn-ties guard."""
-    light = _seed(spark, os.path.join(tmp_root, "mf_light"))  # default on
-    wide = _seed(
-        spark, os.path.join(tmp_root, "mf_wide"), lww_light_threshold=0
+    light = _seed(
+        spark,
+        os.path.join(tmp_root, "mf_light"),
+        lww_light_threshold=2_000_000,  # opt-in (default off, measured)
     )
+    wide = _seed(spark, os.path.join(tmp_root, "mf_wide"))
     batch = _mixed_batch(spark).unionByName(
         # lsn tie with state: seed wrote k=30 at lsn 1030; an event at
         # the SAME lsn must lose (state wins ties, strict guard)
