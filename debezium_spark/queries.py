@@ -916,6 +916,48 @@ def cdc_avro_json_export(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_type_handling_modes",
+    """
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS dec_precise,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS dec_double,
+           md5(CAST(user_id AS VARCHAR)) AS bin_hex,
+           base64(unhex(md5(CAST(user_id AS VARCHAR)))) AS bin_base64,
+           epoch_ms(ts) AS ts_connect_ms,
+           epoch_us(ts) AS ts_adaptive_us
+    FROM events
+    """,
+)
+def cdc_type_handling_modes(spark, sf_dir):
+    """Column-converter handling modes (§1.3 type system):
+    ``decimal.handling.mode`` precise/double/string
+    (jdbc/JdbcValueConverters.java:152-267,
+    data/SpecialValueDecimal.java — precise keeps the exact decimal,
+    here surfaced as its canonical string; double re-encodes lossily),
+    ``binary.handling.mode`` hex/base64
+    (config/CommonConnectorConfig.java BinaryHandlingMode), and
+    ``time.precision.mode`` connect (ms) vs adaptive_time_microseconds
+    (µs) (time/Timestamp.java vs MicroTimestamp.java,
+    jdbc/TemporalPrecisionMode). Every mode is a pure column
+    expression; double→decimal rounding (HALF_UP on the binary value)
+    and base64/hex digests are engine-identical, so the oracle matches
+    bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    digest = F.md5(F.col("user_id").cast("string"))
+    ts = F.col("ts").cast("timestamp")
+    return ev.select(
+        "event_id",
+        dec.cast("string").alias("dec_precise"),
+        dec.cast("double").alias("dec_double"),
+        digest.alias("bin_hex"),
+        F.base64(F.unhex(digest)).alias("bin_base64"),
+        F.unix_millis(ts).alias("ts_connect_ms"),
+        F.unix_micros(ts).alias("ts_adaptive_us"),
+    )
+
+
 def _avro_binary_oracle() -> str:
     from debezium_spark.functions import serde_binary as B
 
