@@ -1406,7 +1406,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_pairs_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     rows = num_hashes // bands
     # 4 hash words per md5 digest — same family as
     # dedup.minhash_signature (portable): md5('mh{k}|'||g) hex chars
@@ -1444,10 +1444,48 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
              {match_expr} AS matches
       FROM banded a JOIN banded b USING (band, bkey)
       WHERE a.id < b.id
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             floor(matches::DOUBLE / {num_hashes} * 1e6)::BIGINT AS est_jaccard_micro
+      FROM cand WHERE matches::DOUBLE / {num_hashes} >= 0.5
     )
-    SELECT id_a, id_b,
-           floor(matches::DOUBLE / {num_hashes} * 1e6)::BIGINT AS est_jaccard_micro
-    FROM cand WHERE matches::DOUBLE / {num_hashes} >= 0.5
+    """
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    return (
+        _minhash_pairs_ctes(num_hashes, bands)
+        + "SELECT id_a, id_b, est_jaccard_micro FROM pairs"
+    )
+
+
+def _cluster_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Ground-truth connected components over the minhash-LSH pairs:
+    min-reachable-id per node via a recursive CTE (symmetric closure).
+    Verifies the star-contraction fixpoint against true reachability."""
+    ctes = _minhash_pairs_ctes(num_hashes, bands).replace(
+        "WITH", "WITH RECURSIVE", 1
+    )
+    return (
+        ctes
+        + """
+    , und AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ),
+    labels AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_keeper
+    FROM labels
     """
     )
 
@@ -1471,6 +1509,33 @@ def dedup_minhash_lsh(spark, sf_dir):
         F.floor(F.col("est_jaccard") * 1e6).cast("long").alias(
             "est_jaccard_micro"
         ),
+    )
+
+
+@_q("dedup_clusters", _cluster_oracle())
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from near-dup pairs: connected components over
+    the MinHash-LSH candidate graph via alternating large-star /
+    small-star contraction (O(log n) shuffle rounds — survives chains
+    that defeat naive label propagation). ``cluster_id`` is the
+    component minimum = the canonical keeper, the standard final stage
+    of corpus dedup (keep one doc per cluster). Oracle is true
+    reachability (recursive CTE), so the fixpoint is verified against
+    ground truth, not against itself."""
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        n=3,
+        threshold=0.5,
+    )
+    labels = D.connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
 
 

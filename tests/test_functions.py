@@ -253,6 +253,65 @@ def test_capped_pair_explode_excludes_self_pairs(spark):
     assert sorted(set(pairs)) == [(1, 2)]
 
 
+def test_connected_components_chain(spark):
+    """A 40-node chain is the adversarial case for naive min-label
+    propagation (needs O(diameter)=40 rounds); star contraction must
+    label the whole chain with its minimum id well inside max_rounds."""
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    labels = {r["id"]: r["cluster_id"] for r in D.connected_components(df).collect()}
+    assert set(labels) == set(range(41))
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_multi_and_orientation(spark):
+    """Multiple components, reversed/duplicated edges, and self-loops:
+    labels are per-component minima; self-loop-only nodes (no real
+    neighbor) vanish with the loop edge."""
+    edges = [
+        (2, 1), (3, 2),          # component {1,2,3} with reversed edges
+        (10, 11), (11, 10),      # duplicate both orientations
+        (20, 20),                # pure self-loop -> dropped
+        (30, 31), (31, 32), (30, 32),  # triangle
+    ]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    labels = {r["id"]: r["cluster_id"] for r in D.connected_components(df).collect()}
+    assert labels == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        30: 30, 31: 30, 32: 30,
+    }
+
+
+def test_connected_components_matches_python_oracle(spark):
+    """Random sparse graph vs a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a != b:
+            touched.add(a)
+            touched.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in touched}
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(df).collect()}
+    assert got == want
+
+
 def test_simhash_bucket_cap_bounds_hot_buckets(spark):
     """max_bucket drops degenerate hot buckets by construction: a
     cluster larger than the cap produces no pairs (bounded work), a
