@@ -140,6 +140,90 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# --- PII redaction ---------------------------------------------------
+# Reference analogue: the column maskers applied at source
+# (relational/mapping/MaskStrings.java) — value-level scrubbing before
+# events leave the pipeline. For LLM training data the same slot is
+# PII redaction. Patterns are RE2-safe (no lookaround, no alternation
+# ambiguity) so Spark (Java regex) and DuckDB (RE2) match identically.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = (
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+)
+PII_PHONE = "\\+[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast(
+        "long"
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and international phone numbers
+    with typed placeholders. Order fixed (email → ip → phone) so the
+    passes compose deterministically; pure codegen, no shuffle."""
+    t = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    t = F.regexp_replace(t, PII_IPV4, "<IP>")
+    return F.regexp_replace(t, PII_PHONE, "<PHONE>")
+
+
+# --- Repetition filtering (Gopher-style) -----------------------------
+
+REPETITION_TOKEN_CAP = 2048
+
+
+def capped_tokens(text: Column, cap: int = REPETITION_TOKEN_CAP) -> Column:
+    """First ``cap`` tokens — bounds per-document work by construction
+    (same discipline as the near-dup ``max_postings`` caps): repetition
+    stats on a 10^10-doc corpus must not be quadratic in pathological
+    document length."""
+    return F.slice(tokens(text), 1, cap)
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent token pairs, computed positionally (no shuffle, no
+    self-join): token i joined with token i+1."""
+    n = F.size(toks)
+    bg = F.transform(
+        toks,
+        lambda x, i: F.when(
+            i < n - 1, F.concat(x, F.lit(" "), F.get(toks, i + 1))
+        ),
+    )
+    return F.filter(bg, lambda b: b.isNotNull())
+
+
+def _chars(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+
+
+def dup_fraction_micro(arr: Column) -> Column:
+    """``floor((|arr| - |distinct(arr)|) / |arr| * 1e6)`` — the
+    fraction of elements that are repeat occurrences, in integer
+    micro-units. Linear in |arr| (hash-based array_distinct)."""
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+    return F.floor(
+        (n - nd).cast("double") / F.greatest(n, F.lit(1)) * 1e6
+    ).cast("long")
+
+
+def dup_char_fraction_micro(arr: Column) -> Column:
+    """Char-mass variant: fraction of characters inside repeat
+    occurrences (Gopher's duplicate-line character fraction, applied
+    to tokens)."""
+    total = _chars(arr)
+    dist = _chars(F.array_distinct(arr))
+    return F.floor(
+        (total - dist).cast("double")
+        / F.greatest(total, F.lit(1))
+        * 1e6
+    ).cast("long")
+
+
 def portable_hash32(col: Column, salt: str | int = "") -> Column:
     """32-bit deterministic hash reproducible in any engine with md5:
     ``int(md5(salt|x)[:8], 16)``. Used where a DuckDB oracle must match

@@ -1101,6 +1101,65 @@ def cdc_truncate_apply(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_reselect_columns",
+    f"""
+    WITH ev AS (
+      SELECT event_id, user_id, {_OP_SQL} AS op, value,
+             (event_id % 7 = 0
+              AND event_type NOT IN ('signup', 'error')) AS unavailable
+      FROM events
+    )
+    SELECT event_id, user_id, op,
+           unavailable AS was_unavailable,
+           last_value(CASE WHEN unavailable THEN NULL ELSE value END
+             IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS reselected_value
+    FROM ev
+    """,
+)
+def cdc_reselect_columns(spark, sf_dir):
+    """ReselectColumnsPostProcessor semantics
+    (``processors/reselect/ReselectColumnsPostProcessor.java``): an
+    UPDATE whose large column arrived as an unavailable-value
+    placeholder (Postgres TOAST) gets the column re-selected from the
+    current table state. Every 7th update plays the placeholder; the
+    backfill is the most recent available value for the key — a
+    per-key ordered last-non-null window (one shuffle on the key, same
+    partitioning the apply pipeline already uses), not the reference's
+    per-record JDBC re-query, which cannot exist at 10^10 scale."""
+    ev = _t(spark, sf_dir, "events")
+    unavailable = (F.pmod(F.col("event_id"), F.lit(7)) == 0) & (
+        ~F.col("event_type").isin("signup", "error")
+    )
+    d = ev.select(
+        "event_id",
+        "user_id",
+        _op_col().alias("op"),
+        "value",
+        unavailable.alias("was_unavailable"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    visible = F.when(F.col("was_unavailable"), F.lit(None)).otherwise(
+        F.col("value")
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        "op",
+        "was_unavailable",
+        F.last(visible, ignorenulls=True).over(w).alias(
+            "reselected_value"
+        ),
+    )
+
+
 # ===========================================================================
 # Training-data ops — dedup / similarity / text / multimodal
 # ===========================================================================
@@ -1266,6 +1325,246 @@ def text_fingerprint(spark, sf_dir):
     text."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+# Deterministic PII-bearing augmentation: the fixture documents are
+# synthetic word-salad with no organic PII, so both engines append the
+# same derived email/IP/phone tokens before redacting — the operator
+# (count + redact + fingerprint) is what's under test.
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || "
+    "'@example.com srv 10.0.' || (doc_id % 250)::VARCHAR || "
+    "'.7 tel +15550' || (doc_id % 100 + 100)::VARCHAR"
+)
+
+
+@_q(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(t,
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))::BIGINT
+             AS n_ips,
+           len(regexp_extract_all(t,
+             '\\+[0-9][0-9() -]{{6,}}[0-9]'))::BIGINT AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+             '<IP>', 'g'),
+             '\\+[0-9][0-9() -]{{6,}}[0-9]', '<PHONE>', 'g')) AS red_fp
+    FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII detection + redaction: count and mask emails / IPv4 /
+    international phone numbers, fingerprint the redacted text.
+
+    Reference analogue: source-side column maskers
+    (``relational/mapping/MaskStrings.java`` — value scrubbing before
+    events leave the pipeline); for LLM training data the same slot is
+    PII redaction. Pure codegen regex passes — no shuffle, linear
+    scan, pipelines into the parquet read."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com srv 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+        F.lit(".7 tel +15550"),
+        (F.pmod(F.col("doc_id"), F.lit(100)) + 100).cast("string"),
+    )
+    d = d.select("doc_id", aug.alias("t"))
+    return d.select(
+        "doc_id",
+        X.pii_count(F.col("t"), X.PII_EMAIL).alias("n_emails"),
+        X.pii_count(F.col("t"), X.PII_IPV4).alias("n_ips"),
+        X.pii_count(F.col("t"), X.PII_PHONE).alias("n_phones"),
+        F.md5(X.pii_redact(F.col("t"))).alias("red_fp"),
+    )
+
+
+@_q(
+    "text_repetition_filter",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_slice(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t <> ''), 1, 2048) AS tk
+      FROM documents
+    ), bg0 AS (
+      SELECT doc_id, tk,
+             list_filter(list_transform(tk, (x, i) ->
+               CASE WHEN i < len(tk) THEN x || ' ' || tk[i+1] END),
+               b -> b IS NOT NULL) AS bg
+      FROM tk
+    )
+    SELECT doc_id,
+           len(tk)::BIGINT AS n_tokens,
+           floor((len(tk) - len(list_distinct(tk)))::DOUBLE
+             / greatest(len(tk), 1) * 1e6)::BIGINT AS dup_token_micro,
+           floor((COALESCE(list_sum(list_transform(tk, t -> strlen(t))), 0)
+             - COALESCE(list_sum(list_transform(list_distinct(tk),
+                 t -> strlen(t))), 0))::DOUBLE
+             / greatest(COALESCE(list_sum(list_transform(tk,
+                 t -> strlen(t))), 0), 1) * 1e6)::BIGINT
+             AS dup_char_micro,
+           floor((len(bg) - len(list_distinct(bg)))::DOUBLE
+             / greatest(len(bg), 1) * 1e6)::BIGINT AS dup_bigram_micro
+    FROM bg0
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition stats per document: fraction of repeat
+    tokens, repeat-token character mass, and repeat adjacent bigrams —
+    the standard LLM-corpus repetition filter signals (Rae et al. 2021,
+    published rules), in exact integer micro-units.
+
+    Scale shape: token list capped at 2048 by construction (same
+    bounded-work discipline as the near-dup ``max_postings`` caps), all
+    stats linear array ops per row — no shuffle, no self-join."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.select("doc_id", X.capped_tokens(F.col("text")).alias("tk"))
+    bg = X.bigrams(F.col("tk"))
+    return d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        X.dup_fraction_micro(F.col("tk")).alias("dup_token_micro"),
+        X.dup_char_fraction_micro(F.col("tk")).alias("dup_char_micro"),
+        X.dup_fraction_micro(bg).alias("dup_bigram_micro"),
+    )
+
+
+_QUOTA_K = 20
+
+
+@_q(
+    "corpus_quota_sample",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5('qs|' || doc_id::VARCHAR), doc_id) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= {_QUOTA_K}
+    """,
+)
+def corpus_quota_sample(spark, sf_dir):
+    """Deterministic per-language quota sampling: keep the K docs with
+    the smallest ``md5('qs|'||doc_id)`` per language — a stable,
+    engine-portable stratified sample (per-domain quotas are how
+    training mixes are balanced).
+
+    Scale shape: two-level top-K. Level 1 prunes to ≤K rows per
+    (lang, salt) group — 16-way parallel per language, so one hot
+    language never lands on a single reducer; level 2 ranks the
+    ≤16·K survivors per language. Exact: each salt group's
+    contribution to the global per-language top-K is itself in that
+    group's top-K."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("qs|"), F.col("doc_id").cast("string")))
+    s = d.select(
+        "lang",
+        "doc_id",
+        key.alias("rk_key"),
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("rk_key", "doc_id")
+    s1 = s.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= _QUOTA_K
+    )
+    w2 = Window.partitionBy("lang").orderBy("rk_key", "doc_id")
+    return (
+        s1.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= _QUOTA_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+_SHARD_BUDGET = 20_000
+
+
+@_q(
+    "corpus_pack_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5('ps|' || doc_id::VARCHAR) AS k,
+             len(list_filter(string_split_regex(trim(lower(text)),
+               '\\s+'), t -> t <> ''))::BIGINT AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // {_SHARD_BUDGET} AS shard_id
+    FROM c
+    """,
+)
+def corpus_pack_shards(spark, sf_dir):
+    """Token-budget shard packing: order the corpus by a deterministic
+    shuffle key, take the running token total, and cut a shard every
+    ``_SHARD_BUDGET`` tokens — the standard layout step before writing
+    training shards.
+
+    Scale shape: a **distributed ordered prefix sum** — the naive plan
+    (one global-order window) serializes the whole corpus through a
+    single partition. Instead: the first two hex chars of the md5 key
+    split the global order into 256 contiguous ranges; per-range token
+    totals (one map-side-combined groupBy, 256 rows to the driver)
+    give each range's prefix offset, broadcast back; the running sum
+    then needs only a per-range window. Exchanges: one partial-agg
+    shuffle + one 256-way window shuffle — no SinglePartition exchange
+    anywhere (plan-pinned in tests)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.md5(
+            F.concat(F.lit("ps|"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    d = d.withColumn(
+        "bucket", F.conv(F.substring("k", 1, 2), 16, 10).cast("long")
+    )
+    totals = d.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("tot")
+    ).collect()  # ≤256 rows — control plane, not a data path
+    acc = 0
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["bucket"]):
+        offsets.append((r["bucket"], acc))
+        acc += r["tot"]
+    off_df = spark.createDataFrame(offsets, "bucket long, offset long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "cum_tokens",
+            (F.col("offset") + F.sum("n_tokens").over(w)).cast("long"),
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / _SHARD_BUDGET
+            ).cast("long"),
+        )
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+    )
 
 
 @_q(

@@ -465,3 +465,145 @@ def test_frame_sample_offsets(spark, docs):
     offs = sorted(r["byte_offset"] for r in rows)
     assert offs == [0, 10, 20]
     assert all(r["n_bytes"] == len(DOCS[0][1].encode()) for r in rows)
+
+
+# --- round-3 pipeline ops: PII, repetition, quota sample, shard pack ---
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pii_redact_masks_and_counts(spark):
+    rows = spark.createDataFrame(
+        [
+            (
+                0,
+                "mail bob.smith+x@corp.example.org server 192.168.001.1 "
+                "call +1 (555) 010-4242 done",
+            ),
+            (1, "no pii here at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rows.select(
+            "doc_id",
+            X.pii_count(F.col("text"), X.PII_EMAIL).alias("e"),
+            X.pii_count(F.col("text"), X.PII_IPV4).alias("i"),
+            X.pii_count(F.col("text"), X.PII_PHONE).alias("p"),
+            X.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[0]["e"], out[0]["i"], out[0]["p"]) == (1, 1, 1)
+    assert out[0]["red"] == "mail <EMAIL> server <IP> call <PHONE> done"
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (0, 0, 0)
+    assert out[1]["red"] == "no pii here at all"
+
+
+def test_repetition_stats_hand_fixture(spark):
+    rows = spark.createDataFrame(
+        [(0, "a a b"), (1, "x x x x"), (2, "all distinct words here")],
+        "doc_id: long, text: string",
+    )
+    d = rows.select("doc_id", X.capped_tokens(F.col("text")).alias("tk"))
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            X.dup_fraction_micro(F.col("tk")).alias("dtok"),
+            X.dup_char_fraction_micro(F.col("tk")).alias("dchr"),
+            X.dup_fraction_micro(X.bigrams(F.col("tk"))).alias("dbg"),
+        ).collect()
+    }
+    # "a a b": 1 of 3 tokens repeat; 1 of 3 chars; bigrams "a a","a b" distinct
+    assert out[0]["dtok"] == 333_333
+    assert out[0]["dchr"] == 333_333
+    assert out[0]["dbg"] == 0
+    # "x x x x": 3/4 tokens repeat; bigrams "x x" ×3 → 2/3 repeat
+    assert out[1]["dtok"] == 750_000
+    assert out[1]["dbg"] == 666_666
+    assert out[2]["dtok"] == 0 and out[2]["dchr"] == 0 and out[2]["dbg"] == 0
+
+
+def test_quota_sample_is_exact_per_lang_topk(spark):
+    """The two-level (salted) top-K must equal the single global
+    per-language top-K."""
+    import hashlib
+
+    from debezium_spark.queries import _QUOTA_K, corpus_quota_sample
+
+    got = corpus_quota_sample(spark, SF_DIR).collect()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    expected = {}
+    for lang, ids in by_lang.items():
+        order = sorted(
+            ids,
+            key=lambda d: (
+                hashlib.md5(f"qs|{d}".encode()).hexdigest(),
+                d,
+            ),
+        )
+        for rk, d in enumerate(order[:_QUOTA_K], start=1):
+            expected[(lang, d)] = rk
+    assert {(r["lang"], r["doc_id"]): r["rk"] for r in got} == expected
+
+
+def test_pack_shards_matches_python_prefix_sum(spark):
+    import hashlib
+
+    from debezium_spark.queries import _SHARD_BUDGET, corpus_pack_shards
+
+    out = {
+        r["doc_id"]: r for r in corpus_pack_shards(spark, SF_DIR).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r["doc_id"]: len(r["text"].lower().split()) for r in docs}
+    order = sorted(
+        toks,
+        key=lambda d: (hashlib.md5(f"ps|{d}".encode()).hexdigest(), d),
+    )
+    acc = 0
+    for d in order:
+        acc += toks[d]
+        assert out[d]["cum_tokens"] == acc, d
+        assert out[d]["shard_id"] == (acc - toks[d]) // _SHARD_BUDGET
+    assert len(out) == len(toks)
+
+
+def test_reselect_backfills_unavailable(spark):
+    from debezium_spark.queries import cdc_reselect_columns
+
+    got = cdc_reselect_columns(spark, SF_DIR).collect()
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()
+    )
+    last_visible: dict[int, float] = {}
+    expected = {}
+    for r in sorted(ev, key=lambda r: r["event_id"]):
+        unavailable = r["event_id"] % 7 == 0 and r["event_type"] not in (
+            "signup",
+            "error",
+        )
+        if not unavailable:
+            last_visible[r["user_id"]] = r["value"]
+        expected[r["event_id"]] = (
+            unavailable,
+            last_visible.get(r["user_id"]),
+        )
+    for r in got:
+        want_flag, want_val = expected[r["event_id"]]
+        assert r["was_unavailable"] == want_flag
+        assert r["reselected_value"] == want_val

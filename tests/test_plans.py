@@ -196,3 +196,34 @@ def test_control_row_pass_pushes_to_scan(spark, changelog_path):
     plan = plan_of(ctl)
     assert "PushedFilters" in plan
     assert "In(op" in plan
+
+
+def test_pack_shards_is_distributed_prefix_sum(spark):
+    """The global running sum must NOT serialize through one partition:
+    256 contiguous hash-prefix ranges + broadcast offsets instead of a
+    global-order window."""
+    from debezium_spark.queries import corpus_pack_shards
+
+    plan = plan_of(corpus_pack_shards(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # 256-row offset table broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_quota_sample_no_single_partition(spark):
+    from debezium_spark.queries import corpus_quota_sample
+
+    plan = plan_of(corpus_quota_sample(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+
+
+def test_pii_and_repetition_stay_jvm_side(spark):
+    """PII redaction and repetition stats are per-row codegen: zero
+    exchanges, zero Python UDFs."""
+    from debezium_spark.queries import text_pii_redact, text_repetition_filter
+
+    for fn in (text_pii_redact, text_repetition_filter):
+        plan = plan_of(fn(spark, SF_DIR))
+        assert n_exchanges(plan) == 0, fn.__name__
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

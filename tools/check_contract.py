@@ -121,8 +121,9 @@ def main() -> int:
             print(f"PASS {name} ({len(rows)} rows, {time.time()-t0:.1f}s)")
         else:
             failures.append(name)
+    n_run = len([n for n in qs if not only or n in only])
     print(
-        f"\n{len(qs) - len(failures)}/{len(qs)} checked OK"
+        f"\n{n_run - len(failures)}/{n_run} checked OK"
         + (f"; FAILURES: {failures}" if failures else "")
     )
     return 1 if failures else 0
