@@ -211,6 +211,145 @@ def ann_lsh_topk(
     )
 
 
+IVF_LADDER: tuple[int, ...] = (16, 256, 4096, 65536)
+
+
+def auto_centroid_count(
+    n_rows: int,
+    target_cell: int = 32,
+    ladder: tuple[int, ...] = IVF_LADDER,
+) -> int:
+    """Corpus-scaled IVF codebook size: smallest ladder ``C`` keeping
+    the MEAN cell population at or under ``target_cell``
+    (``C · target_cell ≥ n``). Same rationale as
+    :func:`auto_plane_count` — a fixed C is a fixture-scale artifact;
+    C ≈ n / target_cell keeps per-probe work constant at any corpus
+    size."""
+    for c in ladder:
+        if c * target_cell >= n_rows:
+            return c
+    return ladder[-1]
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seed: str = "ivf",
+) -> DataFrame:
+    """Deterministic IVF codebook: the ``n_centroids`` corpus vectors
+    with the smallest ``md5(seed|id)`` — a seeded uniform sample, no
+    k-means iterations (engine-portable; a SQL oracle reproduces the
+    exact codebook). Compiles to TakeOrderedAndProject — a distributed
+    partial top-C, never a single-partition sort."""
+    key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            key.alias("__k"),
+        )
+        .orderBy("__k", "cid")
+        .limit(n_centroids)
+        .drop("__k")
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    max_cell: int | None = 128,
+    target_cell: int = 32,
+    ladder: tuple[int, ...] = IVF_LADDER,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every corpus
+    vector to its nearest codebook centroid (the inverted lists); a
+    query probes only its ``nprobe`` nearest cells and re-ranks
+    exactly inside them.
+
+    The scale path complementary to :func:`ann_lsh_topk`: the index
+    build is one broadcast pass over the corpus (C centroid rows
+    broadcast, per-row argmax, one O(n) map-side-combined shuffle) —
+    at 10^10 vectors a probe touches ~``nprobe·n/C`` rows instead of
+    n. ``n_centroids=None`` scales C with the corpus
+    (:func:`auto_centroid_count`); ``max_cell`` hard-caps any
+    degenerate hot cell at index build (the ``max_postings``
+    discipline). Assignment ties break by floor(cos·1e6) then lowest
+    centroid id — micro-precision signs, so a SQL oracle reproduces
+    the exact cell layout."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(
+            c.count(), target_cell=target_cell, ladder=ladder
+        )
+    cent = ivf_centroids(c, n_centroids, id_col="nbr_id", vec_col="v")
+    sim6 = F.floor(cosine(F.col("v"), F.col("cv")) * 1e6).cast("long")
+    # per-row argmax over the broadcast codebook: lexicographic max of
+    # (sim, -cid) = highest similarity, lowest cid on ties
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "nbr_id",
+            "v",
+            F.struct(
+                sim6.alias("s"), (-F.col("cid")).alias("nc")
+            ).alias("sc"),
+        )
+        .groupBy("nbr_id")
+        .agg(F.first("v").alias("v"), F.max("sc").alias("m"))
+        .select("nbr_id", "v", (-F.col("m.nc")).alias("cid"))
+    )
+    if max_cell is not None:
+        wc = Window.partitionBy("cid").orderBy("nbr_id")
+        assigned = (
+            assigned.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= max_cell)
+            .drop("__rn")
+        )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        _as_double(F.col(qvec_col)).alias("qv"),
+    )
+    qsim6 = F.floor(cosine(F.col("qv"), F.col("cv")) * 1e6).cast("long")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("__s"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cid", qsim6.alias("__s"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    sim_dmil = F.floor(cosine(F.col("qv"), F.col("v")) * 1e4).cast("long")
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", sim_dmil.alias("sim_dmil"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_dmil"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "sim_dmil")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -2149,6 +2149,85 @@ def _ann_lsh_oracle(max_bucket: int = 256) -> str:
     """
 
 
+def _ann_ivf_oracle(
+    nprobe: int = 4, max_cell: int = 128, k: int = 5
+) -> str:
+    def cos6(a: str, b: str) -> str:
+        return f"""floor(
+          list_sum(list_transform(range(1, len({a}) + 1),
+            i -> {a}[i] * {b}[i]))
+          / sqrt(list_sum(list_transform({a}, x -> x * x)))
+          / sqrt(list_sum(list_transform({b}, x -> x * x)))
+          * 1e6)::BIGINT"""
+
+    # count-gated codebook ladder = auto_centroid_count(target_cell=32,
+    # ladder 16/256/4096/65536); last rung open-ended
+    c_case = (
+        "CASE WHEN n.c <= 512 THEN 16 WHEN n.c <= 8192 THEN 256 "
+        "WHEN n.c <= 131072 THEN 4096 ELSE 65536 END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT COUNT(*) AS c FROM e),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e, n
+      QUALIFY ROW_NUMBER() OVER (
+          ORDER BY md5('ivf|' || vec_id::VARCHAR), vec_id) <= {c_case}
+    ),
+    assigned0 AS (
+      SELECT e.vec_id AS nbr_id, e.v, cent.cid
+      FROM e CROSS JOIN cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {cos6('e.v', 'cent.cv')} DESC, cent.cid) = 1
+    ),
+    assigned AS (
+      SELECT nbr_id, v, cid FROM assigned0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY nbr_id)
+              <= {max_cell}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT q.query_id, q.qv, cent.cid
+      FROM q CROSS JOIN cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+          ORDER BY {cos6('q.qv', 'cent.cv')} DESC, cent.cid) <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.nbr_id,
+             {_cos_dmil('p.qv', 'a.v')} AS sim_dmil
+      FROM probes p JOIN assigned a USING (cid)
+      WHERE a.nbr_id <> p.query_id
+    )
+    SELECT query_id, nbr_id, rank, sim_dmil FROM (
+      SELECT query_id, nbr_id, sim_dmil,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_dmil DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("ann_ivf_topk", _ann_ivf_oracle())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (deterministic md5-sampled codebook,
+    nearest-centroid inverted lists, nprobe-cell probe + exact
+    re-rank) — the index-structure scale path complementary to
+    ``ann_lsh_topk``. Codebook size scales with the corpus
+    (auto_centroid_count: mean cell ~32 at any n), hot cells capped at
+    128 rows at index build. The reference has no ANN; this is the
+    training-data-pipeline extension mandated by the brief, built as
+    one broadcast assignment pass + a cell equi-join (no cross join on
+    the data path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return S.ann_ivf_topk(
+        e, q, k=5, n_centroids=None, nprobe=4, max_cell=128
+    )
+
+
 @_q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k (random-hyperplane signatures,

@@ -607,3 +607,38 @@ def test_reselect_backfills_unavailable(spark):
         want_flag, want_val = expected[r["event_id"]]
         assert r["was_unavailable"] == want_flag
         assert r["reselected_value"] == want_val
+
+
+def test_auto_centroid_count_ladder():
+    assert S.auto_centroid_count(500) == 16
+    assert S.auto_centroid_count(512 * 1 + 1) == 256 or S.auto_centroid_count(513) == 256
+    assert S.auto_centroid_count(8193) == 4096
+    assert S.auto_centroid_count(10**10) == 65536  # open-ended last rung
+
+
+def test_ivf_assigns_each_vector_to_one_cell(spark):
+    """Full-corpus IVF on sf0.001 embeddings: every corpus vector lands
+    in exactly one cell, and probing all cells with k=corpus recovers
+    the brute-force top-k exactly (nprobe=C ⇒ IVF is exact)."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = S.ann_ivf_topk(
+        e, q, k=5, n_centroids=16, nprobe=16, max_cell=None
+    ).collect()
+    brute = S.brute_force_topk(e, q, k=5).collect()
+    assert [r["nbr_id"] for r in sorted(exact, key=lambda r: r["rank"])] == [
+        r["nbr_id"] for r in sorted(brute, key=lambda r: r["rank"])
+    ]
+
+
+def test_ivf_topk_subset_of_bruteforce(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = S.ann_ivf_topk(e, q, k=3, n_centroids=16, nprobe=4).collect()
+    brute = S.brute_force_topk(e, q, k=500).collect()
+    assert {r["nbr_id"] for r in approx} <= {r["nbr_id"] for r in brute}
+    assert 1 <= len(approx) <= 3

@@ -227,3 +227,15 @@ def test_pii_and_repetition_stay_jvm_side(spark):
         assert n_exchanges(plan) == 0, fn.__name__
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_ivf_candidate_join_is_broadcast_equi_join(spark):
+    """IVF probe: the data-path join (corpus cells ⋈ query probes) is a
+    broadcast hash equi-join on the cell id; the only nested-loop is
+    the C-row codebook broadcast at index build."""
+    from debezium_spark.queries import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
