@@ -287,16 +287,33 @@ def ann_ivf_topk(
     discipline). Assignment ties break by floor(cos·1e6) then lowest
     centroid id — micro-precision signs, so a SQL oracle reproduces
     the exact cell layout."""
+    # norms precomputed once per vector (not once per pair): the
+    # cosine stays the exact sequential-divide form dot/na/nb, so
+    # values — and the SQL oracle — are bit-identical, but the n·C
+    # assignment pass evaluates one dot product per pair instead of
+    # one dot + two norms
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    )
+    ).withColumn("nv", norm(F.col("v")))
     if n_centroids is None:
         n_centroids = auto_centroid_count(
             c.count(), target_cell=target_cell, ladder=ladder
         )
-    cent = ivf_centroids(c, n_centroids, id_col="nbr_id", vec_col="v")
-    sim6 = F.floor(cosine(F.col("v"), F.col("cv")) * 1e6).cast("long")
+    # materialize the codebook once (control-plane: C rows, the index
+    # build artifact) — both broadcast consumers below would otherwise
+    # re-run the top-C corpus scan
+    cent_rows = ivf_centroids(
+        c, n_centroids, id_col="nbr_id", vec_col="v"
+    ).collect()
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in cent_rows],
+        "cid long, cv array<double>",
+    ).withColumn("ncv", norm(F.col("cv")))
+    sim6 = F.floor(
+        dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
+    ).cast("long")
     # per-row argmax over the broadcast codebook: lexicographic max of
     # (sim, -cid) = highest similarity, lowest cid on ties
     assigned = (
@@ -304,13 +321,18 @@ def ann_ivf_topk(
         .select(
             "nbr_id",
             "v",
+            "nv",
             F.struct(
                 sim6.alias("s"), (-F.col("cid")).alias("nc")
             ).alias("sc"),
         )
         .groupBy("nbr_id")
-        .agg(F.first("v").alias("v"), F.max("sc").alias("m"))
-        .select("nbr_id", "v", (-F.col("m.nc")).alias("cid"))
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+            F.max("sc").alias("m"),
+        )
+        .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
     )
     if max_cell is not None:
         wc = Window.partitionBy("cid").orderBy("nbr_id")
@@ -322,19 +344,23 @@ def ann_ivf_topk(
     q = queries.select(
         F.col(qid_col).alias("query_id"),
         _as_double(F.col(qvec_col)).alias("qv"),
-    )
-    qsim6 = F.floor(cosine(F.col("qv"), F.col("cv")) * 1e6).cast("long")
+    ).withColumn("nqv", norm(F.col("qv")))
+    qsim6 = F.floor(
+        dot(F.col("qv"), F.col("cv")) / F.col("nqv") / F.col("ncv") * 1e6
+    ).cast("long")
     wp = Window.partitionBy("query_id").orderBy(
         F.desc("__s"), F.asc("cid")
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "cid", qsim6.alias("__s"))
+        .select("query_id", "qv", "nqv", "cid", qsim6.alias("__s"))
         .withColumn("__pr", F.row_number().over(wp))
         .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "nqv", "cid")
     )
-    sim_dmil = F.floor(cosine(F.col("qv"), F.col("v")) * 1e4).cast("long")
+    sim_dmil = F.floor(
+        dot(F.col("qv"), F.col("v")) / F.col("nqv") / F.col("nv") * 1e4
+    ).cast("long")
     scored = (
         assigned.join(F.broadcast(probes), "cid")
         .filter(F.col("nbr_id") != F.col("query_id"))
