@@ -1567,6 +1567,207 @@ def corpus_pack_shards(spark, sf_dir):
     )
 
 
+# --- decontamination / split / mixture -------------------------------
+# The three corpus-governance steps every training build runs between
+# dedup and shard packing: drop benchmark-contaminated docs, assign
+# leakage-safe splits, and compute the per-domain sampling mixture.
+
+_DECON_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents
+    ), sh5 AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 5 THEN
+               list_distinct([array_to_string(tk[i:i+4], ' ')
+                              for i in range(1, len(tk) - 3)])
+             WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+             ELSE [] END AS s
+      FROM toks
+    ), flagged AS (
+      SELECT doc_id, s,
+             substr(md5('bench|' || doc_id), 1, 1) = '0' AS is_bench
+      FROM sh5
+    )
+"""
+
+
+@_q(
+    "corpus_decontaminate",
+    _DECON_SHINGLE_CTE
+    + """
+    , bg AS (SELECT DISTINCT unnest(s) AS g, 1 AS hit
+             FROM flagged WHERE is_bench)
+    , cand AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g
+               FROM flagged WHERE NOT is_bench AND len(s) > 0)
+    SELECT doc_id, n_sh::BIGINT AS n_sh,
+           SUM(COALESCE(hit, 0))::BIGINT AS n_hits,
+           floor(SUM(COALESCE(hit, 0))::DOUBLE / n_sh * 1e6)::BIGINT
+             AS contam_micro
+    FROM cand LEFT JOIN bg USING (g)
+    GROUP BY doc_id, n_sh
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing 5-gram
+    shingles with a held-out benchmark set (here a deterministic ~6%
+    md5 slice of the corpus stands in for the eval suites). The
+    standard pre-training hygiene step (GPT-3/Llama style n-gram
+    overlap decontamination).
+
+    Scale shape: a real benchmark set is FIXED-size (eval suites are
+    ~10^4 docs) while the corpus is 10^10, so the benchmark shingle
+    set is built once, deduped, and **broadcast** — the corpus side
+    streams through a broadcast-hash semi-join with no corpus shuffle;
+    the only exchange is the map-side-combinable per-doc hit count.
+    Contamination ratio in integer micro-units for exact cross-engine
+    match."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.word_shingles(F.col("text"), 5).alias("sh")
+    )
+    is_bench = (
+        F.substring(
+            F.md5(F.concat(F.lit("bench|"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        == "0"
+    )
+    d = d.withColumn("is_bench", is_bench)
+    bench_g = (
+        d.filter("is_bench")
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = (
+        d.filter(~F.col("is_bench"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").cast("long").alias("n_sh"),
+                F.explode("sh").alias("g"))
+    )
+    return (
+        cand.join(F.broadcast(bench_g), "g", "left")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hits",
+            F.floor(F.col("n_hits") / F.col("n_sh") * 1e6)
+            .cast("long")
+            .alias("contam_micro"),
+        )
+    )
+
+
+@_q(
+    "corpus_split",
+    """
+    SELECT doc_id,
+           (CAST(concat('0x', substr(md5(trim(regexp_replace(
+              lower(text), '\\s+', ' ', 'g'))), 1, 6)) AS INTEGER)
+            % 1000)::BIGINT AS content_bucket,
+           CASE WHEN (CAST(concat('0x', substr(md5(trim(regexp_replace(
+                  lower(text), '\\s+', ' ', 'g'))), 1, 6)) AS INTEGER)
+                 % 1000) < 980 THEN 'train'
+                WHEN (CAST(concat('0x', substr(md5(trim(regexp_replace(
+                  lower(text), '\\s+', ' ', 'g'))), 1, 6)) AS INTEGER)
+                 % 1000) < 990 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split (98/1/1): the bucket is a
+    hash of the NORMALIZED CONTENT, not the doc id, so byte-identical
+    duplicates that survived dedup land in the same split and can
+    never leak train→test. Pure codegen projection — no shuffle, no
+    state; deterministic across runs, engines, and partitionings."""
+    fp = X.fingerprint(F.col("text"))
+    bucket = F.pmod(
+        F.conv(F.substring(fp, 1, 6), 16, 10).cast("long"), F.lit(1000)
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.alias("content_bucket"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@_q(
+    "corpus_domain_mix",
+    """
+    WITH per AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+             SUM(len(list_filter(string_split_regex(trim(lower(text)),
+                 '\\s+'), t -> t <> '')))::BIGINT AS tok_total
+      FROM documents GROUP BY 1
+    ), sh AS (
+      SELECT *, ((1000000 * tok_total)
+                 // (SELECT SUM(tok_total) FROM per))::BIGINT AS share_ppm
+      FROM per
+    ), sq AS (
+      SELECT *, floor(sqrt(share_ppm::DOUBLE) * 1000)::BIGINT AS sqrt_w
+      FROM sh
+    )
+    SELECT source, n_docs, tok_total, share_ppm,
+           ((1000000 * sqrt_w)
+            // (SELECT SUM(sqrt_w) FROM sq))::BIGINT AS mix_micro
+    FROM sq
+    """,
+)
+def corpus_domain_mix(spark, sf_dir):
+    """Per-domain sampling mixture with temperature α=0.5: weight ∝
+    sqrt(token share), the standard multi-domain rebalancing rule
+    (up-samples small domains, down-samples the head). All ratios in
+    exact integer ppm/micro units: shares use BIGINT floor-division;
+    sqrt is IEEE-correctly-rounded so floor(sqrt·1000) is bit-equal
+    across engines.
+
+    Scale shape: one map-side-combined groupBy(source) — domains are
+    few (10s–1000s), so the agg output is driver-scale; the two global
+    totals ride a broadcast 1-row cross join, never a single-partition
+    window over data rows."""
+    per = (
+        _t(spark, sf_dir, "documents")
+        .select("source", X.token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tok_total"),
+        )
+    )
+    tot = per.agg(F.sum("tok_total").alias("grand_tot"))
+    # `div` = exact BIGINT floor division (matches DuckDB `//`); a
+    # double `/` could land one ulp under an exact ratio and truncate
+    # to floor-1 on one engine only.
+    sh = per.crossJoin(F.broadcast(tot)).withColumn(
+        "share_ppm", F.expr("(1000000 * tok_total) div grand_tot")
+    )
+    sq = sh.withColumn(
+        "sqrt_w",
+        F.floor(F.sqrt(F.col("share_ppm").cast("double")) * 1000)
+        .cast("long"),
+    )
+    stot = sq.agg(F.sum("sqrt_w").alias("sqrt_tot"))
+    return (
+        sq.crossJoin(F.broadcast(stot))
+        .select(
+            "source",
+            "n_docs",
+            "tok_total",
+            "share_ppm",
+            F.expr("(1000000 * sqrt_w) div sqrt_tot").alias("mix_micro"),
+        )
+    )
+
+
 @_q(
     "multimodal_metadata",
     """
@@ -2414,6 +2615,54 @@ def events_sessionize(spark, sf_dir):
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long")
         .alias("session_seq"),
+    )
+
+
+@_q(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           SUM(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation per event type — the batch
+    twin of the Structured Streaming watermark+window path (same
+    ``F.window`` expression runs under ``readStream`` with
+    ``withWatermark``; equivalence + late-row eviction are pinned in
+    tests/test_streaming_window.py). Per-row cents conversion BEFORE
+    the sum keeps the aggregate in exact BIGINT (a double sum is
+    order-dependent and can't hash-match across engines).
+
+    Scale shape: one map-side-combined groupBy on (window,
+    event_type); windows are derived, not enumerated, so sparse hours
+    cost nothing."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            # parquet ts loads as TIMESTAMP_NTZ; normalize the window
+            # bound to plain TIMESTAMP so the oracle schema matches
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
     )
 
 

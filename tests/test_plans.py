@@ -239,3 +239,42 @@ def test_ivf_candidate_join_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_is_broadcast_semi_shape(spark):
+    """Benchmark shingle set broadcasts (fixed-size eval suites); the
+    corpus side must not shuffle before its per-doc count agg — the
+    only exchanges are the bench-side distinct and the final count."""
+    from debezium_spark.queries import corpus_decontaminate
+
+    plan = plan_of(corpus_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial agg before the per-doc count exchange
+    assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_corpus_split_no_shuffle_pure_codegen(spark):
+    """Split assignment is a shuffle-free projection (content-hash
+    bucket), fully inside whole-stage codegen — no Python, no
+    exchange, no sort."""
+    from debezium_spark.queries import corpus_split
+
+    plan = plan_of(corpus_split(spark, SF_DIR))
+    assert n_exchanges(plan) == 0
+    # formatted plans mark codegen nodes with a leading '*'
+    assert "* Project" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_domain_mix_totals_ride_broadcast_not_window(spark):
+    """Global totals come from broadcast 1-row aggregates, never a
+    single-partition window over data rows."""
+    from debezium_spark.queries import corpus_domain_mix
+
+    plan = plan_of(corpus_domain_mix(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # map-side partial agg before the per-source exchange
+    assert plan.lower().count("hashaggregate") >= 2
