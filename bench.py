@@ -99,10 +99,15 @@ def main() -> None:
 
     from debezium_spark.session import get_spark
 
-    # bench JVM: pinned heap + throughput GC (G1 resize churn costs ~2x
-    # on this host) and tmpfs shuffle dirs when available
+    # bench JVM: throughput GC (G1 resize churn costs ~2x on this host)
+    # and tmpfs shuffle dirs when available. Deliberately NO
+    # -Xms pinning / -XX:+AlwaysPreTouch: pre-faulting a 40 GiB heap
+    # runs at ~75 MB/s on this guest kernel when the host is loaded
+    # (~10 min of JVM startup before the first query), dwarfing any GC
+    # resize savings; a modest lazily-faulted floor is the stable
+    # middle ground.
     extra = {
-        "spark.driver.extraJavaOptions": "-Xms40g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "spark.driver.extraJavaOptions": "-Xms4g -XX:+UseParallelGC",
     }
     if os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/spark-bench-local"

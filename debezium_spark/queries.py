@@ -2619,6 +2619,69 @@ def events_sessionize(spark, sf_dir):
 
 
 @_q(
+    "events_session_stats",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+             floor(value * 100)::BIGINT AS cents,
+             LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ms
+      FROM events
+    ), s AS (
+      SELECT *, CAST(SUM(CASE WHEN prev_ms IS NULL
+                              OR ms - prev_ms > 1800000
+                         THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS BIGINT) AS session_seq
+      FROM l
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(cents)::BIGINT AS value_cents
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_session_stats(spark, sf_dir):
+    """Per-session aggregates (30-min gap windows): the batch twin of
+    the stateful streaming sessionizer
+    (``streaming/sessions.py`` — ``applyInPandasWithState`` with
+    event-time timeout; batch/stream equivalence is pinned in
+    tests/test_streaming_sessions.py). Cents conversion per row keeps
+    the sum in exact BIGINT.
+
+    Scale shape: the gap split is a lag + running-sum window over
+    (user_id, ts) — one hash exchange on user_id, in-partition sort —
+    then the per-session groupBy reuses the same partitioning (no
+    second exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    new_sess = F.when(
+        F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1_800_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select(
+            "user_id",
+            F.col("ts"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.sum(new_sess)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("session_seq"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").cast("timestamp").alias("session_start"),
+            F.max("ts").cast("timestamp").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+@_q(
     "events_tumbling_window",
     """
     SELECT date_trunc('hour', ts) AS window_start,

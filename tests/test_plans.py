@@ -278,3 +278,15 @@ def test_domain_mix_totals_ride_broadcast_not_window(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # map-side partial agg before the per-source exchange
     assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_session_stats_single_exchange(spark):
+    """The gap-split window and the per-session groupBy share one
+    hash(user_id) partitioning: HashPartitioning(user_id) satisfies
+    the (user_id, session_seq) clustering, so the whole query is ONE
+    exchange — no second shuffle for the aggregate."""
+    from debezium_spark.queries import events_session_stats
+
+    plan = plan_of(events_session_stats(spark, SF_DIR))
+    assert n_exchanges(plan) == 1
+    assert "BatchEvalPython" not in plan
