@@ -211,7 +211,9 @@ def ann_lsh_topk(
     )
 
 
-IVF_LADDER: tuple[int, ...] = (16, 256, 4096, 65536)
+IVF_LADDER: tuple[int, ...] = (
+    16, 64, 256, 1024, 4096, 16384, 65536, 262144,
+)
 
 
 def auto_centroid_count(
@@ -219,14 +221,21 @@ def auto_centroid_count(
     target_cell: int = 32,
     ladder: tuple[int, ...] = IVF_LADDER,
 ) -> int:
-    """Corpus-scaled IVF codebook size: smallest ladder ``C`` keeping
-    the MEAN cell population at or under ``target_cell``
-    (``C · target_cell ≥ n``). Same rationale as
-    :func:`auto_plane_count` — a fixed C is a fixture-scale artifact;
-    C ≈ n / target_cell keeps per-probe work constant at any corpus
-    size."""
+    """Corpus-scaled IVF codebook size: smallest ladder ``C`` at or
+    above ``4·sqrt(n)`` (the standard flat-IVF sizing, e.g. FAISS
+    guidelines). This is the rule that stays balanced at any corpus
+    size: assignment work is ``n·C`` and per-probe work is ``n/C``,
+    so C ∝ √n makes BOTH grow as n^1.5 / √n — whereas the previous
+    constant-mean-cell rule (C ∝ n/target_cell) made the assignment
+    pass O(n²), a scale-killer past ~10^7 vectors. Above the routed
+    threshold :func:`ann_ivf_topk` additionally assigns through a
+    two-level router (≈2√C dots/row instead of C), so the 10^10-row
+    assignment pass is n·2√C ≈ n·10^3, executor-parallel.
+    ``target_cell`` is kept for API compatibility (the hard per-cell
+    bound is ``max_cell``'s population cap, not this)."""
+    want = 4.0 * (max(n_rows, 1) ** 0.5)
     for c in ladder:
-        if c * target_cell >= n_rows:
+        if c >= want:
             return c
     return ladder[-1]
 
@@ -258,6 +267,94 @@ def ivf_centroids(
     )
 
 
+def _routed_assign(c: DataFrame, cent: DataFrame, n_centroids: int):
+    """Two-level (IMI-style) nearest-centroid assignment: route every
+    row through R ≈ √C super-centroids (an md5-seeded sample of the
+    codebook itself), then argmax only over the centroids mapped to
+    the chosen super-cell — ≈ R + C/R ≈ 2√C dot products per row
+    instead of C. Routing is approximate (a row may land one cell off
+    the global argmax — inherent to every hierarchical quantizer);
+    cell membership stays deterministic: floor(cos·1e6) with
+    lowest-id tie-break at BOTH levels, so runs and engines agree.
+
+    Plan shape: two chained broadcast joins (supers: R rows; routed
+    codebook: C rows) + two map-side-combined argmax aggregations —
+    the corpus never shuffles before its per-row argmax."""
+    r_width = 1
+    while r_width * r_width < n_centroids:
+        r_width *= 2
+    sup = (
+        ivf_centroids(
+            cent, r_width, id_col="cid", vec_col="cv", seed="ivfsup"
+        )
+        .select(F.col("cid").alias("sid"), F.col("cv").alias("sv"))
+        .withColumn("nsv", norm(F.col("sv")))
+    )
+    cs6 = F.floor(
+        dot(F.col("cv"), F.col("sv")) / F.col("ncv") / F.col("nsv") * 1e6
+    ).cast("long")
+    cent_routed = (
+        cent.crossJoin(F.broadcast(sup))
+        .select(
+            "cid",
+            "cv",
+            "ncv",
+            F.struct(
+                cs6.alias("s"), (-F.col("sid")).alias("ns")
+            ).alias("sc"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.first("cv").alias("cv"),
+            F.first("ncv").alias("ncv"),
+            F.max("sc").alias("m"),
+        )
+        .select("cid", "cv", "ncv", (-F.col("m.ns")).alias("sid"))
+    )
+    rs6 = F.floor(
+        dot(F.col("v"), F.col("sv")) / F.col("nv") / F.col("nsv") * 1e6
+    ).cast("long")
+    routed_rows = (
+        c.crossJoin(F.broadcast(sup))
+        .select(
+            "nbr_id",
+            "v",
+            "nv",
+            F.struct(
+                rs6.alias("s"), (-F.col("sid")).alias("ns")
+            ).alias("sc"),
+        )
+        .groupBy("nbr_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+            F.max("sc").alias("m"),
+        )
+        .select("nbr_id", "v", "nv", (-F.col("m.ns")).alias("sid"))
+    )
+    sim6 = F.floor(
+        dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
+    ).cast("long")
+    return (
+        routed_rows.join(F.broadcast(cent_routed), "sid")
+        .select(
+            "nbr_id",
+            "v",
+            "nv",
+            F.struct(
+                sim6.alias("s"), (-F.col("cid")).alias("nc")
+            ).alias("sc"),
+        )
+        .groupBy("nbr_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+            F.max("sc").alias("m"),
+        )
+        .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -271,6 +368,7 @@ def ann_ivf_topk(
     max_cell: int | None = 128,
     target_cell: int = 32,
     ladder: tuple[int, ...] = IVF_LADDER,
+    route_threshold: int = 1024,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every corpus
     vector to its nearest codebook centroid (the inverted lists); a
@@ -311,29 +409,35 @@ def ann_ivf_topk(
         [(r["cid"], r["cv"]) for r in cent_rows],
         "cid long, cv array<double>",
     ).withColumn("ncv", norm(F.col("cv")))
-    sim6 = F.floor(
-        dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
-    ).cast("long")
-    # per-row argmax over the broadcast codebook: lexicographic max of
-    # (sim, -cid) = highest similarity, lowest cid on ties
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select(
-            "nbr_id",
-            "v",
-            "nv",
-            F.struct(
-                sim6.alias("s"), (-F.col("cid")).alias("nc")
-            ).alias("sc"),
+    if n_centroids >= route_threshold:
+        # two-level routed assignment (IMI-style): ~2√C dots per row
+        # instead of C — the flat n·C pass stops being executor-
+        # affordable once C ∝ √n reaches ~10^3
+        assigned = _routed_assign(c, cent, n_centroids)
+    else:
+        sim6 = F.floor(
+            dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
+        ).cast("long")
+        # per-row argmax over the broadcast codebook: lexicographic max
+        # of (sim, -cid) = highest similarity, lowest cid on ties
+        assigned = (
+            c.crossJoin(F.broadcast(cent))
+            .select(
+                "nbr_id",
+                "v",
+                "nv",
+                F.struct(
+                    sim6.alias("s"), (-F.col("cid")).alias("nc")
+                ).alias("sc"),
+            )
+            .groupBy("nbr_id")
+            .agg(
+                F.first("v").alias("v"),
+                F.first("nv").alias("nv"),
+                F.max("sc").alias("m"),
+            )
+            .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
         )
-        .groupBy("nbr_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("nv").alias("nv"),
-            F.max("sc").alias("m"),
-        )
-        .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
-    )
     if max_cell is not None:
         wc = Window.partitionBy("cid").orderBy("nbr_id")
         assigned = (

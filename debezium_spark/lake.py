@@ -143,15 +143,24 @@ class LakeTable:
         buckets: list[int] | None = None,
         logical: bool = True,
         with_sys: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
-        """Current table state. ``logical=True`` projects physical file
+        """Table state. ``logical=True`` projects physical file
         columns to logical names/types (field-id rename + widen at read,
         Iceberg-style); ``logical=False`` keeps physical names (used by
         merge so rewritten files stay in physical space). ``with_sys``
         includes the hidden ``_lsn`` column (the LSN that wrote each
-        row — the merge guard)."""
-        man = self.manifest()
-        schema = self.table_schema()
+        row — the merge guard).
+
+        ``version`` pins a historical manifest — TIME TRAVEL, the
+        Iceberg ``VERSION AS OF`` read: every commit's manifest is an
+        immutable snapshot whose file entries point at the exact data
+        files that were live then (untouched buckets keep their older
+        ``data/v{k}`` paths), so a pinned read reproduces the table
+        byte-for-byte as of that commit. Raises ``FileNotFoundError``
+        if the version has been expired (:meth:`expire_snapshots`)."""
+        man = self.manifest(version)
+        schema = self.table_schema(version)
         entries = [
             e
             for b, e in man["files"].items()
@@ -195,6 +204,88 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def versions(self) -> list[int]:
+        """All commit versions currently on disk, ascending."""
+        return sorted(
+            int(n.split(".")[0])
+            for n in os.listdir(self._commits_dir)
+            if n.endswith(".json")
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg-style snapshot expiry (``expireSnapshots`` +
+        orphan-file removal): retain the newest ``keep_last`` commits,
+        delete every data directory no retained manifest references,
+        then drop the expired manifest JSONs.
+
+        Without this, the copy-on-write merge grows storage with every
+        commit forever — at a 100 TB table with per-minute batches
+        that is the difference between ~1× and ~1440× daily storage.
+
+        Correctness under crash at any point:
+
+        * data dirs are deleted only if NO retained manifest references
+          them, so retained reads (current + time travel within the
+          window) never lose a file;
+        * manifest JSONs are kept while EITHER retained or still
+          referenced as a file-schema source by a retained manifest's
+          entries (untouched buckets keep old ``data/v{k}`` paths whose
+          schema lives in manifest ``k``);
+        * a crash mid-expiry leaves only already-unreferenced garbage,
+          which the next expiry removes — it can never orphan a
+          retained version.
+
+        Driver-side file ops are O(versions + buckets) local renames/
+        unlinks — metadata scale, no data pass. Returns counts.
+        """
+        import shutil
+
+        all_versions = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        retained = set(all_versions[-keep_last:])
+        # manifests needed as schema sources by retained file entries
+        needed = set(retained)
+        referenced_dirs: set[str] = set()
+        for v in retained:
+            for e in self.manifest(v)["files"].values():
+                needed.add(int(e["version"]))
+                referenced_dirs.add(e["path"])
+
+        removed_dirs = 0
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for vdir in sorted(os.listdir(data_root)):
+                vpath = os.path.join(data_root, vdir)
+                if not os.path.isdir(vpath):
+                    continue
+                for bdir in sorted(os.listdir(vpath)):
+                    rel = f"data/{vdir}/{bdir}"
+                    if (
+                        bdir.startswith("bucket=")
+                        and rel not in referenced_dirs
+                    ):
+                        shutil.rmtree(os.path.join(vpath, bdir))
+                        removed_dirs += 1
+                # once no bucket dir survives, drop the whole version
+                # dir (removes Hadoop _SUCCESS/.crc markers too)
+                if not any(
+                    n.startswith("bucket=") for n in os.listdir(vpath)
+                ):
+                    shutil.rmtree(vpath)
+
+        removed_manifests = 0
+        for v in all_versions:
+            if v not in needed:
+                os.unlink(self._manifest_path(v))
+                self._manifest_cache.pop(v, None)
+                removed_manifests += 1
+        return {
+            "retained": sorted(retained),
+            "removed_data_dirs": removed_dirs,
+            "removed_manifests": removed_manifests,
+        }
 
     # -- merge (the MERGE INTO analogue) --------------------------------
     def merge(

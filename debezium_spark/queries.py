@@ -160,6 +160,52 @@ def cdc_final_state(spark, sf_dir):
 
 
 @_q(
+    "cdc_state_as_of",
+    f"""
+    WITH x AS (SELECT MAX(event_id) // 2 AS lsn_hi FROM events)
+    SELECT user_id, event_type, value, lsn
+    FROM (
+      SELECT user_id, event_type, value, event_id AS lsn, {_OP_SQL} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events, x WHERE event_id <= x.lsn_hi
+    ) WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_state_as_of(spark, sf_dir):
+    """Point-in-time state: the table AS OF a historical LSN (here the
+    log midpoint, computed in-query) — the relational form of the
+    lake's manifest-pinned time travel (``LakeTable.read_state(
+    version=...)`` / ``Engine.state_as_of``; every fenced merge commit
+    is a readable snapshot, expiry is ``expire_snapshots``).
+
+    Scale shape: the LSN bound rides a broadcast 1-row aggregate into
+    a pushdown-able filter, then the same single map-side-combined
+    max_by shuffle as ``cdc_final_state`` — cost is the prefix scan,
+    never a second pass."""
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(
+        F.expr("max(event_id) div 2").cast("long").alias("lsn_hi")
+    )
+    w = F.max_by(
+        F.struct(
+            F.col("event_type"),
+            F.col("value"),
+            F.col("event_id").alias("lsn"),
+            _op_col().alias("op"),
+        ),
+        F.col("event_id"),
+    ).alias("w")
+    return (
+        ev.crossJoin(F.broadcast(hi))
+        .filter(F.col("event_id") <= F.col("lsn_hi"))
+        .groupBy("user_id")
+        .agg(w)
+        .filter(F.col("w.op") != "d")
+        .select("user_id", "w.event_type", "w.value", "w.lsn")
+    )
+
+
+@_q(
     "cdc_skipped_operations",
     f"""
     SELECT event_id AS lsn, user_id, {_OP_SQL} AS op
@@ -2361,11 +2407,13 @@ def _ann_ivf_oracle(
           / sqrt(list_sum(list_transform({b}, x -> x * x)))
           * 1e6)::BIGINT"""
 
-    # count-gated codebook ladder = auto_centroid_count(target_cell=32,
-    # ladder 16/256/4096/65536); last rung open-ended
+    # count-gated codebook ladder = auto_centroid_count's √n rule
+    # (smallest rung ≥ 4√n ⇔ n ≤ rung²/16); last rung open-ended
     c_case = (
-        "CASE WHEN n.c <= 512 THEN 16 WHEN n.c <= 8192 THEN 256 "
-        "WHEN n.c <= 131072 THEN 4096 ELSE 65536 END"
+        "CASE WHEN n.c <= 16 THEN 16 WHEN n.c <= 256 THEN 64 "
+        "WHEN n.c <= 4096 THEN 256 WHEN n.c <= 65536 THEN 1024 "
+        "WHEN n.c <= 1048576 THEN 4096 WHEN n.c <= 16777216 THEN 16384 "
+        "WHEN n.c <= 268435456 THEN 65536 ELSE 262144 END"
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -812,5 +812,13 @@ class Engine:
     def final_state(self) -> DataFrame:
         return self.lake.read_state(logical=True)
 
+    def state_as_of(self, version: int) -> DataFrame:
+        """Time-travel read: the table exactly as of commit
+        ``version`` (Iceberg ``VERSION AS OF``; every fenced merge is
+        one commit). Raises ``FileNotFoundError`` once the version has
+        been expired by :meth:`debezium_spark.lake.LakeTable.
+        expire_snapshots`."""
+        return self.lake.read_state(logical=True, version=version)
+
     def metrics(self) -> list[dict]:
         return self.lake.lineage()
