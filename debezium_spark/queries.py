@@ -692,6 +692,73 @@ def cdc_json_unwrap(spark, sf_dir):
 
 
 @_q(
+    "cdc_wire_roundtrip",
+    f"""
+    SELECT event_id AS lsn, user_id, {_OP_SQL} AS op,
+           epoch_ms(ts) AS ts_ms,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS after_value,
+           CASE WHEN event_type = 'error' THEN value ELSE NULL END AS before_value,
+           FALSE AS is_tombstone
+    FROM events
+    UNION ALL
+    SELECT event_id AS lsn, user_id, NULL AS op, NULL AS ts_ms,
+           NULL AS after_value, NULL AS before_value, TRUE AS is_tombstone
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def cdc_wire_roundtrip(spark, sf_dir):
+    """Debezium JSON wire-format serde, both directions in one plan
+    (engine/format/Json.java; serde/json/JsonSerde.java:63-104): build
+    the Kafka-record view (key_json, value_json, offset) with to_json —
+    tombstone companions carry value_json NULL, the reference's
+    delete-companion shape (EventDispatcher.java:496-508) — then parse
+    back with from_json against explicit schemas. The oracle computes
+    the envelope directly, so a driver hash match proves the wire is
+    lossless (doubles included: Jackson shortest-roundtrip emit,
+    exact parse-back). Pure codegen, zero shuffle, zero Python —
+    sources/json_wire.py is the engine-side twin over EVENT_SCHEMA."""
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    env = ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        _op_col().alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.when(~is_del, F.col("value")).alias("after_value"),
+        F.when(is_del, F.col("value")).alias("before_value"),
+    )
+    key_schema = env.select("user_id").schema
+    val_schema = env.select(
+        "op", "ts_ms", "after_value", "before_value"
+    ).schema
+    data = env.select(
+        F.to_json(F.struct("user_id")).alias("key_json"),
+        F.to_json(
+            F.struct("op", "ts_ms", "after_value", "before_value")
+        ).alias("value_json"),
+        F.col("lsn").alias("offset"),
+    )
+    tomb = env.filter(F.col("op") == "d").select(
+        F.to_json(F.struct("user_id")).alias("key_json"),
+        F.lit(None).cast("string").alias("value_json"),
+        F.col("lsn").alias("offset"),
+    )
+    wire = data.unionByName(tomb)
+    v = F.from_json(F.col("value_json"), val_schema)
+    return wire.select(
+        F.col("offset").alias("lsn"),
+        F.from_json(F.col("key_json"), key_schema)["user_id"].alias(
+            "user_id"
+        ),
+        v["op"].alias("op"),
+        v["ts_ms"].alias("ts_ms"),
+        v["after_value"].alias("after_value"),
+        v["before_value"].alias("before_value"),
+        F.col("value_json").isNull().alias("is_tombstone"),
+    )
+
+
+@_q(
     "cdc_json_export",
     """
     SELECT event_id,
