@@ -191,27 +191,22 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def banded_signature(
     df: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
-    threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash-LSH, verified by
-    signature-estimated Jaccard.
-
-    bands × rows-per-band = num_hashes; a pair collides if any band's
-    row-slice hashes equal. Collision is an equi-join on
-    (band, band_key) — the scale path: shuffle keys are tiny band
-    digests, never document content.
-    """
+    """(id, sig, band, bkey) — the LSH index rows: one row per (doc,
+    band) with the band's row-slice digest as the join key. This IS the
+    persisted dedup index at corpus scale: stored bucketed by
+    (band, bkey) so an arrival batch probes only matching buckets."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, num_hashes, n, id_col, text_col)
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -234,6 +229,100 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bkey")
+
+
+def incremental_lsh_dedup(
+    index_df: DataFrame,
+    arrivals_df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: probe a batch of newly-arrived documents
+    against the EXISTING corpus index, without touching index-vs-index
+    pairs — the operation a CDC-fed training corpus runs per batch.
+
+    Returns one row per arrival: ``(id, matched_id, est_jaccard,
+    is_dup)`` where ``matched_id`` is the best-estimated-Jaccard index
+    doc over the banded collisions (ties broken toward the smallest
+    index id), NULL when no collision verifies ≥ threshold.
+
+    Scale path: the arrival batch is small by construction (one
+    micro-batch), so its banded keys are **broadcast** — the index side
+    joins with no shuffle (and, stored bucketed by (band, bkey) as
+    :func:`banded_signature` describes, with no full scan either).
+    Best-match election is a lexicographic ``max(struct(est, -id))``
+    partial agg, not a window — map-side combinable.
+    """
+    idx = banded_signature(index_df, num_hashes, bands, n, id_col, text_col)
+    arr = banded_signature(
+        arrivals_df, num_hashes, bands, n, id_col, text_col
+    )
+    cand = (
+        idx.withColumnRenamed("id", "idx_id")
+        .withColumnRenamed("sig", "idx_sig")
+        .join(
+            F.broadcast(
+                arr.withColumnRenamed("id", "new_id").withColumnRenamed(
+                    "sig", "new_sig"
+                )
+            ),
+            ["band", "bkey"],
+        )
+        .dropDuplicates(["new_id", "idx_id"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("new_sig", "idx_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    scored = cand.withColumn(
+        "est_jaccard", F.round(matches / F.size("new_sig"), 6)
+    ).filter(F.col("est_jaccard") >= threshold)
+    best = scored.groupBy("new_id").agg(
+        F.max(
+            F.struct(
+                F.col("est_jaccard"),
+                (-F.col("idx_id")).alias("neg_id"),
+                F.col("idx_id"),
+            )
+        ).alias("best")
+    )
+    # best has at most one row per arrival — always batch-sized
+    return (
+        arrivals_df.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(best), F.col("id") == F.col("new_id"), "left")
+        .select(
+            "id",
+            F.col("best.idx_id").alias("matched_id"),
+            F.col("best.est_jaccard").alias("est_jaccard"),
+            F.col("best").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified by
+    signature-estimated Jaccard.
+
+    bands × rows-per-band = num_hashes; a pair collides if any band's
+    row-slice hashes equal. Collision is an equi-join on
+    (band, band_key) — the scale path: shuffle keys are tiny band
+    digests, never document content.
+    """
+    banded = banded_signature(df, num_hashes, bands, n, id_col, text_col)
     a = banded.select(
         "band", "bkey", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )

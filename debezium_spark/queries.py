@@ -2019,11 +2019,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_pairs_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_match_expr(num_hashes: int = 8) -> str:
+    return " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+
+
+def _minhash_base_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """Shingles → portable minhash signature → banded index rows, as
+    DuckDB CTEs ending in `banded` — the SQL twin of
+    dedup.banded_signature (same md5 hash family, same band digests)."""
     rows = num_hashes // bands
-    # 4 hash words per md5 digest — same family as
-    # dedup.minhash_signature (portable): md5('mh{k}|'||g) hex chars
-    # [8m, 8m+8)
     mins = ", ".join(
         f"MIN(CAST(concat('0x', substr(md5('mh{j // 4}|' || g),"
         f" {1 + 8 * (j % 4)}, 8)) AS BIGINT)) AS h{j}"
@@ -2041,20 +2048,24 @@ def _minhash_pairs_ctes(num_hashes: int = 8, bands: int = 4) -> str:
         + " FROM sig"
         for b in range(bands)
     )
-    match_expr = " + ".join(
-        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
-        for j in range(num_hashes)
-    )
     return (
         _SHINGLE_CTE
         + f"""
     , posts AS (SELECT doc_id AS id, unnest(s) AS g FROM sh WHERE len(s) > 0),
     mins AS (SELECT id, {mins} FROM posts GROUP BY id),
     sig AS (SELECT *, {band_keys} FROM mins),
-    banded AS ({band_union}),
-    cand AS (
+    banded AS ({band_union})
+    """
+    )
+
+
+def _minhash_pairs_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    return (
+        _minhash_base_ctes(num_hashes, bands)
+        + f"""
+    , cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-             {match_expr} AS matches
+             {_minhash_match_expr(num_hashes)} AS matches
       FROM banded a JOIN banded b USING (band, bkey)
       WHERE a.id < b.id
     ),
@@ -2063,6 +2074,39 @@ def _minhash_pairs_ctes(num_hashes: int = 8, bands: int = 4) -> str:
              floor(matches::DOUBLE / {num_hashes} * 1e6)::BIGINT AS est_jaccard_micro
       FROM cand WHERE matches::DOUBLE / {num_hashes} >= 0.5
     )
+    """
+    )
+
+
+def _incremental_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Incremental dedup oracle: arrivals (doc_id % 5 = 0) probe the
+    index (doc_id % 5 <> 0) one-directionally; best match per arrival
+    by (est desc, idx_id asc); every arrival gets a row."""
+    return (
+        _minhash_base_ctes(num_hashes, bands)
+        + f"""
+    , cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS idx_id,
+             {_minhash_match_expr(num_hashes)} AS matches
+      FROM banded a JOIN banded b USING (band, bkey)
+      WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+    ),
+    scored AS (
+      SELECT new_id, idx_id,
+             floor(matches::DOUBLE / {num_hashes} * 1e6)::BIGINT AS est_jaccard_micro
+      FROM cand WHERE matches::DOUBLE / {num_hashes} >= 0.5
+    ),
+    best AS (
+      SELECT new_id, idx_id AS matched_id, est_jaccard_micro,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY est_jaccard_micro DESC, idx_id) AS rn
+      FROM scored
+    )
+    SELECT d.doc_id AS id, b.matched_id, b.est_jaccard_micro,
+           b.matched_id IS NOT NULL AS is_dup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.new_id
+    WHERE d.doc_id % 5 = 0
     """
     )
 
@@ -2122,6 +2166,30 @@ def dedup_minhash_lsh(spark, sf_dir):
         F.floor(F.col("est_jaccard") * 1e6).cast("long").alias(
             "est_jaccard_micro"
         ),
+    )
+
+
+@_q("dedup_incremental", _incremental_oracle())
+def dedup_incremental(spark, sf_dir):
+    """Incremental near-dup: the CDC-fed corpus operation — each batch
+    of newly-arrived documents (doc_id % 5 = 0 here) probes the
+    EXISTING corpus LSH index (the rest) without any index-vs-index
+    pair work. Arrival bands broadcast; the index side never shuffles
+    (stored bucketed by (band, bkey) at scale, only matching buckets
+    read). Best match per arrival, ties toward smallest index id."""
+    docs = _t(spark, sf_dir, "documents")
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    out = D.incremental_lsh_dedup(
+        index, arrivals, num_hashes=8, bands=4, n=3, threshold=0.5
+    )
+    return out.select(
+        "id",
+        "matched_id",
+        F.floor(F.col("est_jaccard") * 1e6).cast("long").alias(
+            "est_jaccard_micro"
+        ),
+        "is_dup",
     )
 
 

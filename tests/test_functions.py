@@ -610,10 +610,14 @@ def test_reselect_backfills_unavailable(spark):
 
 
 def test_auto_centroid_count_ladder():
-    assert S.auto_centroid_count(500) == 16
-    assert S.auto_centroid_count(512 * 1 + 1) == 256 or S.auto_centroid_count(513) == 256
-    assert S.auto_centroid_count(8193) == 4096
-    assert S.auto_centroid_count(10**10) == 65536  # open-ended last rung
+    # 4·sqrt(n) flat-IVF sizing, snapped up to the next ladder rung
+    assert S.auto_centroid_count(16) == 16        # 4·√16 = 16 exactly
+    assert S.auto_centroid_count(500) == 256      # 4·√500 ≈ 89.4
+    assert S.auto_centroid_count(8193) == 1024    # 4·√8193 ≈ 362
+    assert S.auto_centroid_count(10**10) == S.IVF_LADDER[-1]  # capped last rung
+    # C grows with n (monotone over the ladder)
+    counts = [S.auto_centroid_count(n) for n in (10, 10**3, 10**5, 10**7)]
+    assert counts == sorted(counts)
 
 
 def test_ivf_assigns_each_vector_to_one_cell(spark):
