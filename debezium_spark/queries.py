@@ -2078,10 +2078,10 @@ def _minhash_pairs_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     )
 
 
-def _incremental_oracle(num_hashes: int = 8, bands: int = 4) -> str:
-    """Incremental dedup oracle: arrivals (doc_id % 5 = 0) probe the
-    index (doc_id % 5 <> 0) one-directionally; best match per arrival
-    by (est desc, idx_id asc); every arrival gets a row."""
+def _incremental_best_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """CTEs through `best`: arrivals (doc_id % 5 = 0) probe the index
+    (doc_id % 5 <> 0) one-directionally; best match per arrival by
+    (est desc, idx_id asc), rn = 1 selects it."""
     return (
         _minhash_base_ctes(num_hashes, bands)
         + f"""
@@ -2102,11 +2102,41 @@ def _incremental_oracle(num_hashes: int = 8, bands: int = 4) -> str:
                                 ORDER BY est_jaccard_micro DESC, idx_id) AS rn
       FROM scored
     )
+    """
+    )
+
+
+def _incremental_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    return (
+        _incremental_best_ctes(num_hashes, bands)
+        + """
     SELECT d.doc_id AS id, b.matched_id, b.est_jaccard_micro,
            b.matched_id IS NOT NULL AS is_dup
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.new_id
     WHERE d.doc_id % 5 = 0
+    """
+    )
+
+
+def _incremental_ingest_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    return (
+        _incremental_best_ctes(num_hashes, bands)
+        + """
+    , arr_toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> t <> ''))::BIGINT AS n_tokens
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens,
+           b.matched_id IS NOT NULL AS is_dup,
+           CASE WHEN b.matched_id IS NOT NULL THEN 'drop_dup'
+                WHEN t.n_tokens < 20 THEN 'drop_short'
+                WHEN t.lang NOT IN ('en', 'es') THEN 'drop_lang'
+                ELSE 'ingest' END AS decision
+    FROM arr_toks t
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON t.doc_id = b.new_id
     """
     )
 
@@ -2190,6 +2220,37 @@ def dedup_incremental(spark, sf_dir):
             "est_jaccard_micro"
         ),
         "is_dup",
+    )
+
+
+@_q("pipeline_incremental_ingest", _incremental_ingest_oracle())
+def pipeline_incremental_ingest(spark, sf_dir):
+    """The per-micro-batch corpus ingest decision, composed: each
+    arrival (doc_id % 5 = 0) is near-dup-probed against the existing
+    index, token-counted, and language-gated; every arrival gets an
+    auditable decision (drop_dup > drop_short > drop_lang > ingest) —
+    the keep-or-drop verdict a CDC-fed training corpus must make per
+    document per batch. Dup verdicts broadcast onto the batch; no
+    corpus-side shuffle beyond the signature agg."""
+    docs = _t(spark, sf_dir, "documents")
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+    index = docs.filter(F.col("doc_id") % 5 != 0)
+    dup = D.incremental_lsh_dedup(
+        index, arrivals, num_hashes=8, bands=4, n=3, threshold=0.5
+    ).select(F.col("id").alias("doc_id"), "is_dup")
+    feats = arrivals.select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return feats.join(F.broadcast(dup), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "is_dup",
+        F.when(F.col("is_dup"), "drop_dup")
+        .when(F.col("n_tokens") < 20, "drop_short")
+        .when(~F.col("lang").isin("en", "es"), "drop_lang")
+        .otherwise("ingest")
+        .alias("decision"),
     )
 
 

@@ -575,14 +575,14 @@ class Engine:
         applied = {"n": 0}
 
         def apply(batch_df: DataFrame, epoch_id: int) -> None:
-            lsn_hi = None
-            if self.tracker.changes_by_version:
-                # schema gating needs the batch's LSN frontier up front
-                # (replay mode gets it from its deterministic spans)
-                row = batch_df.agg(F.max("lsn").alias("m")).collect()[0]
-                lsn_hi = (row["m"] if row["m"] is not None else -1) + 1
+            # no lsn_hi and no extra per-batch max(lsn) job: schema
+            # changes apply when their own 'm' row arrives in-batch
+            # (the control-row pass in _apply_batch), which IS their
+            # LSN-ordered apply point — replay mode's step-1 window
+            # gating is only needed where changes can be injected
+            # without 'm' rows in the log.
             self._apply_batch(
-                batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=lsn_hi
+                batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=None
             )
             applied["n"] += 1
             if (
@@ -651,18 +651,22 @@ class Engine:
                 truncate_lsn = max(truncate_lsn or -1, int(r["lsn"]))
             elif r["op"] == "m" and ("message" in ctl_cols) and r["message"]:
                 ch = json.loads(r["message"])
-                if int(ch["schema_version"]) > self.tracker.latest_version:
+                v = int(ch["schema_version"])
+                if v > self.tracker.latest_version:
                     self.tracker.apply(ch)
-                    # a change NEWLY learned from this batch takes
-                    # effect now, unconditionally: its LSN is in-batch
-                    # by construction, so data rows in THIS batch may
-                    # already carry the evolved column — deferring the
-                    # lake apply to the next batch would project them
-                    # against the old schema and silently drop the
-                    # values to NULL. (Step 1 only replays changes the
-                    # tracker knew at entry, so no double-apply.)
-                    if int(ch["schema_version"]) > self.lake.table_schema().version:
-                        self.lake.apply_schema_change(ch)
+                # the change takes effect now, whether newly learned or
+                # known since init (cold restart rebuilt the tracker
+                # from this same log): its 'm' row is IN this batch, so
+                # this is exactly its LSN-ordered apply point, and data
+                # rows of this batch may already carry the evolved
+                # column — deferring the lake apply would project them
+                # against the old schema and silently drop the values
+                # to NULL. The version guard makes re-delivery and the
+                # replay path's step-1 overlap a no-op; this is also
+                # why the streaming front-end needs no per-batch
+                # max(lsn) job to gate step 1.
+                if v > self.lake.table_schema().version:
+                    self.lake.apply_schema_change(ch)
 
         # 3. per-source-partition offset frontier + lineage (the
         #    StreamingMeter analogue) rides along as observed metrics of
