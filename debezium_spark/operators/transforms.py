@@ -595,6 +595,82 @@ def topic_name(
     raise ValueError(f"unknown topic naming strategy {strategy!r}")
 
 
+def schema_name_adjust(name: Column | str, mode: str = "avro") -> Column:
+    """Avro schema/field name adjuster — byte-exact
+    ``schema/SchemaNameAdjuster.java:266-309`` with its four shipped
+    replacement functions:
+
+    - ``avro`` (UNDERSCORE_REPLACEMENT): first char legal ``[A-Za-z_]``,
+      rest legal ``[A-Za-z0-9_.]``; invalid → ``_``. A leading digit
+      becomes ``_<digit>`` (the digit is KEPT after the underscore —
+      the backward-compat collision guard at SchemaNameAdjuster.java:
+      278-285).
+    - ``avro_field`` (FieldNameUnderscoreReplacementFunction): same,
+      but ``.`` is illegal in the rest (field names are not namespaced).
+    - ``avro_unicode`` (UnicodeReplacementFunction): underscore is the
+      escape char so it is itself illegal — first legal ``[A-Za-z]``,
+      rest legal ``[A-Za-z0-9.]``; invalid → ``_u<hex>`` (minimal
+      lowercase hex, ``00``-prefixed to ≥3 digits). No digit-preserve.
+    - ``avro_unicode_field`` (FieldNameUnicodeReplacementFunction):
+      unicode rules without ``.`` in the rest.
+
+    Pure column expressions: the underscore modes are two
+    ``regexp_replace`` passes; the unicode modes pay a per-character
+    transform only for names that actually need escaping (all-legal
+    fast path, as in :func:`topic_name`).
+    """
+    col = F.col(name) if isinstance(name, str) else name
+    first = F.substring(col, 1, 1)
+    rest = col.substr(F.lit(2), F.length(col))
+    if mode in ("avro", "avro_field"):
+        rest_illegal = (
+            "[^A-Za-z0-9_.]" if mode == "avro" else "[^A-Za-z0-9_]"
+        )
+        head = (
+            F.when(first.rlike("^[A-Za-z_]$"), first)
+            .when(first.rlike("^[0-9]$"), F.concat(F.lit("_"), first))
+            .otherwise(F.lit("_"))
+        )
+        out = F.concat(head, F.regexp_replace(rest, rest_illegal, "_"))
+        # SchemaNameAdjuster.validFullname returns "" unchanged
+        return F.when(F.length(col) == 0, col).otherwise(out)
+    if mode in ("avro_unicode", "avro_unicode_field"):
+        first_ok = "^[A-Za-z]$"
+        rest_ok = (
+            "^[A-Za-z0-9.]$" if mode == "avro_unicode" else "^[A-Za-z0-9]$"
+        )
+        all_ok = (
+            "^[A-Za-z][A-Za-z0-9.]*$"
+            if mode == "avro_unicode"
+            else "^[A-Za-z][A-Za-z0-9]*$"
+        )
+
+        def esc(c: Column) -> Column:
+            h = F.lower(F.hex(F.ascii(c)))
+            return F.concat(
+                F.lit("_u"),
+                F.when(F.length(h) <= 2, F.concat(F.lit("00"), h)).otherwise(
+                    h
+                ),
+            )
+
+        chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+        adjusted = F.array_join(
+            F.transform(
+                chars,
+                lambda c, i: F.when(
+                    i == 0,
+                    F.when(c.rlike(first_ok), c).otherwise(esc(c)),
+                ).otherwise(F.when(c.rlike(rest_ok), c).otherwise(esc(c))),
+            ),
+            "",
+        )
+        return F.when(
+            (F.length(col) == 0) | col.rlike(all_ok), col
+        ).otherwise(adjusted)
+    raise ValueError(f"unknown schema name adjustment mode {mode!r}")
+
+
 def heartbeat_topic(prefix: str, server: str) -> str:
     """``__debezium-heartbeat.<server>`` (HeartbeatImpl.java:38-43)."""
     return f"{prefix}.{server}" if prefix else f"__debezium-heartbeat.{server}"

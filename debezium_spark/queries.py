@@ -950,6 +950,70 @@ def cdc_topic_naming(spark, sf_dir):
 
 
 @_q(
+    "cdc_schema_name_adjust",
+    """
+    WITH names AS (
+      SELECT event_id,
+             CAST(user_id AS VARCHAR) || '-' || event_type || '.v'
+               AS proposed
+      FROM events
+    )
+    SELECT event_id, proposed,
+           CASE WHEN proposed = '' THEN ''
+                ELSE (CASE WHEN regexp_matches(substr(proposed, 1, 1),
+                                               '^[A-Za-z_]$')
+                             THEN substr(proposed, 1, 1)
+                           WHEN regexp_matches(substr(proposed, 1, 1),
+                                               '^[0-9]$')
+                             THEN '_' || substr(proposed, 1, 1)
+                           ELSE '_' END)
+                     || regexp_replace(substr(proposed, 2),
+                                       '[^A-Za-z0-9_.]', '_', 'g')
+           END AS avro_name,
+           CASE WHEN proposed = '' THEN ''
+                ELSE (CASE WHEN regexp_matches(substr(proposed, 1, 1),
+                                               '^[A-Za-z_]$')
+                             THEN substr(proposed, 1, 1)
+                           WHEN regexp_matches(substr(proposed, 1, 1),
+                                               '^[0-9]$')
+                             THEN '_' || substr(proposed, 1, 1)
+                           ELSE '_' END)
+                     || regexp_replace(substr(proposed, 2),
+                                       '[^A-Za-z0-9_]', '_', 'g')
+           END AS avro_field_name
+    FROM names
+    """,
+)
+def cdc_schema_name_adjust(spark, sf_dir):
+    """Avro schema/field name adjustment
+    (schema/SchemaNameAdjuster.java:266-309): names proposed from the
+    stream (leading digit → the `_<digit>` collision guard, `-` →
+    `_`, `.` legal in fullnames but not field names). Pure
+    regexp_replace codegen — the adjuster runs per record at dispatch
+    in the reference, so it must stay expression-only here."""
+    from debezium_spark.operators.transforms import schema_name_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    named = ev.select(
+        "event_id",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("-"),
+            F.col("event_type"),
+            F.lit(".v"),
+        ).alias("proposed"),
+    )
+    return named.select(
+        "event_id",
+        "proposed",
+        schema_name_adjust(F.col("proposed"), "avro").alias("avro_name"),
+        schema_name_adjust(F.col("proposed"), "avro_field").alias(
+            "avro_field_name"
+        ),
+    )
+
+
+@_q(
     "cdc_cloudevents_export",
     f"""
     SELECT event_id,

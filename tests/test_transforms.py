@@ -314,3 +314,61 @@ def test_topic_name_unicode_escape(spark):
         topic_name("p", F.lit("s"), F.col("t"), "unicode").alias("x")
     ).collect()[0]["x"]
     assert out == "p.s.a_u005fb_u0024c"
+
+
+def test_schema_name_adjust_underscore_modes(spark):
+    """SchemaNameAdjuster.validFullname (SchemaNameAdjuster.java:266-309)
+    byte-exact: leading digit keeps the digit after the underscore
+    (the collision guard); '.' is legal in fullnames, illegal in field
+    names; '' is returned unchanged."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import schema_name_adjust
+
+    cases = [
+        # (proposed, avro, avro_field)
+        ("server1.public.t1", "server1.public.t1", "server1_public_t1"),
+        ("9orders", "_9orders", "_9orders"),
+        ("$tbl", "_tbl", "_tbl"),
+        ("a-b.c", "a_b.c", "a_b_c"),
+        ("_ok_9", "_ok_9", "_ok_9"),
+        ("", "", ""),
+        ("x y", "x_y", "x_y"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "p: string")
+    got = df.select(
+        "p",
+        schema_name_adjust(F.col("p"), "avro").alias("a"),
+        schema_name_adjust(F.col("p"), "avro_field").alias("f"),
+    ).collect()
+    by_p = {r["p"]: (r["a"], r["f"]) for r in got}
+    for p, want_a, want_f in cases:
+        assert by_p[p] == (want_a, want_f), p
+
+
+def test_schema_name_adjust_unicode_modes(spark):
+    """Unicode modes: underscore is the escape char (escapes itself),
+    first char must be a Latin letter (no underscore), minimal
+    lowercase hex 00-prefixed to >= 3 digits; no digit-preserve rule
+    (UnicodeReplacementFunction + FieldName variant)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import schema_name_adjust
+
+    cases = [
+        # (proposed, avro_unicode, avro_unicode_field)
+        ("a_b", "a_u005fb", "a_u005fb"),
+        ("9x", "_u0039x", "_u0039x"),
+        ("a.b", "a.b", "a_u002eb"),
+        ("ok9", "ok9", "ok9"),
+        ("", "", ""),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "p: string")
+    got = df.select(
+        "p",
+        schema_name_adjust(F.col("p"), "avro_unicode").alias("u"),
+        schema_name_adjust(F.col("p"), "avro_unicode_field").alias("uf"),
+    ).collect()
+    by_p = {r["p"]: (r["u"], r["uf"]) for r in got}
+    for p, want_u, want_uf in cases:
+        assert by_p[p] == (want_u, want_uf), p
