@@ -671,6 +671,71 @@ def schema_name_adjust(name: Column | str, mode: str = "avro") -> Column:
     raise ValueError(f"unknown schema name adjustment mode {mode!r}")
 
 
+def propagate_source_metadata(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    comments: dict[str, str] | None = None,
+    name_adjust_mode: str | None = None,
+) -> DataFrame:
+    """``column.propagate.source.type`` analogue —
+    ``relational/mapping/PropagateSourceMetadataToSchemaParameter.java:
+    23-57``: stamp each column's SCHEMA (Spark StructField metadata,
+    the Connect schema-parameter analogue) with
+    ``__debezium.source.column.type`` (upper-cased source type name),
+    ``.length``/``.scale`` when the type carries them (decimal
+    precision/scale, char/varchar length), ``.comment`` when supplied,
+    and ``.name`` — the ORIGINAL column name, kept so consumers can
+    recover it when ``field.name.adjustment.mode`` renames the field
+    (which is why this composes with :func:`schema_name_adjust`:
+    pass ``name_adjust_mode`` to rename the field and keep the
+    original in metadata). Metadata-only — zero data movement."""
+    from pyspark.sql import types as T
+
+    comments = comments or {}
+    cols = []
+    for f in df.schema.fields:
+        if columns is not None and f.name not in columns:
+            cols.append(F.col(f.name))
+            continue
+        meta = dict(f.metadata or {})
+        meta["__debezium.source.column.type"] = f.dataType.simpleString().split(
+            "("
+        )[0].upper()
+        if isinstance(f.dataType, T.DecimalType):
+            meta["__debezium.source.column.length"] = str(
+                f.dataType.precision
+            )
+            meta["__debezium.source.column.scale"] = str(f.dataType.scale)
+        elif isinstance(f.dataType, (T.CharType, T.VarcharType)):
+            meta["__debezium.source.column.length"] = str(f.dataType.length)
+        if f.name in comments:
+            meta["__debezium.source.column.comment"] = comments[f.name]
+        meta["__debezium.source.column.name"] = f.name
+        out_name = f.name
+        if name_adjust_mode is not None:
+            import re as _re
+
+            # driver-side rename (field names are plan constants);
+            # same rules as schema_name_adjust's underscore modes
+            illegal = (
+                r"[^A-Za-z0-9_.]"
+                if name_adjust_mode == "avro"
+                else r"[^A-Za-z0-9_]"
+            )
+            first = f.name[:1]
+            if _re.match(r"[A-Za-z_]", first):
+                head = first
+            elif _re.match(r"[0-9]", first):
+                head = "_" + first
+            elif first:
+                head = "_"
+            else:
+                head = ""
+            out_name = head + _re.sub(illegal, "_", f.name[1:])
+        cols.append(F.col(f.name).alias(out_name, metadata=meta))
+    return df.select(*cols)
+
+
 def heartbeat_topic(prefix: str, server: str) -> str:
     """``__debezium-heartbeat.<server>`` (HeartbeatImpl.java:38-43)."""
     return f"{prefix}.{server}" if prefix else f"__debezium-heartbeat.{server}"

@@ -826,6 +826,87 @@ def cdc_transaction_markers(spark, sf_dir):
 
 
 @_q(
+    "cdc_source_sequence",
+    """
+    WITH tx AS (
+      SELECT event_id // 10 AS tx_id, MAX(event_id) AS commit_lsn
+      FROM events GROUP BY 1
+    ),
+    seqs AS (
+      SELECT tx_id,
+             LAG(commit_lsn) OVER (ORDER BY tx_id) AS last_commit
+      FROM tx
+    )
+    SELECT e.event_id AS lsn,
+           CASE WHEN s.last_commit IS NULL
+                THEN '[null,"' || e.event_id || '"]'
+                ELSE '["' || s.last_commit || '","' || e.event_id || '"]'
+           END AS sequence
+    FROM events e JOIN seqs s ON e.event_id // 10 = s.tx_id
+    """,
+)
+def cdc_source_sequence(spark, sf_dir):
+    """source.sequence ordering token — byte-exact Postgres SourceInfo
+    .sequence() (SourceInfo.java:177-189): a Jackson JSON array
+    ``["<lastCommitLsn>","<lsn>"]`` where lastCommitLsn is the commit
+    LSN of the last COMPLETELY processed transaction (null before the
+    first commit). The reference carries it as O(1) streaming state;
+    the relational twin is a lag over per-tx commit LSNs, computed
+    scale-safe in two levels: per-bucket lag windows (tx_id div 1024)
+    plus a bucket-frontier prefix over the tiny bucket table — no
+    global single-partition window over 10^9 transactions."""
+    ev = _t(spark, sf_dir, "events")
+    tx = (
+        ev.withColumn("tx_id", F.expr("event_id div 10"))
+        .groupBy("tx_id")
+        .agg(F.max("event_id").alias("commit_lsn"))
+        .withColumn("bkt", F.expr("tx_id div 1024"))
+    )
+    # bucket frontier: max commit of every bucket strictly before b —
+    # the bucket table is n_tx/1024 rows, so this window is cheap
+    bmax = tx.groupBy("bkt").agg(F.max("commit_lsn").alias("bmax"))
+    wprev = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = bmax.select(
+        "bkt", F.max("bmax").over(wprev).alias("prev_bucket_commit")
+    )
+    win = Window.partitionBy("bkt").orderBy("tx_id")
+    seqs = (
+        tx.join(F.broadcast(frontier), "bkt")
+        .select(
+            "tx_id",
+            F.coalesce(
+                F.lag("commit_lsn").over(win),
+                F.col("prev_bucket_commit"),
+            ).alias("last_commit"),
+        )
+    )
+    out = ev.withColumn("tx_id", F.expr("event_id div 10")).join(
+        seqs, "tx_id"
+    )
+    return out.select(
+        F.col("event_id").alias("lsn"),
+        F.when(
+            F.col("last_commit").isNull(),
+            F.concat(
+                F.lit('[null,"'), F.col("event_id").cast("string"), F.lit('"]')
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('["'),
+                F.col("last_commit").cast("string"),
+                F.lit('","'),
+                F.col("event_id").cast("string"),
+                F.lit('"]'),
+            )
+        )
+        .alias("sequence"),
+    )
+
+
+@_q(
     "cdc_header_to_value",
     f"""
     SELECT event_id, {_OP_SQL} AS __header_op, event_type AS __header_tbl

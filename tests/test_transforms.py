@@ -372,3 +372,38 @@ def test_schema_name_adjust_unicode_modes(spark):
     by_p = {r["p"]: (r["u"], r["uf"]) for r in got}
     for p, want_u, want_uf in cases:
         assert by_p[p] == (want_u, want_uf), p
+
+
+def test_propagate_source_metadata(spark):
+    """PropagateSourceMetadataToSchemaParameter semantics
+    (relational/mapping/PropagateSourceMetadataToSchemaParameter.java:
+    23-57): type name upper-cased, length/scale only when the type has
+    them, comment only when supplied, original name always kept (the
+    avro field renamer may change the field name)."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import (
+        propagate_source_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x")], "id bigint, name string"
+    ).select(
+        "id", "name", F.col("id").cast("decimal(10,2)").alias("9amt")
+    )
+    out = propagate_source_metadata(
+        df, comments={"name": "the name"}, name_adjust_mode="avro_field"
+    )
+    fields = {f.metadata.get("__debezium.source.column.name"): f for f in out.schema.fields}
+    assert fields["id"].metadata["__debezium.source.column.type"] == "BIGINT"
+    assert fields["name"].metadata["__debezium.source.column.type"] == "STRING"
+    assert fields["name"].metadata["__debezium.source.column.comment"] == "the name"
+    assert "__debezium.source.column.comment" not in fields["id"].metadata
+    amt = fields["9amt"]
+    assert amt.name == "_9amt"  # renamed by the avro field rule...
+    assert amt.metadata["__debezium.source.column.name"] == "9amt"  # ...original kept
+    assert amt.metadata["__debezium.source.column.type"] == "DECIMAL"
+    assert amt.metadata["__debezium.source.column.length"] == "10"
+    assert amt.metadata["__debezium.source.column.scale"] == "2"
+    # values untouched
+    assert out.count() == 1
