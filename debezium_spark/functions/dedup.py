@@ -254,8 +254,8 @@ def incremental_lsh_dedup(
     micro-batch), so its banded keys are **broadcast** — the index side
     joins with no shuffle (and, stored bucketed by (band, bkey) as
     :func:`banded_signature` describes, with no full scan either).
-    Best-match election is a lexicographic ``max(struct(est, -id))``
-    partial agg, not a window — map-side combinable.
+    Best-match election is two map-side-combinable aggs (max est, then
+    min id at that est), not a window; works for any orderable id type.
     """
     idx = banded_signature(index_df, num_hashes, bands, n, id_col, text_col)
     arr = banded_signature(
@@ -283,14 +283,19 @@ def incremental_lsh_dedup(
     scored = cand.withColumn(
         "est_jaccard", F.round(matches / F.size("new_sig"), 6)
     ).filter(F.col("est_jaccard") >= threshold)
-    best = scored.groupBy("new_id").agg(
-        F.max(
-            F.struct(
-                F.col("est_jaccard"),
-                (-F.col("idx_id")).alias("neg_id"),
-                F.col("idx_id"),
-            )
-        ).alias("best")
+    # best-match election in two map-side-combinable aggs, id-type
+    # agnostic (a negated-id struct trick would silently break on
+    # string ids): max est per arrival, then min idx_id among the
+    # candidates achieving it (exact equality is safe — both sides are
+    # the same computed value). scored is batch-bounded, so the
+    # back-join broadcasts.
+    best_est = scored.groupBy("new_id").agg(
+        F.max("est_jaccard").alias("est_jaccard")
+    )
+    best = (
+        scored.join(F.broadcast(best_est), ["new_id", "est_jaccard"])
+        .groupBy("new_id", "est_jaccard")
+        .agg(F.min("idx_id").alias("matched_id"))
     )
     # best has at most one row per arrival — always batch-sized
     return (
@@ -298,9 +303,9 @@ def incremental_lsh_dedup(
         .join(F.broadcast(best), F.col("id") == F.col("new_id"), "left")
         .select(
             "id",
-            F.col("best.idx_id").alias("matched_id"),
-            F.col("best.est_jaccard").alias("est_jaccard"),
-            F.col("best").isNotNull().alias("is_dup"),
+            "matched_id",
+            "est_jaccard",
+            F.col("new_id").isNotNull().alias("is_dup"),
         )
     )
 

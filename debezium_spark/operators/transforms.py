@@ -577,12 +577,8 @@ def topic_name(
         )
 
         def esc(c: Column) -> Column:
-            h = F.lower(F.hex(F.ascii(c)))
-            h = F.when(
-                F.length(h) <= 2, F.concat(F.lit("00"), h)
-            ).otherwise(h)
             return F.when(c.rlike("^[.\\-A-Za-z0-9]$"), c).otherwise(
-                F.concat(F.lit("_u"), h)
+                _unicode_escape(c)
             )
 
         # fast path: a name made only of safe characters is its own
@@ -593,6 +589,61 @@ def topic_name(
             F.array_join(F.transform(chars, esc), "")
         )
     raise ValueError(f"unknown topic naming strategy {strategy!r}")
+
+
+def _unicode_escape(c: Column) -> Column:
+    """``_u<hex>`` escape of one character — minimal lowercase hex,
+    ``00``-prefixed to ≥3 digits (UnicodeReplacementFunction.java:
+    20-27). Shared by :func:`topic_name` and
+    :func:`schema_name_adjust`."""
+    h = F.lower(F.hex(F.ascii(c)))
+    return F.concat(
+        F.lit("_u"),
+        F.when(F.length(h) <= 2, F.concat(F.lit("00"), h)).otherwise(h),
+    )
+
+
+_ADJUST_RULES: dict[str, tuple[str, str]] = {
+    # mode -> (first-char legal class, rest-char legal class)
+    "avro": ("A-Za-z_", "A-Za-z0-9_."),
+    "avro_field": ("A-Za-z_", "A-Za-z0-9_"),
+    "avro_unicode": ("A-Za-z", "A-Za-z0-9."),
+    "avro_unicode_field": ("A-Za-z", "A-Za-z0-9"),
+}
+
+
+def adjust_name(name: str, mode: str = "avro") -> str:
+    """Driver-side twin of :func:`schema_name_adjust` for plan-constant
+    strings (field names, topic names known at plan time) — identical
+    byte semantics, same four modes; parity is pinned by pytest."""
+    import re
+
+    if mode not in _ADJUST_RULES:
+        raise ValueError(f"unknown schema name adjustment mode {mode!r}")
+    first_cls, rest_cls = _ADJUST_RULES[mode]
+    if not name:
+        return name
+    unicode_mode = mode.startswith("avro_unicode")
+
+    def esc(ch: str) -> str:
+        if unicode_mode:
+            h = format(ord(ch), "x")
+            return "_u" + ("00" + h if len(h) <= 2 else h)
+        # digit-preserve collision guard applies to the first char of
+        # the underscore modes only (SchemaNameAdjuster.java:278-285)
+        return "_"
+
+    out = []
+    c = name[0]
+    if re.match(f"[{first_cls}]", c):
+        out.append(c)
+    elif not unicode_mode and c.isdigit():
+        out.append("_" + c)
+    else:
+        out.append(esc(c))
+    for c in name[1:]:
+        out.append(c if re.match(f"[{rest_cls}]", c) else esc(c))
+    return "".join(out)
 
 
 def schema_name_adjust(name: Column | str, mode: str = "avro") -> Column:
@@ -645,23 +696,18 @@ def schema_name_adjust(name: Column | str, mode: str = "avro") -> Column:
             else "^[A-Za-z][A-Za-z0-9]*$"
         )
 
-        def esc(c: Column) -> Column:
-            h = F.lower(F.hex(F.ascii(c)))
-            return F.concat(
-                F.lit("_u"),
-                F.when(F.length(h) <= 2, F.concat(F.lit("00"), h)).otherwise(
-                    h
-                ),
-            )
-
         chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
         adjusted = F.array_join(
             F.transform(
                 chars,
                 lambda c, i: F.when(
                     i == 0,
-                    F.when(c.rlike(first_ok), c).otherwise(esc(c)),
-                ).otherwise(F.when(c.rlike(rest_ok), c).otherwise(esc(c))),
+                    F.when(c.rlike(first_ok), c).otherwise(
+                        _unicode_escape(c)
+                    ),
+                ).otherwise(
+                    F.when(c.rlike(rest_ok), c).otherwise(_unicode_escape(c))
+                ),
             ),
             "",
         )
@@ -694,8 +740,10 @@ def propagate_source_metadata(
     comments = comments or {}
     cols = []
     for f in df.schema.fields:
+        # df[name], never F.col(name): raw source names may contain
+        # dots, which F.col would parse as struct-field access
         if columns is not None and f.name not in columns:
-            cols.append(F.col(f.name))
+            cols.append(df[f.name])
             continue
         meta = dict(f.metadata or {})
         meta["__debezium.source.column.type"] = f.dataType.simpleString().split(
@@ -711,28 +759,12 @@ def propagate_source_metadata(
         if f.name in comments:
             meta["__debezium.source.column.comment"] = comments[f.name]
         meta["__debezium.source.column.name"] = f.name
-        out_name = f.name
-        if name_adjust_mode is not None:
-            import re as _re
-
-            # driver-side rename (field names are plan constants);
-            # same rules as schema_name_adjust's underscore modes
-            illegal = (
-                r"[^A-Za-z0-9_.]"
-                if name_adjust_mode == "avro"
-                else r"[^A-Za-z0-9_]"
-            )
-            first = f.name[:1]
-            if _re.match(r"[A-Za-z_]", first):
-                head = first
-            elif _re.match(r"[0-9]", first):
-                head = "_" + first
-            elif first:
-                head = "_"
-            else:
-                head = ""
-            out_name = head + _re.sub(illegal, "_", f.name[1:])
-        cols.append(F.col(f.name).alias(out_name, metadata=meta))
+        out_name = (
+            adjust_name(f.name, name_adjust_mode)
+            if name_adjust_mode is not None
+            else f.name
+        )
+        cols.append(df[f.name].alias(out_name, metadata=meta))
     return df.select(*cols)
 
 

@@ -574,15 +574,21 @@ class Engine:
         )
         applied = {"n": 0}
 
+        # log-carried schema changes apply when their own 'm' row
+        # arrives in-batch (the control-row pass in _apply_batch),
+        # which IS their LSN-ordered apply point — no per-batch
+        # max(lsn) job needed. Config-INJECTED changes
+        # (cfg.schema_changes) have no 'm' rows in the log, so only
+        # they still need the step-1 window gate and its frontier job.
+        need_window = bool(self.cfg.schema_changes)
+
         def apply(batch_df: DataFrame, epoch_id: int) -> None:
-            # no lsn_hi and no extra per-batch max(lsn) job: schema
-            # changes apply when their own 'm' row arrives in-batch
-            # (the control-row pass in _apply_batch), which IS their
-            # LSN-ordered apply point — replay mode's step-1 window
-            # gating is only needed where changes can be injected
-            # without 'm' rows in the log.
+            lsn_hi = None
+            if need_window:
+                row = batch_df.agg(F.max("lsn").alias("m")).collect()[0]
+                lsn_hi = (row["m"] if row["m"] is not None else -1) + 1
             self._apply_batch(
-                batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=None
+                batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=lsn_hi
             )
             applied["n"] += 1
             if (
@@ -614,10 +620,12 @@ class Engine:
 
         # 1. schema changes falling inside this batch window are applied
         #    to the table schema first (historized-schema replay,
-        #    relational/history/SchemaHistory.java:34-101). The batch's
-        #    LSN window is known from the replay plan (deterministic
-        #    spans); the streaming front-end passes lsn_hi=None and the
-        #    observed frontier below backfills it for the NEXT batch.
+        #    relational/history/SchemaHistory.java:34-101). lsn_hi is
+        #    the batch's LSN window: replay mode derives it from its
+        #    deterministic spans; the streaming front-end passes None
+        #    unless changes were config-injected without 'm' rows —
+        #    log-carried changes apply in the control-row pass below
+        #    when their own 'm' row arrives.
         if lsn_hi is not None:
             current_v = self.lake.table_schema().version
             for v in sorted(self.tracker.changes_by_version):

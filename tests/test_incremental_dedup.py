@@ -63,3 +63,18 @@ def test_probe_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_string_ids_tie_break_smallest(spark):
+    """id-type-agnostic election: string ids order lexicographically,
+    ties still break toward the smallest index id."""
+    index = spark.createDataFrame(
+        [("doc-7", BASE), ("doc-3", BASE)], "doc_id string, text string"
+    )
+    arrivals = spark.createDataFrame(
+        [("new-1", BASE)], "doc_id string, text string"
+    )
+    (row,) = incremental_lsh_dedup(
+        index, arrivals, num_hashes=8, bands=4
+    ).collect()
+    assert row["is_dup"] and row["matched_id"] == "doc-3"

@@ -329,3 +329,65 @@ def test_incremental_snapshot_preserves_evolved_columns(spark, tmp_root):
         for r in engine.final_state().collect()
     }
     assert after == before  # back-fill changed nothing
+
+
+def test_streaming_config_injected_changes_apply(spark, tmp_root):
+    """Schema changes supplied via cfg.schema_changes (the side-channel
+    schema-history case) carry NO op='m' rows in the log — the
+    streaming front-end must still gate step 1 with a batch LSN window
+    so they apply at the right batch instead of never."""
+    from debezium_spark.sources.changelog import write_changelog_ordered
+
+    changes = [
+        {
+            "lsn": BASE + int(2 * N_EVENTS * 0.5),
+            "schema_version": 1,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+        }
+    ]
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    # data rows use the evolved column after the change LSN, but the
+    # log carries no 'm' rows at all
+    data_log = gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE,
+        schema_change_lsns={1: changes[0]["lsn"]},
+    )
+    write_changelog_ordered(data_log, log_path, n_files=4)
+
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_inj"),
+        source_table_path=src_path,
+        n_buckets=8,
+        schema_changes=changes,
+    )
+    engine = Engine(spark, cfg)
+    engine.snapshot()
+    engine.run_streaming(
+        checkpoint_dir=os.path.join(tmp_root, "ckpt_inj"),
+        max_files_per_trigger=2,
+    )
+    assert engine.lake.table_schema().version == 1
+
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = data_log.toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in engine.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_sized = 0
+    for k, row in got.items():
+        assert row["content"] == oracle[k]["content"], k
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+        n_sized += row["size_bytes"] is not None
+    assert n_sized > 0  # injected change actually took effect
