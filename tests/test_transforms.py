@@ -407,3 +407,34 @@ def test_propagate_source_metadata(spark):
     assert amt.metadata["__debezium.source.column.scale"] == "2"
     # values untouched
     assert out.count() == 1
+
+
+def test_adjust_name_column_and_python_parity(spark):
+    """adjust_name (driver-side) and schema_name_adjust (column) are
+    byte-identical across all four modes over randomized BMP strings —
+    one Spark job for the whole sample."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from debezium_spark.operators.transforms import (
+        adjust_name,
+        schema_name_adjust,
+    )
+
+    pool = list("abzAZ09_.-$ é中ß€") + ["", "\t"]
+    rng = random.Random(42)
+    strings = list(
+        {
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 12)))
+            for _ in range(200)
+        }
+    )
+    modes = ("avro", "avro_field", "avro_unicode", "avro_unicode_field")
+    df = spark.createDataFrame([(s,) for s in strings], "p: string")
+    got = df.select(
+        "p", *[schema_name_adjust(F.col("p"), m).alias(m) for m in modes]
+    ).collect()
+    for r in got:
+        for m in modes:
+            assert r[m] == adjust_name(r["p"], m), (m, r["p"])
