@@ -258,6 +258,27 @@ def incremental_lsh_dedup(
     min id at that est), not a window; works for any orderable id type.
     """
     idx = banded_signature(index_df, num_hashes, bands, n, id_col, text_col)
+    return probe_lsh_index(
+        idx, arrivals_df, num_hashes, bands, n, threshold, id_col, text_col
+    )
+
+
+def probe_lsh_index(
+    index_banded: DataFrame,
+    arrivals_df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Probe a PREBUILT banded index (the output of
+    :func:`banded_signature`, typically persisted once and reused by
+    every micro-batch) with an arrival batch — the streaming hot path:
+    the index signature agg is paid once at build time, per-batch work
+    is one broadcast join against the stored index."""
+    idx = index_banded
     arr = banded_signature(
         arrivals_df, num_hashes, bands, n, id_col, text_col
     )

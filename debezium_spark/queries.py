@@ -2377,25 +2377,20 @@ def pipeline_incremental_ingest(spark, sf_dir):
     the keep-or-drop verdict a CDC-fed training corpus must make per
     document per batch. Dup verdicts broadcast onto the batch; no
     corpus-side shuffle beyond the signature agg."""
+    from debezium_spark.streaming.ingest import ingest_decisions
+
     docs = _t(spark, sf_dir, "documents")
     arrivals = docs.filter(F.col("doc_id") % 5 == 0)
     index = docs.filter(F.col("doc_id") % 5 != 0)
-    dup = D.incremental_lsh_dedup(
-        index, arrivals, num_hashes=8, bands=4, n=3, threshold=0.5
-    ).select(F.col("id").alias("doc_id"), "is_dup")
-    feats = arrivals.select(
-        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
-    )
-    return feats.join(F.broadcast(dup), "doc_id").select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        "is_dup",
-        F.when(F.col("is_dup"), "drop_dup")
-        .when(F.col("n_tokens") < 20, "drop_short")
-        .when(~F.col("lang").isin("en", "es"), "drop_lang")
-        .otherwise("ingest")
-        .alias("decision"),
+    # same decision kernel the live streaming job runs per micro-batch
+    # (streaming/ingest.py); here the banded index is built inline
+    return ingest_decisions(
+        arrivals,
+        D.banded_signature(index, num_hashes=8, bands=4, n=3),
+        num_hashes=8,
+        bands=4,
+        n=3,
+        threshold=0.5,
     )
 
 
