@@ -44,13 +44,32 @@ def build_lsh_index(
     num_hashes: int = 8,
     bands: int = 4,
     n: int = 3,
+    max_bucket: int | None = 64,
 ) -> None:
     """Persist the banded LSH index once; the signature aggregation is
     paid here, not per micro-batch. At corpus scale, write this
-    bucketed by (band, bkey) so probes read matching buckets only."""
-    banded_signature(index_df, num_hashes, bands, n).write.mode(
-        "overwrite"
-    ).parquet(path)
+    bucketed by (band, bkey) so probes read matching buckets only.
+
+    ``max_bucket`` bounds every (band, bkey) bucket's population at
+    build time (keep the smallest ids — deterministic), the same
+    bounded-bucket discipline as the capped n-gram postings and simhash
+    buckets: a degenerate band key (near-empty documents, boilerplate)
+    would otherwise make every probe that hits it emit O(bucket)
+    candidates, growing linearly with corpus size. A capped bucket can
+    only miss matches against the dropped members of already-saturated
+    (hence already heavily duplicated) buckets — the standard LSH
+    population-cap trade. ``None`` disables the cap."""
+    from pyspark.sql.window import Window
+
+    banded = banded_signature(index_df, num_hashes, bands, n)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bkey").orderBy("id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    banded.write.mode("overwrite").parquet(path)
 
 
 def ingest_decisions(

@@ -110,3 +110,31 @@ def test_restart_does_not_redecide(spark, tmp_root):
     run_streaming_ingest(spark, arr_path, idx_path, out_path, ckpt)
     n2 = spark.read.parquet(out_path).count()
     assert n1 == n2 == 4
+
+
+def test_index_bucket_population_cap(spark, tmp_root):
+    """build_lsh_index bounds every (band, bkey) bucket at max_bucket,
+    keeping the smallest ids — a degenerate band key cannot make probe
+    candidates grow with corpus size."""
+    import os as _os
+
+    # 30 identical docs -> every band bucket holds all 30 uncapped
+    dup_corpus = spark.createDataFrame(
+        [(i, BASE, "en") for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    p = _os.path.join(tmp_root, "capped_idx")
+    build_lsh_index(dup_corpus, p, max_bucket=5)
+    idx = spark.read.parquet(p)
+    sizes = idx.groupBy("band", "bkey").count().collect()
+    assert sizes and all(r["count"] <= 5 for r in sizes)
+    kept = {r["id"] for r in idx.select("id").distinct().collect()}
+    assert kept == set(range(5))  # smallest ids kept, deterministic
+    # probing still finds the duplicates via the surviving members
+    arr = spark.createDataFrame(
+        [(100, BASE, "en")], "doc_id long, text string, lang string"
+    )
+    from debezium_spark.streaming.ingest import ingest_decisions
+
+    (row,) = ingest_decisions(arr, idx).collect()
+    assert row["decision"] == "drop_dup"
