@@ -907,6 +907,97 @@ def cdc_source_sequence(spark, sf_dir):
 
 
 @_q(
+    "cdc_hybrid_time_flush",
+    """
+    WITH enc AS (
+      SELECT event_id,
+             ((1700000000000000 + event_id // 4096) << 12)
+               | (event_id % 4096) AS lsn_ht,
+             event_id // 10 AS tx_id
+      FROM events
+    ),
+    tx AS (
+      SELECT tx_id, MAX(event_id) AS commit_event FROM enc GROUP BY tx_id
+    ),
+    prevc AS (
+      SELECT tx_id,
+             LAG(commit_event) OVER (ORDER BY tx_id) AS prev_commit_event
+      FROM tx
+    )
+    SELECT e.event_id,
+           e.lsn_ht,
+           e.lsn_ht >> 12 AS physical_us,
+           e.lsn_ht & 4095 AS logical_counter,
+           CASE WHEN p.prev_commit_event IS NULL THEN NULL
+                ELSE (((1700000000000000 + p.prev_commit_event // 4096) << 12)
+                       | (p.prev_commit_event % 4096)) - 1
+           END AS flush_lsn_ht
+    FROM enc e JOIN prevc p ON e.tx_id = p.tx_id
+    """,
+)
+def cdc_hybrid_time_flush(spark, sf_dir):
+    """Yugabyte HYBRID_TIME LSN mode (the fork's addition —
+    PostgresConnectorConfig.java:417-470): the LSN is a hybrid
+    timestamp ``(physical_microseconds << 12) | logical_counter``;
+    on COMMIT at L the connector queues ``L-1`` as a restart boundary
+    (PostgresStreamingChangeEventSource.java:470-476) and flushes the
+    greatest queued boundary strictly below the callback LSN
+    (getLsnToBeFlushed) — so restart resumes from the last COMMIT, not
+    the event frontier, re-reading any in-flight transaction (:233-235;
+    harmless under our idempotent LWW merge, the same over-read-safe
+    doctrine as WalPositionLocator). Per event: encode, decode both
+    halves, and the flush boundary = previous tx's commit LSN − 1,
+    computed with the same scale-safe two-level prev-commit shape as
+    cdc_source_sequence (bucketed lag + bucket frontier, no global
+    single-partition window)."""
+    ev = _t(spark, sf_dir, "events")
+    enc = ev.select(
+        "event_id",
+        (
+            F.shiftleft(
+                F.lit(1700000000000000) + F.expr("event_id div 4096"), 12
+            ).bitwiseOR(F.col("event_id") % 4096)
+        ).alias("lsn_ht"),
+        F.expr("event_id div 10").alias("tx_id"),
+    )
+    tx = (
+        enc.groupBy("tx_id")
+        .agg(F.max("event_id").alias("commit_event"))
+        .withColumn("bkt", F.expr("tx_id div 1024"))
+    )
+    bmax = tx.groupBy("bkt").agg(F.max("commit_event").alias("bmax"))
+    wprev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = bmax.select(
+        "bkt", F.max("bmax").over(wprev).alias("prev_bucket_commit")
+    )
+    win = Window.partitionBy("bkt").orderBy("tx_id")
+    prevc = tx.join(F.broadcast(frontier), "bkt").select(
+        "tx_id",
+        F.coalesce(
+            F.lag("commit_event").over(win), F.col("prev_bucket_commit")
+        ).alias("prev_commit_event"),
+    )
+    pce = F.col("prev_commit_event")
+    return enc.join(prevc, "tx_id").select(
+        "event_id",
+        "lsn_ht",
+        F.shiftright(F.col("lsn_ht"), 12).alias("physical_us"),
+        F.col("lsn_ht").bitwiseAND(F.lit(4095)).alias("logical_counter"),
+        F.when(
+            pce.isNull(), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.shiftleft(
+                F.lit(1700000000000000) + F.expr("prev_commit_event div 4096"),
+                12,
+            ).bitwiseOR(F.col("prev_commit_event") % 4096)
+            - 1
+        )
+        .alias("flush_lsn_ht"),
+    )
+
+
+@_q(
     "cdc_header_to_value",
     f"""
     SELECT event_id, {_OP_SQL} AS __header_op, event_type AS __header_tbl
