@@ -998,6 +998,87 @@ def cdc_hybrid_time_flush(spark, sf_dir):
 
 
 @_q(
+    "cdc_gtid_set_normalize",
+    """
+    WITH g AS (
+      SELECT substr(md5('srv' || (user_id % 4)), 1, 8) AS source_uuid,
+             event_id AS tx_no
+      FROM events WHERE event_type <> 'error'
+    ),
+    i AS (
+      SELECT source_uuid, tx_no,
+             tx_no - ROW_NUMBER() OVER (PARTITION BY source_uuid
+                                        ORDER BY tx_no) AS island
+      FROM g
+    ),
+    r AS (
+      SELECT source_uuid, island, MIN(tx_no) AS s, MAX(tx_no) AS e
+      FROM i GROUP BY source_uuid, island
+    )
+    SELECT source_uuid,
+           source_uuid || ':' ||
+             string_agg(CASE WHEN s = e THEN s::VARCHAR
+                             ELSE s || '-' || e END, ':' ORDER BY s)
+             AS gtid_set
+    FROM r GROUP BY source_uuid
+    """,
+)
+def cdc_gtid_set_normalize(spark, sf_dir):
+    """MySQL GTID-set normalization — the executed-GTID-set strings the
+    MySQL offset carries and merges (`connector/mysql/GtidSet.java`;
+    `MySqlOffsetContext.java:87-94` stores/filters them on restart):
+    observed (server_uuid, tx_no) pairs → the canonical interval form
+    ``uuid:1-5:7:9-11`` (gaps from skipped transactions preserved).
+    Classic gaps-and-islands: island id = tx_no − row_number within
+    the server, then min/max per island, then an ordered join of range
+    strings. The per-server window is the honest shape — a GTID
+    sequence is per-server-sequential by definition (one server's
+    windows never mix), and server count is small; the heavy lifting
+    (island agg) is map-side combinable."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") != "error")
+    g = ev.select(
+        F.substring(
+            F.md5(F.concat(F.lit("srv"), (F.col("user_id") % 4).cast("string"))),
+            1,
+            8,
+        ).alias("source_uuid"),
+        F.col("event_id").alias("tx_no"),
+    )
+    w = Window.partitionBy("source_uuid").orderBy("tx_no")
+    islands = g.withColumn(
+        "island", F.col("tx_no") - F.row_number().over(w)
+    )
+    ranges = islands.groupBy("source_uuid", "island").agg(
+        F.min("tx_no").alias("s"), F.max("tx_no").alias("e")
+    )
+    agg = ranges.groupBy("source_uuid").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("rs")
+    )
+    return agg.select(
+        "source_uuid",
+        F.concat(
+            F.col("source_uuid"),
+            F.lit(":"),
+            F.array_join(
+                F.transform(
+                    F.col("rs"),
+                    lambda x: F.when(
+                        x["s"] == x["e"], x["s"].cast("string")
+                    ).otherwise(
+                        F.concat(
+                            x["s"].cast("string"),
+                            F.lit("-"),
+                            x["e"].cast("string"),
+                        )
+                    ),
+                ),
+                ":",
+            ),
+        ).alias("gtid_set"),
+    )
+
+
+@_q(
     "cdc_header_to_value",
     f"""
     SELECT event_id, {_OP_SQL} AS __header_op, event_type AS __header_tbl
