@@ -258,12 +258,27 @@ def enforce_valid(df: DataFrame, mode: str = "fail") -> DataFrame:
 # ExtractNewRecordState family (transforms/ExtractNewRecordState.java:1-303)
 # ---------------------------------------------------------------------------
 
+def _add_field_spec(spec: str, prefix: str) -> tuple[str, str]:
+    """Parse one ``add.fields`` entry: ``field``, ``struct.field``, or
+    ``path:NEW_NAME`` → (column path, output alias). Dotted paths
+    flatten with ``_`` under the prefix: ``source.ts_ms`` →
+    ``__source_ts_ms`` (ExtractNewRecordStateConfigDefinition.java:
+    175-185; prefix default ``__`` per METADATA_FIELD_PREFIX)."""
+    path, _, renamed = spec.partition(":")
+    path = path.strip()
+    default = path.replace(".", "_")
+    return path, prefix + (renamed.strip() or default)
+
+
 def extract_new_record_state(
     df: DataFrame,
     delete_mode: str = "drop",
     add_op: bool = True,
     add_ts_ms: bool = True,
     add_source_fields: tuple[str, ...] = (),
+    add_fields: tuple[str, ...] = (),
+    add_fields_prefix: str = "__",
+    route_by_field: str | None = None,
     row_fields: tuple[str, ...] = ("repo", "path", "commit", "lang", "content"),
 ) -> DataFrame:
     """Unwrap the envelope to a flat row ("flatten/unwrap" SMT).
@@ -271,6 +286,12 @@ def extract_new_record_state(
     delete_mode: ``drop`` (delete.handling.mode=drop) | ``rewrite``
     (keep delete rows built from ``before`` with ``__deleted = true``,
     extractnewstate/DefaultDeleteHandlingStrategy.java:1-92).
+
+    add_fields: ``add.fields`` specs — envelope/source paths, each
+    optionally renamed (``lsn``, ``source.txId:TX``), emitted under
+    ``add_fields_prefix``. route_by_field: ``route.by.field`` — the
+    named unwrapped column's value becomes the record's ``topic``
+    (ExtractNewRecordStateConfigDefinition.java:159-185).
     """
     df = drop_tombstones(df)
     if delete_mode == "drop":
@@ -290,6 +311,11 @@ def extract_new_record_state(
         cols.append(F.col("ts_ms").alias("__ts_ms"))
     for sf_ in add_source_fields:
         cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
+    for spec in add_fields:
+        path, alias = _add_field_spec(spec, add_fields_prefix)
+        cols.append(F.col(path).alias(alias))
+    if route_by_field is not None:
+        cols.append(image.getField(route_by_field).cast("string").alias("topic"))
     if delete_mode == "rewrite":
         cols.append((F.col("op") == OP_DELETE).alias("__deleted"))
     return df.select(*cols)
@@ -315,6 +341,101 @@ def extract_changed_record_state(
         )
     )
     return df.withColumn("__changed", changed)
+
+
+REPLICA_IDENTITY_MODES = ("full", "default", "change", "nothing")
+
+
+def replica_identity_shape(
+    df: DataFrame,
+    mode: str,
+    key_fields: tuple[str, ...] = ("repo", "path"),
+    row_fields: tuple[str, ...] = ("repo", "path", "commit", "lang", "content"),
+) -> DataFrame:
+    """Shape before/after images per the table's REPLICA IDENTITY.
+
+    The yugabyte fork's emitter drops the old column values for UPDATE
+    under CHANGE or DEFAULT (PostgresChangeRecordEmitter.java:110-118),
+    keeps full old rows only under FULL, and under the yboutput CHANGE
+    identity the new image carries only the columns that actually
+    changed (sparse {value,set} cells — YBRecordsStreamProducerIT).
+    DELETE keeps only the key columns in `before` under DEFAULT/CHANGE
+    (pgoutput old-key semantics) and nothing under NOTHING.
+
+    The log itself always carries full images (the generator writes
+    them); this transform is the emitter-side projection, so all four
+    modes are derivable from one log — unchanged/omitted cells become
+    NULL fields of the image struct (a Spark row cannot drop struct
+    fields per-row the way a Kafka Connect Struct can omit them).
+    """
+    if mode not in REPLICA_IDENTITY_MODES:
+        raise ValueError(f"unknown replica identity {mode!r}")
+    if mode == "full":
+        return df
+    is_u = F.col("op") == OP_UPDATE
+    is_d = F.col("op") == OP_DELETE
+    before = F.col("before")
+    # rebuild against the PHYSICAL struct (may carry not-yet-visible
+    # evolved fields like size_bytes), not the logical row_fields view
+    img_type = df.schema["before"].dataType
+    phys_fields = img_type.fieldNames()
+
+    def _key_only(img: Column) -> Column:
+        kept = [
+            (
+                img.getField(f)
+                if f in key_fields
+                else F.lit(None).cast(img_type[f].dataType)
+            ).alias(f)
+            for f in phys_fields
+        ]
+        return F.when(img.isNotNull(), F.struct(*kept))
+
+    if mode == "nothing":
+        new_before = F.when(~(is_u | is_d), before)
+        return df.withColumn("before", new_before)
+
+    # default | change: update loses before entirely, delete keeps key only
+    new_before = (
+        F.when(is_u, F.lit(None).cast(df.schema["before"].dataType))
+        .when(is_d, _key_only(before))
+        .otherwise(before)
+    )
+    out = df.withColumn("before", new_before)
+    if mode == "change":
+        # sparse new image: only changed (or key) cells survive on
+        # update; the diff runs against the ORIGINAL df's full before
+        # image, then both shaped structs swap in via one select
+        sparse_src = F.struct(
+            *[
+                (
+                    F.col("after").getField(f)
+                    if f in key_fields
+                    else F.when(
+                        ~F.col("after")
+                        .getField(f)
+                        .eqNullSafe(F.col("before").getField(f))
+                        | F.col("before").isNull(),
+                        F.col("after").getField(f),
+                    )
+                ).alias(f)
+                for f in phys_fields
+            ]
+        )
+        new_after = F.when(
+            is_u & F.col("after").isNotNull(), sparse_src
+        ).otherwise(F.col("after"))
+        out = df.select(
+            *[
+                new_before.alias("before")
+                if c == "before"
+                else new_after.alias("after")
+                if c == "after"
+                else c
+                for c in df.columns
+            ]
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

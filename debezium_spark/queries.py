@@ -206,6 +206,55 @@ def cdc_state_as_of(spark, sf_dir):
 
 
 @_q(
+    "cdc_scd2_history",
+    f"""
+    WITH env AS (
+      SELECT event_id AS lsn, user_id, {_OP_SQL} AS op, event_type, value,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS next_lsn
+      FROM events
+    )
+    SELECT user_id, lsn AS valid_from_lsn, next_lsn AS valid_to_lsn,
+           event_type, value,
+           (next_lsn IS NULL) AS is_current
+    FROM env WHERE op <> 'd'
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD type-2 history table from the change stream: every c/u
+    event opens a row version valid over [lsn, next-event-lsn); a
+    delete closes the prior version without opening one; the open
+    interval is the current row. This is the canonical warehouse sink
+    for a Debezium feed (Envelope.java before/after + ts_ms exist
+    precisely so consumers can maintain temporal tables; the engine's
+    manifest time travel — ``cdc_state_as_of`` — is the storage-level
+    dual: SCD2 materializes ALL versions, AS-OF reconstructs one).
+
+    Scale shape: one lead() window per key partition — the identical
+    single-shuffle profile as the LWW kernel, no join, no second
+    exchange; at 10^10 events the history table is append-shaped and
+    partition-prunable by valid_from_lsn."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    env = ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        _op_col().alias("op"),
+        "event_type",
+        "value",
+        F.lead("event_id").over(w).alias("next_lsn"),
+    )
+    return env.filter(F.col("op") != "d").select(
+        "user_id",
+        F.col("lsn").alias("valid_from_lsn"),
+        F.col("next_lsn").alias("valid_to_lsn"),
+        "event_type",
+        "value",
+        F.col("next_lsn").isNull().alias("is_current"),
+    )
+
+
+@_q(
     "cdc_skipped_operations",
     f"""
     SELECT event_id AS lsn, user_id, {_OP_SQL} AS op
@@ -648,6 +697,98 @@ def cdc_changed_fields(spark, sf_dir):
                 "event_type",
             ),
         ).alias("changed"),
+    )
+
+
+@_q(
+    "cdc_replica_identity_modes",
+    f"""
+    WITH env AS (
+      SELECT event_id AS lsn, user_id, {_OP_SQL} AS op, value, event_type,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_value,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_event_type
+      FROM events
+    )
+    SELECT lsn, m.mode, user_id, op,
+           CASE WHEN op = 'd' AND m.mode = 'full' THEN prev_value
+                WHEN op = 'u' AND m.mode = 'full' THEN prev_value
+                ELSE NULL END AS before_value,
+           CASE WHEN op = 'd' AND m.mode = 'full' THEN prev_event_type
+                WHEN op = 'u' AND m.mode = 'full' THEN prev_event_type
+                ELSE NULL END AS before_event_type,
+           CASE WHEN op = 'd' THEN NULL
+                WHEN m.mode = 'change' AND op = 'u'
+                     AND prev_value IS NOT NULL AND value = prev_value
+                  THEN NULL
+                ELSE value END AS after_value,
+           CASE WHEN op = 'd' THEN NULL
+                WHEN m.mode = 'change' AND op = 'u'
+                     AND prev_event_type IS NOT NULL
+                     AND event_type = prev_event_type
+                  THEN NULL
+                ELSE event_type END AS after_event_type
+    FROM env CROSS JOIN (
+      SELECT * FROM (VALUES ('full'), ('default'), ('change'), ('nothing'))
+        AS t(mode)
+    ) m
+    """,
+)
+def cdc_replica_identity_modes(spark, sf_dir):
+    """REPLICA IDENTITY image shaping, all four modes from one log
+    (PostgresChangeRecordEmitter.java:110-118: updates carry no old
+    values under CHANGE/DEFAULT; yboutput CHANGE additionally emits
+    only changed new-image cells; FULL keeps complete old rows). The
+    per-key previous row plays the full before image; the key
+    (user_id) is always its own column, mirroring the Kafka record
+    key surviving every identity. One window shuffle, then a 4-way
+    literal explode — no second exchange. Engine-side twin:
+    operators/transforms.py replica_identity_shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    base = ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        _op_col().alias("op"),
+        "value",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+    )
+    modes = F.explode(
+        F.array(*[F.lit(m) for m in ("full", "default", "change", "nothing")])
+    ).alias("mode")
+    e = base.select("*", modes)
+    is_u, is_d = F.col("op") == "u", F.col("op") == "d"
+    is_full = F.col("mode") == "full"
+    is_change = F.col("mode") == "change"
+    unchanged_v = (
+        F.col("prev_value").isNotNull()
+        & (F.col("value") == F.col("prev_value"))
+    )
+    unchanged_t = F.col("prev_event_type").isNotNull() & (
+        F.col("event_type") == F.col("prev_event_type")
+    )
+    return e.select(
+        "lsn",
+        "mode",
+        "user_id",
+        "op",
+        F.when((is_u | is_d) & is_full, F.col("prev_value")).alias(
+            "before_value"
+        ),
+        F.when((is_u | is_d) & is_full, F.col("prev_event_type")).alias(
+            "before_event_type"
+        ),
+        F.when(is_d, F.lit(None).cast("double"))
+        .when(is_change & is_u & unchanged_v, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("after_value"),
+        F.when(is_d, F.lit(None).cast("string"))
+        .when(is_change & is_u & unchanged_t, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("after_event_type"),
     )
 
 

@@ -438,3 +438,76 @@ def test_adjust_name_column_and_python_parity(spark):
     for r in got:
         for m in modes:
             assert r[m] == adjust_name(r["p"], m), (m, r["p"])
+
+
+def test_replica_identity_shape_modes(spark):
+    """PostgresChangeRecordEmitter.java:110-118 — updates lose old
+    values under CHANGE/DEFAULT; yboutput CHANGE keeps only changed
+    new-image cells; DELETE before is key-only except under FULL."""
+    log = tr.drop_tombstones(_log(spark, n_events=2000)).cache()
+    ups = F.col("op") == "u"
+    dels = F.col("op") == "d"
+
+    full = tr.replica_identity_shape(log, "full")
+    assert full.filter(ups & F.col("before").isNull()).count() == 0
+
+    dflt = tr.replica_identity_shape(log, "default")
+    assert dflt.filter(ups & F.col("before").isNotNull()).count() == 0
+    # delete before image reduced to key fields
+    d_rows = dflt.filter(dels)
+    assert d_rows.filter(F.col("before.repo").isNull()).count() == 0
+    assert d_rows.filter(F.col("before.content").isNotNull()).count() == 0
+    # after images untouched
+    assert dflt.filter(ups & F.col("after.content").isNull()).count() == 0
+
+    chg = tr.replica_identity_shape(log, "change")
+    assert chg.filter(ups & F.col("before").isNotNull()).count() == 0
+    # sparse new image: unchanged non-key cells are nulled; key cells kept
+    assert chg.filter(ups & F.col("after.repo").isNull()).count() == 0
+    n_unchanged_lang = log.filter(
+        ups & F.col("before.lang").eqNullSafe(F.col("after.lang"))
+    ).count()
+    assert (
+        chg.filter(ups & F.col("after.lang").isNull()).count()
+        == n_unchanged_lang
+    )
+    # changed cells survive verbatim
+    changed = log.filter(
+        ups & ~F.col("before.content").eqNullSafe(F.col("after.content"))
+    ).count()
+    assert (
+        chg.filter(ups & F.col("after.content").isNotNull()).count()
+        == changed
+    )
+
+    nothing = tr.replica_identity_shape(log, "nothing")
+    assert nothing.filter((ups | dels) & F.col("before").isNotNull()).count() == 0
+    assert nothing.filter(~(ups | dels) & F.col("op").isin("c", "r")).count() == \
+        full.filter(F.col("op").isin("c", "r")).count()
+    log.unpersist()
+
+
+def test_extract_new_record_state_add_fields_and_route(spark):
+    """add.fields spec parsing (rename + struct paths + prefix) and
+    route.by.field (ExtractNewRecordStateConfigDefinition.java:159-185)."""
+    log = _log(spark)
+    flat = tr.extract_new_record_state(
+        log,
+        delete_mode="drop",
+        add_fields=("lsn", "source.txId:TX", "source.snapshot"),
+        route_by_field="lang",
+    )
+    assert {"__lsn", "__TX", "__source_snapshot", "topic"} <= set(flat.columns)
+    row = flat.orderBy("__lsn").first()
+    src = (
+        log.filter((F.col("lsn") == row["__lsn"]) & ~F.col("is_tombstone"))
+        .select("source.txId", "after.lang")
+        .first()
+    )
+    assert row["__TX"] == src["txId"]
+    assert row["topic"] == src["lang"]
+    # custom prefix
+    flat2 = tr.extract_new_record_state(
+        log, add_fields=("lsn",), add_fields_prefix="meta_"
+    )
+    assert "meta_lsn" in flat2.columns
