@@ -7,6 +7,8 @@ run JVM-side inside whole-stage codegen, no Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -372,9 +374,30 @@ def replica_identity_shape(
         raise ValueError(f"unknown replica identity {mode!r}")
     if mode == "full":
         return df
+    new_before, new_after = _identity_images(df, mode, key_fields)
+    return df.select(
+        *[
+            new_before.alias("before")
+            if c == "before"
+            else new_after.alias("after")
+            if c == "after"
+            else c
+            for c in df.columns
+        ]
+    )
+
+
+def _identity_images(
+    df: DataFrame, mode: str, key_fields: tuple[str, ...]
+) -> tuple[Column, Column]:
+    """(before, after) expressions for one replica-identity mode —
+    shared by :func:`replica_identity_shape` (one table) and
+    :func:`apply_replica_identity_autoset` (per-table CASE cascade)."""
     is_u = F.col("op") == OP_UPDATE
     is_d = F.col("op") == OP_DELETE
     before = F.col("before")
+    if mode == "full":
+        return before, F.col("after")
     # rebuild against the PHYSICAL struct (may carry not-yet-visible
     # evolved fields like size_bytes), not the logical row_fields view
     img_type = df.schema["before"].dataType
@@ -392,20 +415,18 @@ def replica_identity_shape(
         return F.when(img.isNotNull(), F.struct(*kept))
 
     if mode == "nothing":
-        new_before = F.when(~(is_u | is_d), before)
-        return df.withColumn("before", new_before)
+        return F.when(~(is_u | is_d), before), F.col("after")
 
     # default | change: update loses before entirely, delete keeps key only
     new_before = (
-        F.when(is_u, F.lit(None).cast(df.schema["before"].dataType))
+        F.when(is_u, F.lit(None).cast(img_type))
         .when(is_d, _key_only(before))
         .otherwise(before)
     )
-    out = df.withColumn("before", new_before)
+    new_after = F.col("after")
     if mode == "change":
         # sparse new image: only changed (or key) cells survive on
-        # update; the diff runs against the ORIGINAL df's full before
-        # image, then both shaped structs swap in via one select
+        # update; the diff runs against the ORIGINAL full before image
         sparse_src = F.struct(
             *[
                 (
@@ -425,17 +446,112 @@ def replica_identity_shape(
         new_after = F.when(
             is_u & F.col("after").isNotNull(), sparse_src
         ).otherwise(F.col("after"))
-        out = df.select(
-            *[
-                new_before.alias("before")
-                if c == "before"
-                else new_after.alias("after")
-                if c == "after"
-                else c
-                for c in df.columns
-            ]
+    return new_before, new_after
+
+
+# replica.identity.autoset.values grammar — byte-for-byte the reference
+# regex (ReplicaIdentityMapper.java:30-31): CHANGE is the in-database
+# yb identity and is NOT settable via autoset.
+REPLICA_AUTOSET_PATTERN = re.compile(
+    r"(?i)^\s*(?P<tablepredicate>[^\s:]+):"
+    r"(?P<replicaidentity>DEFAULT|(INDEX) (?P<indexname>.\w*)|FULL|NOTHING)\s*$"
+)
+
+
+def parse_replica_identity_autoset(
+    value: str | None,
+) -> list[tuple[re.Pattern, str, str | None]]:
+    """Parse ``replica.identity.autoset.values``: comma-separated
+    ``<table regex>:<DEFAULT|INDEX <name>|FULL|NOTHING>`` entries →
+    [(compiled regex, mode, index_name)]. Non-matching entries are
+    dropped, as the reference's filter(Matcher::matches) does
+    (ReplicaIdentityMapper.java:75-82)."""
+    if not value:
+        return []
+    out = []
+    for entry in value.split(","):
+        m = REPLICA_AUTOSET_PATTERN.match(entry)
+        if not m:
+            continue
+        identity = m.group("replicaidentity").split()[0].lower()
+        out.append(
+            (
+                re.compile(m.group("tablepredicate")),
+                identity,
+                m.group("indexname"),
+            )
         )
     return out
+
+
+def find_replica_identity(
+    specs: list[tuple[re.Pattern, str, str | None]], table: str
+) -> str | None:
+    """Identity for one table, or None when no regex matches; more
+    than one matching regex is an error, exactly as the reference's
+    reducing stream throws (ReplicaIdentityMapper.java:56-60)."""
+    hits = [mode for pat, mode, _ in specs if pat.fullmatch(table)]
+    if len(hits) > 1:
+        raise ValueError(
+            f"More than one regular expression matched table {table!r}"
+        )
+    return hits[0] if hits else None
+
+
+def apply_replica_identity_autoset(
+    df: DataFrame,
+    autoset: str,
+    default_mode: str = "change",
+    key_fields: tuple[str, ...] = ("repo", "path"),
+    table_col: str = "source.table",
+) -> DataFrame:
+    """Per-table replica-identity application: every table matching an
+    autoset entry gets that identity's image shaping; unmatched tables
+    keep ``default_mode`` (the connector leaves their identity as-is —
+    for yb that is CHANGE, PostgresConnectorConfig.java:895).
+
+    ``INDEX <name>`` shapes like DEFAULT with ``key_fields`` as the
+    named index's columns — this engine's key IS its identity index.
+
+    Scale shape: the distinct-table scan is control-plane (schema-
+    registry cardinality, one small job); the shaping itself is a
+    per-mode CASE cascade on the table column — pure codegen, zero
+    extra shuffle, one pass."""
+    specs = parse_replica_identity_autoset(autoset)
+    tables = [
+        r["t"]
+        for r in df.select(F.col(table_col).alias("t")).distinct().collect()
+    ]
+    by_mode: dict[str, list[str]] = {}
+    for t in tables:
+        mode = find_replica_identity(specs, t) or default_mode
+        if mode == "index":
+            mode = "default"
+        by_mode.setdefault(mode, []).append(t)
+
+    new_before: Column | None = None
+    new_after: Column | None = None
+    for mode, tbls in sorted(by_mode.items()):
+        b, a = _identity_images(df, mode, key_fields)
+        cond = F.col(table_col).isin(tbls)
+        new_before = (
+            F.when(cond, b) if new_before is None else new_before.when(cond, b)
+        )
+        new_after = (
+            F.when(cond, a) if new_after is None else new_after.when(cond, a)
+        )
+    if new_before is None:  # empty frame: nothing to shape
+        return df
+    return df.select(
+        *[
+            new_before.alias("before")
+            if c == "before"
+            else new_after.alias("after")
+            if c == "after"
+            else c
+            for c in df.columns
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------

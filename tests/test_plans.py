@@ -290,3 +290,17 @@ def test_session_stats_single_exchange(spark):
     plan = plan_of(events_session_stats(spark, SF_DIR))
     assert n_exchanges(plan) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_scd2_and_replica_identity_single_exchange(spark):
+    """Both new window-based CDC queries keep the LWW kernel's
+    one-shuffle profile: a single hash-partition exchange on the key,
+    no join, no second exchange from the mode explode."""
+    from debezium_spark.queries import QUERIES
+
+    for name in ("cdc_scd2_history", "cdc_replica_identity_modes"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = plan_of(df)
+        assert n_exchanges(plan) == 1, (name, plan)
+        assert "Join" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)

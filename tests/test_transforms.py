@@ -511,3 +511,57 @@ def test_extract_new_record_state_add_fields_and_route(spark):
         log, add_fields=("lsn",), add_fields_prefix="meta_"
     )
     assert "meta_lsn" in flat2.columns
+
+
+def test_replica_identity_autoset_per_table(spark):
+    """replica.identity.autoset.values — per-table-regex identity
+    application, reference grammar and one-match rule
+    (ReplicaIdentityMapper.java:30-31,56-60)."""
+    log = tr.drop_tombstones(_log(spark, n_events=2000))
+    # split the single-table log into two logical tables by key parity
+    two = log.withColumn(
+        "source",
+        F.col("source").withField(
+            "table",
+            F.when(
+                F.xxhash64(F.coalesce("after.repo", "before.repo")) % 2 == 0,
+                "public.repo_files",
+            ).otherwise("public.repo_meta"),
+        ),
+    ).cache()
+    out = tr.apply_replica_identity_autoset(
+        two,
+        "public\\.repo_files:FULL,public\\.repo_meta:NOTHING",
+        default_mode="change",
+    )
+    ups = F.col("op") == "u"
+    files = out.filter(F.col("source.table") == "public.repo_files")
+    meta = out.filter(F.col("source.table") == "public.repo_meta")
+    assert files.filter(ups & F.col("before").isNull()).count() == 0
+    assert meta.filter(ups & F.col("before").isNotNull()).count() == 0
+    # unmatched table keeps the default (change): sparse update images
+    dflt = tr.apply_replica_identity_autoset(
+        two, "public\\.repo_files:FULL", default_mode="change"
+    ).filter(F.col("source.table") == "public.repo_meta")
+    n_unchanged = two.filter(
+        ups
+        & (F.col("source.table") == "public.repo_meta")
+        & F.col("before.lang").eqNullSafe(F.col("after.lang"))
+    ).count()
+    assert dflt.filter(ups & F.col("after.lang").isNull()).count() == n_unchanged
+
+    # grammar: INDEX maps to key-only DEFAULT; junk entries dropped
+    specs = tr.parse_replica_identity_autoset(
+        "a\\.b:INDEX idx_pk, c\\.d:full, junk, e\\.f:NOTHING"
+    )
+    assert [(m, i) for _, m, i in specs] == [
+        ("index", "idx_pk"), ("full", None), ("nothing", None),
+    ]
+    # one-match rule
+    import pytest as _pytest
+    overlapping = tr.parse_replica_identity_autoset(
+        "public\\..*:FULL,public\\.repo_files:NOTHING"
+    )
+    with _pytest.raises(ValueError, match="More than one"):
+        tr.find_replica_identity(overlapping, "public.repo_files")
+    two.unpersist()
