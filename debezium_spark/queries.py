@@ -793,6 +793,114 @@ def cdc_replica_identity_modes(spark, sf_dir):
 
 
 @_q(
+    "cdc_sparse_update_fold",
+    f"""
+    WITH env AS (
+      SELECT event_id AS lsn, user_id, {_OP_SQL} AS op, value, event_type,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_value,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_event_type,
+             LAG({_OP_SQL}) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_op,
+             MAX(CASE WHEN {_OP_SQL} = 'd' THEN event_id END)
+               OVER (PARTITION BY user_id) AS del_lsn
+      FROM events
+    ), sparse AS (
+      SELECT lsn, user_id, op,
+             CASE WHEN op = 'u' AND prev_op IS NOT NULL AND prev_op <> 'd'
+                       AND value = prev_value
+                  THEN NULL ELSE value END AS cell_value,
+             CASE WHEN op = 'u' AND prev_op IS NOT NULL AND prev_op <> 'd'
+                       AND event_type = prev_event_type
+                  THEN NULL ELSE event_type END AS cell_event_type
+      FROM env WHERE lsn > COALESCE(del_lsn, -1) AND op <> 'd'
+    )
+    SELECT user_id,
+           arg_max(cell_value, lsn) FILTER (WHERE cell_value IS NOT NULL)
+             AS value,
+           arg_max(cell_event_type, lsn)
+             FILTER (WHERE cell_event_type IS NOT NULL) AS event_type,
+           MAX(lsn) AS last_lsn
+    FROM sparse GROUP BY user_id
+    """,
+)
+def cdc_sparse_update_fold(spark, sf_dir):
+    """Partial-update upsert: fold a CHANGE-identity sparse feed
+    (updates carry only changed cells — the yboutput {value,set}
+    wire, PostgresChangeRecordEmitter.java:110-118 + PGCompatible
+    unwrap) back into full current rows: per key and per column, the
+    cell at the greatest LSN where that column was actually set.
+    Deletes reset the incarnation — only post-delete events fold, and
+    the first event after a delete carries a full image by CHANGE
+    semantics (an insert is never sparse), so the fold provably
+    reproduces the dense final state (pytest pins fold == LWW
+    final_state value-for-value).
+
+    Scale shape: one window pass and one groupBy on the SAME key —
+    Spark reuses the hash partitioning, so the whole fold is a single
+    exchange; per-column arg-max aggregates are map-side combinable
+    (this is the generalization of the LWW kernel from row-granularity
+    to cell-granularity)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wk = Window.partitionBy("user_id")
+    op = _op_col()
+    env = ev.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        op.alias("op"),
+        "value",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        F.lag(op).over(w).alias("prev_op"),
+        F.max(F.when(op == "d", F.col("event_id"))).over(wk).alias("del_lsn"),
+    )
+    in_chain = (
+        (F.col("op") == "u")
+        & F.col("prev_op").isNotNull()
+        & (F.col("prev_op") != "d")
+    )
+    sparse = env.filter(
+        (F.col("lsn") > F.coalesce(F.col("del_lsn"), F.lit(-1)))
+        & (F.col("op") != "d")
+    ).select(
+        "lsn",
+        "user_id",
+        F.when(
+            in_chain & (F.col("value") == F.col("prev_value")),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.col("value"))
+        .alias("cell_value"),
+        F.when(
+            in_chain & (F.col("event_type") == F.col("prev_event_type")),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("cell_event_type"),
+    )
+    # last SET cell per column: max of (lsn, cell) structs over set
+    # rows only — lsn is unique, so the struct max is the arg_max
+    return sparse.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                F.col("cell_value").isNotNull(),
+                F.struct("lsn", "cell_value"),
+            )
+        )["cell_value"].alias("value"),
+        F.max(
+            F.when(
+                F.col("cell_event_type").isNotNull(),
+                F.struct("lsn", "cell_event_type"),
+            )
+        )["cell_event_type"].alias("event_type"),
+        F.max("lsn").alias("last_lsn"),
+    )
+
+
+@_q(
     "cdc_outbox_router",
     """
     SELECT event_id, user_id AS aggregate_id, event_type AS aggregatetype,

@@ -304,3 +304,26 @@ def test_scd2_and_replica_identity_single_exchange(spark):
         assert n_exchanges(plan) == 1, (name, plan)
         assert "Join" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_sparse_update_fold_single_exchange_and_equals_final_state(spark):
+    """Cell-granular fold of a CHANGE-identity sparse feed: (a) the
+    window and the groupBy share the key, so Spark reuses the hash
+    partitioning — one exchange total; (b) the fold provably
+    reconstructs the dense LWW final state (insert-after-delete is
+    never sparse, so every cell chain bottoms out in a set value)."""
+    from debezium_spark.queries import QUERIES
+
+    folded = QUERIES["cdc_sparse_update_fold"](spark, SF_DIR)
+    plan = plan_of(folded)
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan
+
+    dense = QUERIES["cdc_final_state"](spark, SF_DIR)
+    got = {
+        r["user_id"]: (r["value"], r["event_type"]) for r in folded.collect()
+    }
+    want = {
+        r["user_id"]: (r["value"], r["event_type"]) for r in dense.collect()
+    }
+    assert got == want
