@@ -393,6 +393,8 @@ def _identity_images(
     """(before, after) expressions for one replica-identity mode —
     shared by :func:`replica_identity_shape` (one table) and
     :func:`apply_replica_identity_autoset` (per-table CASE cascade)."""
+    if mode not in REPLICA_IDENTITY_MODES:
+        raise ValueError(f"unknown replica identity {mode!r}")
     is_u = F.col("op") == OP_UPDATE
     is_d = F.col("op") == OP_DELETE
     before = F.col("before")

@@ -565,3 +565,10 @@ def test_replica_identity_autoset_per_table(spark):
     with _pytest.raises(ValueError, match="More than one"):
         tr.find_replica_identity(overlapping, "public.repo_files")
     two.unpersist()
+
+
+def test_replica_identity_autoset_rejects_bad_default(spark):
+    log = tr.drop_tombstones(_log(spark, n_events=200))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown replica identity"):
+        tr.apply_replica_identity_autoset(log, "", default_mode="bogus")
