@@ -39,6 +39,13 @@ KNOWN_TYPES = (
     "pause-snapshot",
     "resume-snapshot",
     "log",
+    # per-chunk incremental-snapshot watermark rows the ENGINE itself
+    # writes into the signal collection (OpenIncrementalSnapshotWindow /
+    # CloseIncrementalSnapshotWindow names; written by
+    # InsertWindowCloser.java:33-43 / DeleteWindowCloser.java:36-55).
+    # Bookkeeping, not commands: the LSN watermark is the actual fence.
+    "snapshot-window-open",
+    "snapshot-window-close",
 )
 
 
@@ -87,3 +94,18 @@ class SignalChannel:
     def ack(self, sid: str) -> None:
         """Mark one signal processed (call after its action commits)."""
         self._mark([sid])
+
+    def delete(self, sid: str) -> None:
+        """Remove a signal row from the collection — the reference's
+        ``DELETE FROM <signal> WHERE id = ?`` used by the INSERT_DELETE
+        watermarking strategy to close a chunk window by deleting its
+        ``-open`` row (DeleteWindowCloser.java:26-55)."""
+        if not os.path.exists(self.path):
+            return
+        with open(self.path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        kept = [ln for ln in lines if json.loads(ln)["id"] != sid]
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(kept)
+        os.replace(tmp, self.path)

@@ -80,6 +80,20 @@ class EngineConfig:
     # JSON-lines control file polled between batches (SignalProcessor)
     signal_path: str | None = None
     incremental_chunk_size: int = 1024  # CommonConnectorConfig.java:553-560
+    # incremental.snapshot.watermarking.strategy analogue
+    # (CommonConnectorConfig.java:787-795): how per-chunk window
+    # watermarks are materialized in the signal data collection.
+    #   insert_insert — open AND close rows written (InsertWindowCloser
+    #     .java:33-43; the reference default);
+    #   insert_delete — open row written, close DELETES it
+    #     (DeleteWindowCloser.java:36-55);
+    #   read_only     — nothing written (MySqlReadOnlyIncremental-
+    #     SnapshotChangeEventSource analogue; also the effective mode
+    #     when no signal_path is configured).
+    # Either way the dedup fence is the committed-offset LSN watermark —
+    # these rows are the reference's observable bookkeeping, kept for
+    # parity and ops visibility.
+    watermarking_strategy: str = "insert_insert"
     # seconds between signal polls while an in-flight snapshot is
     # paused (pause-snapshot ... resume-snapshot round-trip)
     signal_poll_interval: float = 0.1
@@ -119,6 +133,15 @@ class Engine:
         if missing:
             raise ValueError(
                 f"key_columns must include the table PK; missing {missing}"
+            )
+        if cfg.watermarking_strategy not in (
+            "insert_insert",
+            "insert_delete",
+            "read_only",
+        ):
+            raise ValueError(
+                "watermarking_strategy must be insert_insert | "
+                f"insert_delete | read_only, got {cfg.watermarking_strategy!r}"
             )
         if not self.lake.exists():
             self.lake.create()
@@ -393,6 +416,7 @@ class Engine:
                 if self._snapshot_stopped:
                     aborted = True
                     break
+                self._emit_window_mark(f"incr-{k}", "open")
                 chunk = read_chunk_range(src, lo, hi)
                 events = chunk_envelopes(
                     chunk,
@@ -403,6 +427,7 @@ class Engine:
                 results.append(
                     self._apply_batch(events, k, phase="incremental")
                 )
+                self._emit_window_mark(f"incr-{k}", "close")
                 self.notifications.emit(
                     N.INCREMENTAL_SNAPSHOT,
                     N.IN_PROGRESS,
@@ -424,6 +449,35 @@ class Engine:
             self._in_snapshot = False
             src.unpersist()
         return results
+
+    def _emit_window_mark(self, chunk_id: str, side: str) -> None:
+        """Materialize a per-chunk watermark row in the signal
+        collection per ``watermarking_strategy``
+        (CommonConnectorConfig.java:787-795).
+
+        insert_insert: ``<chunk>-open`` then ``<chunk>-close`` rows
+        (InsertWindowCloser.java:33-43). insert_delete: the close
+        DELETES the ``-open`` row, no close row is written
+        (DeleteWindowCloser.java:36-55). read_only (or no signal
+        channel): nothing is written. Rows are self-acked — they are
+        the reference's observable bookkeeping; the actual dedup fence
+        is the committed-offset LSN watermark stamped on chunk rows."""
+        if (
+            not self.cfg.signal_path
+            or self.cfg.watermarking_strategy == "read_only"
+        ):
+            return
+        from debezium_spark.signals import SignalChannel
+
+        channel = SignalChannel(self.cfg.signal_path)
+        if side == "open":
+            channel.send(f"{chunk_id}-open", "snapshot-window-open")
+            channel.ack(f"{chunk_id}-open")
+        elif self.cfg.watermarking_strategy == "insert_insert":
+            channel.send(f"{chunk_id}-close", "snapshot-window-close")
+            channel.ack(f"{chunk_id}-close")
+        else:
+            channel.delete(f"{chunk_id}-open")
 
     def _poll_snapshot_signals(self) -> None:
         """Between-chunk signal poll. While paused, keep polling until a

@@ -721,3 +721,104 @@ def test_live_source_covers_pk_change_targets(spark, tmp_path):
     }
     assert (k1["repo"], k1["path"]) not in final  # moved away
     assert final[(k2["repo"], k2["path"])] == "moved-content"  # not reverted
+
+
+# -- incremental.snapshot.watermarking.strategy ---------------------------
+# (CommonConnectorConfig.java:787-795; InsertWindowCloser.java:33-43,
+#  DeleteWindowCloser.java:36-55)
+
+
+def _window_rows(path):
+    import json, os
+
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    return [r for r in rows if r["type"].startswith("snapshot-window-")]
+
+
+def test_watermarking_insert_insert_writes_open_and_close(spark, small_world):
+    sig = f"{small_world}/sig_ii.jsonl"
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_ii",
+            signal_path=sig,
+        ),
+    )
+    eng.stream(max_batches=2)
+    results = eng.incremental_snapshot(chunk_size=40)
+    marks = _window_rows(sig)
+    opens = [m for m in marks if m["type"] == "snapshot-window-open"]
+    closes = [m for m in marks if m["type"] == "snapshot-window-close"]
+    assert len(opens) == len(results)
+    assert len(closes) == len(results)
+    # open precedes its close in file order, ids pair up (chunk-id-open /
+    # chunk-id-close as the reference writes them)
+    assert {o["id"][: -len("-open")] for o in opens} == {
+        c["id"][: -len("-close")] for c in closes
+    }
+    # bookkeeping rows are self-acked: a later poll must not redeliver
+    from debezium_spark.signals import SignalChannel
+
+    assert all(
+        not s["type"].startswith("snapshot-window-")
+        for s in SignalChannel(sig).poll()
+    )
+
+
+def test_watermarking_insert_delete_deletes_open_rows(spark, small_world):
+    sig = f"{small_world}/sig_id.jsonl"
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_id",
+            signal_path=sig,
+            watermarking_strategy="insert_delete",
+        ),
+    )
+    eng.stream(max_batches=2)
+    results = eng.incremental_snapshot(chunk_size=40)
+    assert len(results) >= 2
+    # every -open row deleted by its close; no -close rows ever written
+    assert _window_rows(sig) == []
+    # state identical to the insert_insert run shape: untouched keys
+    # back-filled, streamed keys kept (fence is the LSN watermark, not
+    # the bookkeeping rows)
+    assert eng.final_state().count() > 0
+
+
+def test_watermarking_read_only_writes_nothing(spark, small_world):
+    import os
+
+    sig = f"{small_world}/sig_ro.jsonl"
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_wro",
+            signal_path=sig,
+            watermarking_strategy="read_only",
+        ),
+    )
+    eng.stream(max_batches=2)
+    eng.incremental_snapshot(chunk_size=40)
+    assert not os.path.exists(sig)
+
+
+def test_watermarking_strategy_rejected_if_unknown(spark, small_world):
+    with pytest.raises(ValueError, match="watermarking_strategy"):
+        Engine(
+            spark,
+            _cfg(
+                small_world,
+                lake_root=f"{small_world}/lake_bad",
+                watermarking_strategy="upsert_upsert",
+            ),
+        )
