@@ -97,6 +97,21 @@ class EngineConfig:
     # seconds between signal polls while an in-flight snapshot is
     # paused (pause-snapshot ... resume-snapshot round-trip)
     signal_poll_interval: float = 0.1
+    # external offset backing store + commit policy
+    # (engine/spi/OffsetCommitPolicy.java:25-53, flush loop
+    # EmbeddedEngine.java:815-836,877-905). When offset_store_path is
+    # set, the store is the AUTHORITATIVE resume position for the
+    # batch-replay loop: "always" flushes after every batch, "periodic"
+    # every offset_flush_interval_batches (≙ offset.flush.interval.ms
+    # in batch units — the loop is driver-paced, so batches are its
+    # clock). A crash between periodic flushes rewinds the resume
+    # position; the re-read batches hit the lake's commit fence and
+    # skip, keeping the final state exact (at-least-once store,
+    # exactly-once effect). A graceful stop-signal exit flushes, like
+    # the reference's shutdown commit.
+    offset_store_path: str | None = None
+    offset_commit_policy: str = "always"
+    offset_flush_interval_batches: int = 4
     # snapshot.select.statement.overrides analogue
     # (relational/RelationalDatabaseConnectorConfig.java:346): per-table
     # {"filter": <SQL predicate>, "columns": [<projected columns>]}
@@ -142,6 +157,11 @@ class Engine:
             raise ValueError(
                 "watermarking_strategy must be insert_insert | "
                 f"insert_delete | read_only, got {cfg.watermarking_strategy!r}"
+            )
+        if cfg.offset_commit_policy not in ("always", "periodic"):
+            raise ValueError(
+                "offset_commit_policy must be always | periodic, "
+                f"got {cfg.offset_commit_policy!r}"
             )
         if not self.lake.exists():
             self.lake.create()
@@ -241,12 +261,21 @@ class Engine:
         return source
 
     # -- streaming phase (batches 1..N) ----------------------------------
-    def stream(self, max_batches: int | None = None) -> list[dict]:
+    def stream(
+        self,
+        max_batches: int | None = None,
+        crash_after_batches: int | None = None,
+    ) -> list[dict]:
         """Batch-replay loop over the LSN-ordered log. Deterministic
         batch boundaries (lsn windows) make restart resume exact: batch
         k covers ``[lo + k*span, lo + (k+1)*span)``; resume starts at
         ``last_batch_id`` (re-running a half-applied batch is safe —
-        fenced + LSN-guarded)."""
+        fenced + LSN-guarded).
+
+        ``crash_after_batches`` injects a crash right after the Nth
+        batch's merge commit and BEFORE any offset flush — the
+        "merge committed, offsets not flushed" window the PERIODIC
+        commit policy exposes (EmbeddedEngine.java:815-836)."""
         if self.cfg.snapshot_mode == "initial_only":
             return []
         bounds = lsn_bounds(self.spark, self.cfg.changelog_path)
@@ -257,8 +286,20 @@ class Engine:
         lo, hi = bounds
         span = self.cfg.batch_lsn_span
         results = []
-        k = max(self.lake.last_batch_id("stream"), 0)  # next stream batch index
+        store = None
+        if self.cfg.offset_store_path:
+            from debezium_spark.offsets import FileOffsetStore
+
+            store = FileOffsetStore(self.cfg.offset_store_path)
+            # the external store is the authoritative resume position
+            # (the reference resumes from the offset backing store, not
+            # from the sink): a stale periodic flush rewinds k, the
+            # re-read batches skip on the commit fence
+            k = max(store.last_batch_id(), 0)
+        else:
+            k = max(self.lake.last_batch_id("stream"), 0)
         n_done = 0
+        flushed_through = k
         while lo + k * span <= hi:
             if max_batches is not None and n_done >= max_batches:
                 break
@@ -275,6 +316,21 @@ class Engine:
             )
             k += 1
             n_done += 1
+            if crash_after_batches is not None and n_done >= crash_after_batches:
+                raise RuntimeError(
+                    "injected crash: merge committed, offsets not flushed"
+                )
+            if store is not None and (
+                self.cfg.offset_commit_policy == "always"
+                or n_done % self.cfg.offset_flush_interval_batches == 0
+            ):
+                store.flush(k, self.lake.committed_offsets())
+                flushed_through = k
+        # any graceful exit (log exhausted, max_batches pause, stop /
+        # pause signal) commits offsets like the reference's shutdown
+        # flush (EmbeddedEngine.java:877-905); only a crash skips this
+        if store is not None and k > flushed_through:
+            store.flush(k, self.lake.committed_offsets())
         return results
 
     def run(self, max_batches: int | None = None) -> list[dict]:
