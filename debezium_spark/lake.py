@@ -373,8 +373,8 @@ class LakeTable:
             # the action above materialized the engine's observed
             # per-partition metrics; pull offsets/lineage from them now,
             # still inside this commit
-            offsets, lineage_rows, n_events = frontier_fn()
-            metrics = {**(metrics or {}), "events": n_events}
+            offsets, lineage_rows, n_events, counters = frontier_fn()
+            metrics = {**(metrics or {}), "events": n_events, **counters}
         files = dict(man["files"])
         if touched:
             old = self.read_state(buckets=touched, logical=False, with_sys=True)
@@ -681,8 +681,8 @@ class LakeTable:
 
         offsets, lineage_rows, n_events = {}, None, None
         if frontier_fn is not None:
-            offsets, lineage_rows, n_events = frontier_fn()
-            metrics = {**(metrics or {}), "events": n_events}
+            offsets, lineage_rows, n_events, counters = frontier_fn()
+            metrics = {**(metrics or {}), "events": n_events, **counters}
 
         new_offsets = dict(man["offsets"])
         for k, v in (offsets or {}).items():

@@ -799,6 +799,21 @@ class Engine:
                 F.max(F.when(is_p, F.col("lsn"))).alias(f"max_{p}")
             )
             aggs.append(F.count(F.when(is_p, True)).alias(f"cnt_{p}"))
+        # per-op + transaction counters for the JMX-metrics analogue
+        # (pipeline/metrics/traits/CommonEventMetricsMXBean.java,
+        # StreamingMetricsMXBean.java) — ride the same observation,
+        # zero extra jobs
+        for opc in ("c", "u", "d", "r"):
+            aggs.append(
+                F.count(F.when(F.col("op") == opc, True)).alias(f"op_{opc}")
+            )
+        aggs.append(F.max("ts_ms").alias("max_source_ts"))
+        aggs.append(
+            F.max_by(F.col("source.txId"), F.col("lsn")).alias("last_tx")
+        )
+        aggs.append(
+            F.approx_count_distinct(F.col("source.txId")).alias("n_tx")
+        )
         events = events.observe(obs, *aggs)
         # No cache here: the single consumer is the compaction pipeline,
         # whose OUTPUT the merge caches (LakeTable.merge persists the
@@ -831,17 +846,23 @@ class Engine:
                 # ColumnNameFilter exempts them) — including custom ones
                 always_keep=tuple(self.cfg.key_columns),
             )
+        obs_pre_valid = Observation()
+        ev = ev.observe(obs_pre_valid, F.count(F.lit(1)).alias("n"))
         ev = enforce_valid(ev, self.cfg.error_mode)
+        obs_post_valid = Observation()
+        ev = ev.observe(obs_post_valid, F.count(F.lit(1)).alias("n"))
         ev = drop_tombstones(ev)
         if self.cfg.skipped_operations:
             ev = skip_operations(ev, self.cfg.skipped_operations)
+        obs_survived = Observation()
+        ev = ev.observe(obs_survived, F.count(F.lit(1)).alias("n"))
         ev = pk_change_split(ev, self.cfg.key_columns)
         ev = normalize_target_key(ev, self.cfg.key_columns)
 
         # 4. LWW compaction + schema alignment + fenced LSN-guarded
         #    merge. Offsets/lineage are pulled from the observation
         #    after the merge's data write (but inside its commit).
-        def frontier() -> tuple[dict, list[dict], int]:
+        def frontier() -> tuple[dict, list[dict], int, dict]:
             m = obs.get
             # a log generated with more partitions than cfg.partitions
             # would silently lose offsets/lineage for the overflow ids —
@@ -864,7 +885,26 @@ class Engine:
                 if m[f"cnt_{p}"]
             ]
             offsets = {r["partition_id"]: r["max_lsn"] for r in lineage}
-            return offsets, lineage, sum(r["events"] for r in lineage)
+            # event/tx counters persisted into the commit manifest —
+            # the JMX metrics analogue reads them back
+            # (CommonEventMetricsMXBean / StreamingMetricsMXBean)
+            import time as _time
+
+            pre_v = obs_pre_valid.get["n"]
+            post_v = obs_post_valid.get["n"]
+            counters = {
+                "events_create": m["op_c"],
+                "events_update": m["op_u"],
+                "events_delete": m["op_d"],
+                "events_read": m["op_r"],
+                "events_erroneous": pre_v - post_v,
+                "events_survived": obs_survived.get["n"],
+                "max_source_ts_ms": m["max_source_ts"],
+                "last_tx_id": m["last_tx"],
+                "committed_tx_approx": m["n_tx"],
+                "commit_wall_ms": int(_time.time() * 1000),
+            }
+            return offsets, lineage, sum(r["events"] for r in lineage), counters
 
         if self.cfg.merge_scope == "full":
             # merge_full compacts state ∪ events in its own single
@@ -944,3 +984,10 @@ class Engine:
 
     def metrics(self) -> list[dict]:
         return self.lake.lineage()
+
+    def pipeline_metrics(self):
+        """JMX-bean-shaped metrics facade (pipeline/metrics/ traits) —
+        see :mod:`debezium_spark.metrics`."""
+        from debezium_spark.metrics import PipelineMetrics
+
+        return PipelineMetrics(self.lake, self.notifications)
