@@ -112,6 +112,19 @@ class EngineConfig:
     offset_store_path: str | None = None
     offset_commit_policy: str = "always"
     offset_flush_interval_batches: int = 4
+    # schema-history hardening (relational/history/SchemaHistory.java:
+    # 46-66, AbstractSchemaHistory.java:133-151):
+    #   skip_unparseable — malformed schema-change payloads are skipped
+    #     with a warning instead of failing recovery
+    #     (schema.history.internal.skip.unparseable.ddl);
+    #   ddl_filter — regex over the raw change payload; matches are
+    #     filtered out of processing (...internal.ddl.filter);
+    #   store_only_captured — changes tagged with a table outside the
+    #     include filter are ignored
+    #     (...internal.store.only.captured.tables.ddl).
+    schema_history_skip_unparseable: bool = False
+    schema_history_ddl_filter: str | None = None
+    schema_history_store_only_captured: bool = False
     # snapshot.select.statement.overrides analogue
     # (relational/RelationalDatabaseConnectorConfig.java:346): per-table
     # {"filter": <SQL predicate>, "columns": [<projected columns>]}
@@ -201,8 +214,48 @@ class Engine:
             .select("lsn", "message")
             .collect()
         )
-        changes = [json.loads(r["message"]) for r in rows]
+        changes = [
+            ch
+            for r in rows
+            if (ch := self._parse_schema_change(r["message"])) is not None
+        ]
         return sorted(changes, key=lambda c: c["lsn"])
+
+    def _parse_schema_change(self, message: str) -> dict | None:
+        """Parse one schema-change payload under the schema-history
+        hardening rules (AbstractSchemaHistory.java:133-151): the DDL
+        filter drops matching payloads; non-captured tables are
+        ignored under store-only-captured; malformed payloads raise —
+        or are skipped when skip_unparseable is set (the reference's
+        warn-and-continue)."""
+        import json
+        import re
+
+        if self.cfg.schema_history_ddl_filter and re.search(
+            self.cfg.schema_history_ddl_filter, message
+        ):
+            return None
+        try:
+            ch = json.loads(message)
+            # the keys every apply site dereferences — missing ones are
+            # the JSON-parses-but-isn't-a-TableChanges case
+            int(ch["schema_version"])
+            int(ch["lsn"])
+            ch["change_type"]
+        except Exception as exc:
+            if self.cfg.schema_history_skip_unparseable:
+                return None
+            raise ValueError(
+                f"unparseable schema-change payload: {message!r}"
+            ) from exc
+        if (
+            self.cfg.schema_history_store_only_captured
+            and self.cfg.table_include_regex
+            and ch.get("table")
+            and not re.search(self.cfg.table_include_regex, ch["table"])
+        ):
+            return None
+        return ch
 
     # -- snapshot phase (batch 0) ---------------------------------------
     def snapshot(self) -> dict | None:
@@ -768,7 +821,9 @@ class Engine:
             if r["op"] == "t":
                 truncate_lsn = max(truncate_lsn or -1, int(r["lsn"]))
             elif r["op"] == "m" and ("message" in ctl_cols) and r["message"]:
-                ch = json.loads(r["message"])
+                ch = self._parse_schema_change(r["message"])
+                if ch is None:
+                    continue
                 v = int(ch["schema_version"])
                 if v > self.tracker.latest_version:
                     self.tracker.apply(ch)

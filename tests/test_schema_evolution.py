@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from debezium_spark.generator import gen_change_log, gen_source_table
 from debezium_spark.oracle import fold_final_state
 from debezium_spark.schema_evolution import SchemaTracker, TableSchema
@@ -391,3 +393,129 @@ def test_streaming_config_injected_changes_apply(spark, tmp_root):
         assert row["size_bytes"] == oracle[k].get("size_bytes"), k
         n_sized += row["size_bytes"] is not None
     assert n_sized > 0  # injected change actually took effect
+
+
+# -- schema-history hardening ----------------------------------------------
+# (relational/history/SchemaHistory.java:46-66,
+#  AbstractSchemaHistory.java:133-151)
+
+
+def _world_with_messages(spark, tmp_root, messages, lsns=None):
+    """Data log + handcrafted op='m' rows with raw message payloads."""
+    from debezium_spark.generator import _control_envelope
+
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    data_log = gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE
+    )
+    lsns = lsns or [BASE + 10 * (i + 1) for i in range(len(messages))]
+    ctl = _control_envelope(
+        spark, [(lsn, "m", 0, msg) for lsn, msg in zip(lsns, messages)]
+    )
+    data_log.unionByName(ctl).write.parquet(log_path)
+    return src_path, log_path
+
+
+def test_unparseable_schema_payload_fails_recovery_by_default(spark, tmp_root):
+    src, log = _world_with_messages(spark, tmp_root, ["{not json at all"])
+    with pytest.raises(ValueError, match="unparseable schema-change"):
+        Engine(
+            spark,
+            EngineConfig(
+                changelog_path=log,
+                lake_root=os.path.join(tmp_root, "lake"),
+                source_table_path=src,
+                batch_lsn_span=977,
+                n_buckets=8,
+            ),
+        )
+
+
+def test_skip_unparseable_warns_and_continues(spark, tmp_root):
+    src, log = _world_with_messages(
+        spark, tmp_root, ["{not json at all", '{"valid_json_but": "no keys"}']
+    )
+    cfg = EngineConfig(
+        changelog_path=log,
+        lake_root=os.path.join(tmp_root, "lake_skip"),
+        source_table_path=src,
+        batch_lsn_span=977,
+        n_buckets=8,
+        schema_history_skip_unparseable=True,
+    )
+    engine = Engine(spark, cfg)
+    assert engine.tracker.latest_version == 0  # nothing applied
+    res = engine.run()  # the per-batch control pass skips them too
+    assert res and all(not r.get("skipped") for r in res)
+    assert engine.final_state().count() > 0
+
+
+def test_ddl_filter_drops_matching_changes(spark, tmp_root):
+    import json as _json
+
+    change = {
+        "lsn": BASE + 40,
+        "schema_version": 1,
+        "change_type": "ALTER_ADD_COLUMN",
+        "column_name": "size_bytes",
+        "new_type": "int",
+        "table": "repo_files",
+    }
+    src, log = _world_with_messages(
+        spark, tmp_root, [_json.dumps(change)], lsns=[change["lsn"]]
+    )
+    cfg = EngineConfig(
+        changelog_path=log,
+        lake_root=os.path.join(tmp_root, "lake_ddlf"),
+        source_table_path=src,
+        batch_lsn_span=977,
+        n_buckets=8,
+        schema_history_ddl_filter="ALTER_ADD_COLUMN.*size_bytes",
+    )
+    engine = Engine(spark, cfg)
+    assert engine.tracker.latest_version == 0  # filtered out
+    engine.run()
+    assert "size_bytes" not in [
+        c["name"] for c in engine.lake.table_schema().columns
+    ]
+
+
+def test_store_only_captured_ignores_foreign_table_ddl(spark, tmp_root):
+    import json as _json
+
+    foreign = {
+        "lsn": BASE + 40,
+        "schema_version": 1,
+        "change_type": "ALTER_ADD_COLUMN",
+        "column_name": "other_col",
+        "new_type": "int",
+        "table": "other_db.audit_log",
+    }
+    src, log = _world_with_messages(
+        spark, tmp_root, [_json.dumps(foreign)], lsns=[foreign["lsn"]]
+    )
+    base = dict(
+        changelog_path=log,
+        source_table_path=src,
+        batch_lsn_span=977,
+        n_buckets=8,
+        table_include_regex="repo_files",
+    )
+    # flag ON: the foreign-table DDL is ignored
+    eng = Engine(
+        spark,
+        EngineConfig(
+            lake_root=os.path.join(tmp_root, "lake_soc_on"),
+            schema_history_store_only_captured=True,
+            **base,
+        ),
+    )
+    assert eng.tracker.latest_version == 0
+    # flag OFF (reference default false = store everything): applied
+    eng2 = Engine(
+        spark,
+        EngineConfig(lake_root=os.path.join(tmp_root, "lake_soc_off"), **base),
+    )
+    assert eng2.tracker.latest_version == 1
