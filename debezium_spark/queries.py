@@ -3582,6 +3582,147 @@ def cdc_replay_final_state(spark, sf_dir):
     )
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 2000, 1600  # 20% overlap
+
+
+@_q(
+    "doc_chunk_windows",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             CASE WHEN strlen(text) <= {_CHUNK_SIZE} THEN 1
+                  ELSE ceil((strlen(text) - {_CHUNK_SIZE})
+                            / {_CHUNK_STRIDE}.0)::BIGINT + 1 END AS n_chunks
+      FROM documents
+    ), e AS (
+      SELECT doc_id, text,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
+                  {_CHUNK_SIZE}) AS chunk,
+           strlen(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
+                         {_CHUNK_SIZE}))::BIGINT AS chunk_chars,
+           len(list_filter(string_split_regex(
+                 trim(lower(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                   {_CHUNK_SIZE}))), '\\s+'),
+               t -> t <> ''))::BIGINT AS chunk_tokens
+    FROM e
+    """,
+)
+def doc_chunk_windows(spark, sf_dir):
+    """Context-window chunking: split each document into fixed-size
+    overlapping character windows (size 2000, stride 1600 — the
+    training-data shape for bounded-context models). Chunk i covers
+    [i*stride, i*stride + size); a short doc is one chunk.
+
+    Scale: explode of a computed integer sequence — fully narrow, ZERO
+    exchanges at any corpus size; chunk count is O(doc_len/stride), so
+    output volume is bounded by (1 + size/stride) × corpus bytes.
+    Char-offset (not token) boundaries keep the op exactly
+    SQL-reproducible; token counts per chunk ride along for packing."""
+    from debezium_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    n_chunks = F.when(
+        F.length("text") <= _CHUNK_SIZE, F.lit(1)
+    ).otherwise(
+        F.ceil(
+            (F.length("text") - _CHUNK_SIZE) / F.lit(float(_CHUNK_STRIDE))
+        )
+        + 1
+    )
+    chunk = F.col("text").substr(
+        F.col("chunk_idx") * F.lit(_CHUNK_STRIDE) + F.lit(1),
+        F.lit(_CHUNK_SIZE),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            X.token_count(chunk).alias("chunk_tokens"),
+        )
+    )
+
+
+@_q(
+    "text_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t <> '' AND t NOT IN
+                      ('the','a','an','and','or','of','to','in','is','it')))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             floor(tf.tf * 1000000.0 / df.df)::BIGINT AS score_micro
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, score_micro, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Keyword extraction: top-5 terms per document by a tf/df rarity
+    weight (stopwords excluded). The weight is floor(tf·1e6/df) —
+    integer-exact across engines (no log(), whose libm rounding differs
+    between JVMs and DuckDB).
+
+    Scale: token explode is narrow; document frequency is ONE
+    map-side-combinable groupBy on term; the tf⋈df equi-join shuffles
+    on term (well-distributed by construction — vocabulary, not keys);
+    top-k is a per-doc window. No step holds more than O(vocab) or
+    O(doc terms) per task at any corpus size."""
+    from debezium_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    stop = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    ).filter(~F.col("term").isin(*stop))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.floor(F.col("tf") * F.lit(1000000.0) / F.col("df"))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -327,3 +327,26 @@ def test_sparse_update_fold_single_exchange_and_equals_final_state(spark):
         r["user_id"]: (r["value"], r["event_type"]) for r in dense.collect()
     }
     assert got == want
+
+
+def test_doc_chunking_is_fully_narrow(spark):
+    from debezium_spark.queries import doc_chunk_windows
+
+    plan = plan_of(doc_chunk_windows(spark, SF_DIR))
+    # explode of a computed integer sequence: zero exchanges at any
+    # corpus size — chunking must never shuffle
+    assert n_exchanges(plan) == 0
+    assert "Exchange" not in plan.split("== Physical Plan ==")[-1].split(
+        "(1)"
+    )[0]
+
+
+def test_top_terms_df_join_is_equi_not_nested(spark):
+    from debezium_spark.queries import text_top_terms
+
+    plan = plan_of(text_top_terms(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # document frequency is a partial-aggregated groupBy (map-side
+    # combine before the term exchange)
+    assert plan.lower().count("hashaggregate") >= 2
