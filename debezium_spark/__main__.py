@@ -57,6 +57,50 @@ def main(argv: list[str] | None = None) -> int:
         "always kept)",
     )
     p.add_argument("--max-batches", type=int)
+    p.add_argument(
+        "--offset-store",
+        help="external offset backing-store file (authoritative resume "
+        "position when set)",
+    )
+    p.add_argument(
+        "--offset-commit-policy",
+        choices=("always", "periodic"),
+        default="always",
+    )
+    p.add_argument("--offset-flush-interval-batches", type=int, default=4)
+    p.add_argument(
+        "--watermarking-strategy",
+        choices=("insert_insert", "insert_delete", "read_only"),
+        default="insert_insert",
+        help="incremental.snapshot.watermarking.strategy analogue",
+    )
+    p.add_argument(
+        "--max-retries",
+        type=int,
+        default=0,
+        help="errors.max.retries: restart the engine on retriable "
+        "(communication) failures; -1 unlimited, 0 disabled",
+    )
+    p.add_argument(
+        "--retriable-regex",
+        help="custom.retriable.exception analogue: error-message regex "
+        "converted to retriable",
+    )
+    p.add_argument(
+        "--restart-wait",
+        type=float,
+        default=0.0,
+        help="retriable.restart.connector.wait.ms analogue (seconds)",
+    )
+    p.add_argument(
+        "--skip-unparseable-ddl",
+        action="store_true",
+        help="schema.history.internal.skip.unparseable.ddl analogue",
+    )
+    p.add_argument(
+        "--ddl-filter",
+        help="schema.history.internal.ddl.filter analogue (regex)",
+    )
     p.add_argument("--cores", type=int, help="local[N] when not on a cluster")
     p.add_argument(
         "--streaming",
@@ -80,24 +124,28 @@ def main(argv: list[str] | None = None) -> int:
         overrides = {TABLE_NAME: ov}
 
     spark = get_spark("debezium_spark", cores=args.cores)
-    eng = Engine(
-        spark,
-        EngineConfig(
-            changelog_path=args.changelog,
-            lake_root=args.lake,
-            source_table_path=args.source_table,
-            batch_lsn_span=args.batch_lsn_span,
-            n_buckets=args.n_buckets,
-            partitions=args.partitions,
-            merge_scope=args.merge_scope,
-            snapshot_mode=args.snapshot_mode,
-            error_mode=args.error_mode,
-            signal_path=args.signal_path,
-            salt=args.salt,
-            key_columns=tuple(args.key_columns.split(",")),
-            snapshot_overrides=overrides,
-        ),
+    cfg = EngineConfig(
+        changelog_path=args.changelog,
+        lake_root=args.lake,
+        source_table_path=args.source_table,
+        batch_lsn_span=args.batch_lsn_span,
+        n_buckets=args.n_buckets,
+        partitions=args.partitions,
+        merge_scope=args.merge_scope,
+        snapshot_mode=args.snapshot_mode,
+        error_mode=args.error_mode,
+        signal_path=args.signal_path,
+        salt=args.salt,
+        key_columns=tuple(args.key_columns.split(",")),
+        snapshot_overrides=overrides,
+        offset_store_path=args.offset_store,
+        offset_commit_policy=args.offset_commit_policy,
+        offset_flush_interval_batches=args.offset_flush_interval_batches,
+        watermarking_strategy=args.watermarking_strategy,
+        schema_history_skip_unparseable=args.skip_unparseable_ddl,
+        schema_history_ddl_filter=args.ddl_filter,
     )
+    eng = Engine(spark, cfg)
     if args.streaming:
         if not args.checkpoint:
             p.error("--streaming requires --checkpoint")
@@ -106,6 +154,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"phase": "snapshot", **snap}))
         eng.run_streaming(args.checkpoint)
         results = []
+    elif args.max_retries:
+        from debezium_spark.errors import run_resilient
+
+        results = run_resilient(
+            lambda: Engine(spark, cfg),
+            run=lambda e: e.run(max_batches=args.max_batches),
+            max_retries=args.max_retries,
+            custom_retriable_regex=args.retriable_regex,
+            restart_wait=args.restart_wait,
+        )
     else:
         results = eng.run(max_batches=args.max_batches)
     for r in results:
