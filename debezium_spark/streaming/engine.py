@@ -125,6 +125,13 @@ class EngineConfig:
     schema_history_skip_unparseable: bool = False
     schema_history_ddl_filter: str | None = None
     schema_history_store_only_captured: bool = False
+    # custom signal actions (the SignalAction SPI —
+    # SignalProcessor.java:52,130-133 registerSignalAction): map of
+    # signal type → callable(engine, signal_dict), consulted for types
+    # the engine doesn't handle built-in (built-ins are not
+    # overridable, matching the reference registering its defaults
+    # first). Acked after the action returns, like every other signal.
+    custom_signal_actions: dict = field(default_factory=dict)
     # snapshot.select.statement.overrides analogue
     # (relational/RelationalDatabaseConnectorConfig.java:346): per-table
     # {"filter": <SQL predicate>, "columns": [<projected columns>]}
@@ -708,6 +715,12 @@ class Engine:
                     else self.incremental_snapshot
                 )
                 run(source=src, chunk_size=data.get("chunk_size"))
+            elif stype in self.cfg.custom_signal_actions:
+                # SignalAction SPI (SignalProcessor.java:130-133):
+                # custom types dispatch to registered callables; a
+                # raise leaves the signal un-acked → re-fired on the
+                # next poll, the reference's at-least-once contract
+                self.cfg.custom_signal_actions[stype](self, sig)
             # "log" and unknown types are recorded but have no effect
             channel.ack(sig["id"])
             handled.append(sig)

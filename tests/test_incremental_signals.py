@@ -822,3 +822,63 @@ def test_watermarking_strategy_rejected_if_unknown(spark, small_world):
                 watermarking_strategy="upsert_upsert",
             ),
         )
+
+
+# -- custom SignalAction SPI (SignalProcessor.java:52,130-133) -------------
+
+
+def test_custom_signal_action_dispatch_and_ack(spark, small_world):
+    sig = f"{small_world}/sig_custom.jsonl"
+    calls = []
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_csa",
+            signal_path=sig,
+            custom_signal_actions={
+                "compact-now": lambda engine, s: calls.append(
+                    (s["id"], s.get("data", {}).get("level"))
+                )
+            },
+        ),
+    )
+    ch = SignalChannel(sig)
+    ch.send("c1", "compact-now", {"level": 2})
+    ch.send("u1", "unknown-type")  # recorded, no effect, still acked
+    eng.stream(max_batches=1)
+    assert calls == [("c1", 2)]
+    # acked: a second poll cycle must not re-fire
+    eng.stream(max_batches=1)
+    assert calls == [("c1", 2)]
+
+
+def test_custom_signal_action_failure_refires(spark, small_world):
+    sig = f"{small_world}/sig_custfail.jsonl"
+    state = {"fail": True, "n": 0}
+
+    def flaky(engine, s):
+        state["n"] += 1
+        if state["fail"]:
+            raise RuntimeError("transient")
+
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            snapshot_mode="never",
+            lake_root=f"{small_world}/lake_csaf",
+            signal_path=sig,
+            custom_signal_actions={"flaky-action": flaky},
+        ),
+    )
+    SignalChannel(sig).send("f1", "flaky-action")
+    with pytest.raises(RuntimeError, match="transient"):
+        eng.stream(max_batches=1)
+    # un-acked: the next poll re-fires it (at-least-once), then acks
+    state["fail"] = False
+    eng.stream(max_batches=1)
+    assert state["n"] == 2
+    eng.stream(max_batches=1)
+    assert state["n"] == 2
