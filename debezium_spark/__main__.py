@@ -101,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         "--ddl-filter",
         help="schema.history.internal.ddl.filter analogue (regex)",
     )
+    p.add_argument(
+        "--table-include",
+        help="table.include.list analogue (regex over source.table)",
+    )
+    p.add_argument(
+        "--store-only-captured",
+        action="store_true",
+        help="schema.history.internal.store.only.captured.tables.ddl "
+        "analogue (needs --table-include to define the captured set)",
+    )
     p.add_argument("--cores", type=int, help="local[N] when not on a cluster")
     p.add_argument(
         "--streaming",
@@ -142,13 +152,15 @@ def main(argv: list[str] | None = None) -> int:
         offset_commit_policy=args.offset_commit_policy,
         offset_flush_interval_batches=args.offset_flush_interval_batches,
         watermarking_strategy=args.watermarking_strategy,
+        table_include_regex=args.table_include,
         schema_history_skip_unparseable=args.skip_unparseable_ddl,
         schema_history_ddl_filter=args.ddl_filter,
+        schema_history_store_only_captured=args.store_only_captured,
     )
-    eng = Engine(spark, cfg)
     if args.streaming:
         if not args.checkpoint:
             p.error("--streaming requires --checkpoint")
+        eng = Engine(spark, cfg)
         snap = eng.snapshot()
         if snap:
             print(json.dumps({"phase": "snapshot", **snap}))
@@ -157,14 +169,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.max_retries:
         from debezium_spark.errors import run_resilient
 
+        # engine init (lake create + schema-history scan) is paid once
+        # per attempt inside the factory — no discarded pre-build
+        last: dict = {}
+
+        def _factory():
+            last["eng"] = Engine(spark, cfg)
+            return last["eng"]
+
         results = run_resilient(
-            lambda: Engine(spark, cfg),
+            _factory,
             run=lambda e: e.run(max_batches=args.max_batches),
             max_retries=args.max_retries,
             custom_retriable_regex=args.retriable_regex,
             restart_wait=args.restart_wait,
         )
+        eng = last["eng"]
     else:
+        eng = Engine(spark, cfg)
         results = eng.run(max_batches=args.max_batches)
     for r in results:
         print(json.dumps(r))

@@ -45,11 +45,17 @@ class ErrorHandler:
 
     @staticmethod
     def _chain(exc: BaseException):
+        # walk explicit (__cause__) AND implicit (__context__) chaining
+        # — `except OSError: raise RuntimeError(...)` without `from`
+        # stores the communication error in __context__, and the
+        # reference's getCause() walk (:86-96) must still see it
         seen = set()
         while exc is not None and id(exc) not in seen:
             seen.add(id(exc))
             yield exc
-            exc = exc.__cause__
+            exc = exc.__cause__ or (
+                exc.__context__ if not exc.__suppress_context__ else None
+            )
 
     def is_retriable(self, exc: BaseException) -> bool:
         """Communication exception anywhere in the cause chain
@@ -61,11 +67,15 @@ class ErrorHandler:
 
     def is_custom_retriable(self, exc: BaseException) -> bool:
         """Message in the cause chain matches the configured regex —
-        converts a non-retriable error to retriable (:98-113)."""
+        converts a non-retriable error to retriable (:98-113).
+        Substring search, so 'connection reset' matches 'error:
+        connection reset by peer' (the reference's matches() runs the
+        full-message pattern users write with .* themselves; search is
+        the natural Python CLI semantics)."""
         if not self.custom_retriable_regex:
             return False
         pat = re.compile(self.custom_retriable_regex)
-        return any(pat.fullmatch(str(e) or "") for e in self._chain(exc))
+        return any(pat.search(str(e) or "") for e in self._chain(exc))
 
     def has_more_retries(self) -> bool:
         """True (and consumes one retry) while budget remains; -1 is

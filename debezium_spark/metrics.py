@@ -43,6 +43,25 @@ class PipelineMetrics:
     def _sum(commits: list[dict], key: str) -> int:
         return sum(int(c.get(key) or 0) for c in commits)
 
+    @staticmethod
+    def _tx_total(commits: list[dict]) -> int:
+        """Distinct transactions across batches: per-batch
+        approx-distinct sums minus boundary straddles — a transaction
+        whose events span two LSN-window batches (txs are contiguous
+        in commit order) would otherwise be counted once per batch."""
+        total, prev_last = 0, None
+        for c in commits:
+            total += int(c.get("committed_tx_approx") or 0)
+            if (
+                prev_last is not None
+                and c.get("first_tx_id") is not None
+                and c["first_tx_id"] == prev_last
+            ):
+                total -= 1
+            if c.get("last_tx_id") is not None:
+                prev_last = c["last_tx_id"]
+        return total
+
     # -- StreamingMetricsMXBean + CommonEventMetricsMXBean ----------------
     def streaming(self) -> dict:
         """Streaming metrics under the reference bean's attribute names
@@ -70,8 +89,13 @@ class PipelineMetrics:
             "NumberOfEventsFiltered": max(seen - survived - erroneous, 0),
             "NumberOfErroneousEvents": erroneous,
             "LastEvent": last_ts,
+            # -1 = no event ever seen (the reference's unset value) —
+            # 0 would read as "an event arrived this instant" and a
+            # dead pipeline would never trip staleness alerts
             "MilliSecondsSinceLastEvent": (
-                now_ms - int(last.get("commit_wall_ms") or now_ms)
+                now_ms - int(last["commit_wall_ms"])
+                if last.get("commit_wall_ms")
+                else -1
             ),
             "MilliSecondsBehindSource": (
                 int(last["commit_wall_ms"]) - int(last_ts)
@@ -82,9 +106,7 @@ class PipelineMetrics:
                 str(p): int(lsn)
                 for p, lsn in self.lake.committed_offsets().items()
             },
-            "NumberOfCommittedTransactions": self._sum(
-                commits, "committed_tx_approx"
-            ),
+            "NumberOfCommittedTransactions": self._tx_total(commits),
             "LastTransactionId": last.get("last_tx_id"),
         }
 

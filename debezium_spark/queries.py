@@ -3582,16 +3582,22 @@ def cdc_replay_final_state(spark, sf_dir):
     )
 
 
-_CHUNK_SIZE, _CHUNK_STRIDE = 2000, 1600  # 20% overlap
+# sized so the sf fixtures (docs up to ~600 chars) exercise the
+# multi-chunk branch; 20% overlap either way
+_CHUNK_SIZE, _CHUNK_STRIDE = 400, 320
 
 
 @_q(
     "doc_chunk_windows",
+    # length() = CHARACTERS in DuckDB (strlen is bytes — it would
+    # diverge from Spark's char-based F.length/substr on any
+    # non-ASCII document, and disagree with char-based substr even
+    # internally)
     f"""
     WITH n AS (
       SELECT doc_id, text,
-             CASE WHEN strlen(text) <= {_CHUNK_SIZE} THEN 1
-                  ELSE ceil((strlen(text) - {_CHUNK_SIZE})
+             CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 1
+                  ELSE ceil((length(text) - {_CHUNK_SIZE})
                             / {_CHUNK_STRIDE}.0)::BIGINT + 1 END AS n_chunks
       FROM documents
     ), e AS (
@@ -3602,7 +3608,7 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 2000, 1600  # 20% overlap
     SELECT doc_id, chunk_idx,
            substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
                   {_CHUNK_SIZE}) AS chunk,
-           strlen(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
+           length(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
                          {_CHUNK_SIZE}))::BIGINT AS chunk_chars,
            len(list_filter(string_split_regex(
                  trim(lower(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1,
@@ -3613,9 +3619,10 @@ _CHUNK_SIZE, _CHUNK_STRIDE = 2000, 1600  # 20% overlap
 )
 def doc_chunk_windows(spark, sf_dir):
     """Context-window chunking: split each document into fixed-size
-    overlapping character windows (size 2000, stride 1600 — the
-    training-data shape for bounded-context models). Chunk i covers
-    [i*stride, i*stride + size); a short doc is one chunk.
+    overlapping character windows (size 400, stride 320 — the
+    training-data shape for bounded-context models, sized down to the
+    fixtures' doc lengths). Chunk i covers [i*stride, i*stride + size);
+    a short doc is one chunk.
 
     Scale: explode of a computed integer sequence — fully narrow, ZERO
     exchanges at any corpus size; chunk count is O(doc_len/stride), so

@@ -66,8 +66,13 @@ class SignalChannel:
                 f.write(i + "\n")
 
     def send(self, sid: str, stype: str, data: dict | None = None) -> None:
-        """Append a signal (test/ops helper — any writer can append)."""
+        """Append a signal (test/ops helper — any writer can append).
+        Mutators take an exclusive flock on the file so a concurrent
+        :meth:`delete` rewrite can't lose an in-flight append."""
+        import fcntl
+
         with open(self.path, "a") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
             f.write(
                 json.dumps({"id": sid, "type": stype, "data": data or {}})
                 + "\n"
@@ -76,11 +81,16 @@ class SignalChannel:
     def poll(self) -> list[dict]:
         """Unprocessed signals in file order. Does NOT mark them —
         call :meth:`ack` once each signal's action has completed."""
+        import fcntl
+
         if not os.path.exists(self.path):
             return []
         done = self._processed()
         out = []
         with open(self.path) as f:
+            # shared lock: mutators (send/delete) hold LOCK_EX, so a
+            # reader can never observe a half-rewritten file
+            fcntl.flock(f, fcntl.LOCK_SH)
             for line in f:
                 line = line.strip()
                 if not line:
@@ -99,13 +109,22 @@ class SignalChannel:
         """Remove a signal row from the collection — the reference's
         ``DELETE FROM <signal> WHERE id = ?`` used by the INSERT_DELETE
         watermarking strategy to close a chunk window by deleting its
-        ``-open`` row (DeleteWindowCloser.java:26-55)."""
+        ``-open`` row (DeleteWindowCloser.java:26-55).
+
+        The read→rewrite happens under the same exclusive flock
+        :meth:`send` takes, so a concurrent ops append can't be lost to
+        the rewrite window; kept lines are re-terminated so a trailing
+        partial line from an external writer can't concatenate with the
+        next append."""
+        import fcntl
+
         if not os.path.exists(self.path):
             return
-        with open(self.path) as f:
-            lines = [ln for ln in f if ln.strip()]
-        kept = [ln for ln in lines if json.loads(ln)["id"] != sid]
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            f.writelines(kept)
-        os.replace(tmp, self.path)
+        with open(self.path, "r+") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            lines = [ln.strip() for ln in f if ln.strip()]
+            kept = [ln for ln in lines if json.loads(ln)["id"] != sid]
+            f.seek(0)
+            f.truncate()
+            for ln in kept:
+                f.write(ln + "\n")

@@ -183,6 +183,11 @@ class Engine:
                 "offset_commit_policy must be always | periodic, "
                 f"got {cfg.offset_commit_policy!r}"
             )
+        if cfg.offset_flush_interval_batches < 1:
+            raise ValueError(
+                "offset_flush_interval_batches must be >= 1, got "
+                f"{cfg.offset_flush_interval_batches}"
+            )
         if not self.lake.exists():
             self.lake.create()
         from debezium_spark.notifications import NotificationLog
@@ -880,6 +885,9 @@ class Engine:
             F.max_by(F.col("source.txId"), F.col("lsn")).alias("last_tx")
         )
         aggs.append(
+            F.min_by(F.col("source.txId"), F.col("lsn")).alias("first_tx")
+        )
+        aggs.append(
             F.approx_count_distinct(F.col("source.txId")).alias("n_tx")
         )
         events = events.observe(obs, *aggs)
@@ -969,6 +977,7 @@ class Engine:
                 "events_survived": obs_survived.get["n"],
                 "max_source_ts_ms": m["max_source_ts"],
                 "last_tx_id": m["last_tx"],
+                "first_tx_id": m["first_tx"],
                 "committed_tx_approx": m["n_tx"],
                 "commit_wall_ms": int(_time.time() * 1000),
             }

@@ -29,8 +29,30 @@ def test_retriable_walks_the_cause_chain():
     assert not h.is_retriable(ValueError("schema mismatch"))
 
 
+def test_retriable_sees_implicit_context_chaining():
+    # `except OSError: raise RuntimeError(...)` without `from` stores
+    # the communication error in __context__, not __cause__ — it must
+    # still classify retriable
+    try:
+        try:
+            raise ConnectionResetError("peer reset")
+        except OSError:
+            raise RuntimeError("batch failed")
+    except RuntimeError as outer:
+        assert ErrorHandler().is_retriable(outer)
+    # `raise ... from None` suppresses the context — NOT retriable
+    try:
+        try:
+            raise ConnectionResetError("peer reset")
+        except OSError:
+            raise RuntimeError("batch failed") from None
+    except RuntimeError as outer:
+        assert not ErrorHandler().is_retriable(outer)
+
+
 def test_custom_retriable_regex_converts_non_retriable():
-    h = ErrorHandler(custom_retriable_regex=".*quota.*")
+    # substring search: the natural CLI pattern, no .* anchoring needed
+    h = ErrorHandler(custom_retriable_regex="quota")
     assert h.is_custom_retriable(ValueError("cloud quota exceeded"))
     assert not h.is_custom_retriable(ValueError("bad row"))
     assert not ErrorHandler().is_custom_retriable(ValueError("quota"))

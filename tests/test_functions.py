@@ -646,3 +646,39 @@ def test_ivf_topk_subset_of_bruteforce(spark):
     brute = S.brute_force_topk(e, q, k=500).collect()
     assert {r["nbr_id"] for r in approx} <= {r["nbr_id"] for r in brute}
     assert 1 <= len(approx) <= 3
+
+
+def test_doc_chunking_char_semantics_multichunk_and_nonascii(spark, tmp_path):
+    """Chunk boundaries are CHARACTER offsets (multi-byte text must not
+    shift them) and the multi-chunk branch covers the doc exactly with
+    size/stride overlap."""
+    from debezium_spark.queries import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        doc_chunk_windows,
+    )
+
+    # 1000 chars, 3 bytes each in UTF-8 — byte-based math would claim
+    # ceil((3000-400)/320)+1 = 10 chunks instead of the correct 3
+    uni = ("中зé七" * 250)
+    assert len(uni) == 1000
+    ascii_short = "short doc"
+    spark.createDataFrame(
+        [(1, uni), (2, ascii_short)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in doc_chunk_windows(spark, str(tmp_path)).collect()
+    }
+    n = 1 + math.ceil((1000 - _CHUNK_SIZE) / _CHUNK_STRIDE)
+    assert {k for k in rows} == {(1, i) for i in range(n)} | {(2, 0)}
+    for i in range(n):
+        expect = uni[i * _CHUNK_STRIDE : i * _CHUNK_STRIDE + _CHUNK_SIZE]
+        got = rows[(1, i)]
+        assert got["chunk"] == expect
+        assert got["chunk_chars"] == len(expect)
+    # chunks tile the doc: strides cover every char up to the end
+    assert (n - 1) * _CHUNK_STRIDE + _CHUNK_SIZE >= 1000
+    assert rows[(2, 0)]["chunk"] == ascii_short
+    assert rows[(2, 0)]["chunk_tokens"] == 2

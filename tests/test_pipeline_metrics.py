@@ -60,9 +60,21 @@ def test_streaming_metrics_match_log_ground_truth(spark, world):
     }
     assert m["SourceEventPosition"] == frontier
     assert m["LastTransactionId"] is not None
-    assert m["NumberOfCommittedTransactions"] > 0
+    # boundary-straddling txs are de-overlapped; approx_count_distinct
+    # carries <=5% rsd per batch
+    n_tx_true = log.select("source.txId").distinct().count()
+    assert (
+        abs(m["NumberOfCommittedTransactions"] - n_tx_true)
+        <= max(2, n_tx_true // 20)
+    )
     assert m["MilliSecondsSinceLastEvent"] >= 0
     assert m["Connected"] is True
+
+    # a pipeline that has never streamed reports -1, not "just now"
+    cfg2 = _cfg(world, lake_root=f"{world}/lake_idle")
+    m2 = Engine(spark, cfg2).pipeline_metrics().streaming()
+    assert m2["MilliSecondsSinceLastEvent"] == -1
+    assert m2["TotalNumberOfEventsSeen"] == 0
 
 
 def test_filtered_counter_includes_skipped_operations(spark, world):
