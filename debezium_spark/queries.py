@@ -3730,6 +3730,85 @@ def text_top_terms(spark, sf_dir):
     )
 
 
+_PASSAGE_SIZE = 400
+
+
+@_q(
+    "dedup_passages",
+    f"""
+    WITH n AS (
+      SELECT doc_id, text,
+             greatest(ceil(length(text) / {_PASSAGE_SIZE}.0)::BIGINT, 1)
+               AS n_p
+      FROM documents
+    ), e AS (
+      SELECT doc_id, text, unnest(range(0, n_p)) AS passage_idx
+      FROM n
+    ), p AS (
+      SELECT doc_id, passage_idx,
+             trim(regexp_replace(lower(substr(text,
+                   passage_idx * {_PASSAGE_SIZE} + 1, {_PASSAGE_SIZE})),
+                 '\\s+', ' ', 'g')) AS passage
+      FROM e
+    )
+    SELECT md5(passage) AS passage_hash,
+           MIN(doc_id * 100000 + passage_idx)::BIGINT AS keep_key,
+           COUNT(*)::BIGINT AS dup_count,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM p
+    WHERE passage <> ''
+    GROUP BY 1
+    """,
+)
+def dedup_passages(spark, sf_dir):
+    """Passage-level exact dedup: split every document into
+    non-overlapping 400-char passages, normalize, and keep the lowest
+    (doc_id, passage_idx) per passage hash — the sub-document sibling of
+    ``dedup_exact`` (boilerplate headers/footers repeat across distinct
+    documents; doc-level hashing never sees them).
+
+    keep_key encodes (doc_id, passage_idx) as doc_id*100000+idx —
+    collision-free while docs stay under 100k passages (40 MB of text).
+
+    Scale: the passage explode is fully narrow (computed integer
+    sequence, zero exchange of its own); the two exchanges are the
+    two-phase distinct-agg — (hash, doc_id) then hash — so shuffle
+    volume is O(distinct pairs), never the corpus (plan-pinned,
+    tests/test_plans.py)."""
+    d = _t(spark, sf_dir, "documents")
+    n_p = F.greatest(
+        F.ceil(F.length("text") / F.lit(float(_PASSAGE_SIZE))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    passage = X.normalize_text(
+        F.col("text").substr(
+            F.col("passage_idx") * F.lit(_PASSAGE_SIZE) + F.lit(1),
+            F.lit(_PASSAGE_SIZE),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_p - 1)).alias("passage_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("passage_idx").cast("long").alias("passage_idx"),
+            passage.alias("passage"),
+        )
+        .filter(F.col("passage") != "")
+        .groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(
+            F.min(F.col("doc_id") * 100000 + F.col("passage_idx"))
+            .cast("long")
+            .alias("keep_key"),
+            F.count("*").cast("long").alias("dup_count"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -101,6 +101,19 @@ def test_exact_dedup_partial_agg(spark):
     assert n_exchanges(plan) == 1
 
 
+def test_passage_dedup_narrow_explode_single_exchange(spark):
+    from debezium_spark.queries import dedup_passages
+
+    plan = plan_of(dedup_passages(spark, SF_DIR))
+    # passage explode is narrow (no exchange of its own); the two
+    # exchanges are the standard two-phase distinct-agg — first keyed by
+    # (passage_hash, doc_id), then by passage_hash — so every shuffled
+    # byte is already deduplicated: O(distinct pairs), never the corpus
+    assert plan.lower().count("hashaggregate") >= 2
+    assert n_exchanges(plan) == 2
+    assert "cartesianproduct" not in plan.lower()
+
+
 def test_ann_topk_broadcasts_queries_not_corpus(spark):
     from debezium_spark.queries import ann_cosine_topk
 
