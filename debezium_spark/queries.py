@@ -3809,6 +3809,91 @@ def dedup_passages(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_ddl_parse",
+    """
+    SELECT p_partkey AS stmt_id,
+           CASE p_partkey % 4
+             WHEN 0 THEN 'ALTER_ADD_COLUMN'
+             WHEN 1 THEN 'ALTER_RENAME_COLUMN'
+             WHEN 2 THEN 'ALTER_WIDEN_TYPE'
+             ELSE 'UNPARSEABLE' END AS change_type,
+           CASE WHEN p_partkey % 4 = 3 THEN NULL
+                ELSE 't_' || (p_partkey % 7) END AS table_name,
+           CASE WHEN p_partkey % 4 = 3 THEN NULL
+                ELSE 'c_' || (p_partkey % 100) END AS column_name,
+           CASE WHEN p_partkey % 4 IN (0, 2) THEN
+             CASE p_partkey % 5 WHEN 0 THEN 'int' WHEN 1 THEN 'bigint'
+               WHEN 2 THEN 'float' WHEN 3 THEN 'double'
+               ELSE 'decimal(10,2)' END
+           END AS new_type,
+           CASE WHEN p_partkey % 4 = 1
+                THEN 'c_' || (p_partkey % 100) || '_old' END AS prev_name
+    FROM part
+    """,
+)
+def cdc_ddl_parse(spark, sf_dir):
+    """DDL-statement parsing at scale — the DdlParser analogue
+    (``relational/ddl/DdlParser.java``, ANTLR grammars under
+    ``debezium-ddl-parser/``) as pure regexp codegen over a DDL audit
+    column (``ddl.parse_ddl_cols``).
+
+    The query synthesizes one ALTER statement per `part` row
+    (add / rename / widen / an out-of-dialect statement, with
+    alternating keyword case and type-spelling noise) and parses it
+    back to structured change fields. The oracle derives the EXPECTED
+    fields arithmetically from the key — it never runs the parser — so
+    any parser defect hash-mismatches instead of being mirrored.
+
+    Scale: zero shuffles, zero Python — generate + parse is one
+    narrow whole-stage-codegen projection (plan-pinned,
+    tests/test_plans.py)."""
+    from debezium_spark.ddl import parse_ddl_cols
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    kind = k % 4
+    tbl = F.concat(F.lit("t_"), (k % 7).cast("string"))
+    col = F.concat(F.lit("c_"), (k % 100).cast("string"))
+    typ = (
+        F.when(k % 5 == 0, "int")
+        .when(k % 5 == 1, "bigint")
+        .when(k % 5 == 2, "float")
+        .when(k % 5 == 3, "double")
+        .otherwise("decimal(10,2)")
+    )
+    # keyword/type case alternates per row; add-column rows carry a
+    # trailing ';' — dump-formatted-DDL tolerance, like the reference
+    lo = F.concat(
+        F.when(kind == 0, F.concat(F.lit("alter table "), tbl,
+                                   F.lit(" add column "), col, F.lit(" "),
+                                   typ, F.lit(";")))
+        .when(kind == 1, F.concat(F.lit("alter table "), tbl,
+                                  F.lit(" rename column "), col,
+                                  F.lit("_old to "), col))
+        .when(kind == 2, F.concat(F.lit("alter table "), tbl,
+                                  F.lit(" alter column "), col,
+                                  F.lit(" set data type "), typ))
+        .otherwise(F.concat(F.lit("drop table "), tbl))
+    )
+    ddl = F.when(k % 2 == 0, lo).otherwise(F.upper(lo))
+    parsed = parse_ddl_cols(ddl)
+    names = ["change_type", "table_name", "column_name", "new_type", "prev_name"]
+    out = p.select(
+        k.alias("stmt_id"), *[c.alias(n) for c, n in zip(parsed, names)]
+    )
+    # uppercase rows uppercase the identifiers too — normalize the
+    # extracted identifier fields back for key-derived comparison
+    return out.select(
+        "stmt_id",
+        "change_type",
+        F.lower("table_name").alias("table_name"),
+        F.lower("column_name").alias("column_name"),
+        "new_type",
+        F.lower("prev_name").alias("prev_name"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

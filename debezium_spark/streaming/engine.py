@@ -239,7 +239,15 @@ class Engine:
         filter drops matching payloads; non-captured tables are
         ignored under store-only-captured; malformed payloads raise —
         or are skipped when skip_unparseable is set (the reference's
-        warn-and-continue)."""
+        warn-and-continue).
+
+        Two payload shapes are accepted, mirroring HistoryRecord's
+        dual ddl/tableChanges representation
+        (relational/history/HistoryRecord.java): the native structured
+        dict {change_type, column_name, ...}, and the reference-style
+        DDL form {lsn, schema_version, ddl: "ALTER TABLE ..."} whose
+        statement is re-parsed on replay (ddl.parse_ddl — the
+        DdlParser analogue)."""
         import json
         import re
 
@@ -249,6 +257,10 @@ class Engine:
             return None
         try:
             ch = json.loads(message)
+            if "change_type" not in ch and "ddl" in ch:
+                from debezium_spark.ddl import parse_ddl
+
+                ch = {**ch, **parse_ddl(ch["ddl"])}
             # the keys every apply site dereferences — missing ones are
             # the JSON-parses-but-isn't-a-TableChanges case
             int(ch["schema_version"])

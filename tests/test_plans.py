@@ -114,6 +114,19 @@ def test_passage_dedup_narrow_explode_single_exchange(spark):
     assert "cartesianproduct" not in plan.lower()
 
 
+def test_ddl_parse_zero_shuffle_codegen(spark):
+    from debezium_spark.queries import cdc_ddl_parse
+
+    plan = plan_of(cdc_ddl_parse(spark, SF_DIR))
+    # generate + regexp-parse is one narrow codegen projection: no
+    # exchange anywhere, no Python eval
+    assert n_exchanges(plan) == 0
+    assert "codegen id" in plan.lower()  # projection runs in WSCG
+    assert "pythonudf" not in plan.lower().replace(" ", "")
+    # column pruning reached the scan: only the key is read
+    assert "readschema: struct<p_partkey:bigint>" in plan.lower()
+
+
 def test_ann_topk_broadcasts_queries_not_corpus(spark):
     from debezium_spark.queries import ann_cosine_topk
 
