@@ -128,3 +128,79 @@ class SignalChannel:
             f.truncate()
             for ln in kept:
                 f.write(ln + "\n")
+
+# ---------------------------------------------------------------------------
+# Source channel — signals riding the change stream itself
+# (pipeline/signal/channels/SourceSignalChannel.java: a dedicated
+# signaling table of (id, type, data) captured by CDC; its change
+# events surface as stream records and are dispatched at their log
+# position). Our log multiplexes control payloads through op='m'
+# rows' `message` column, so a source-channel signal is a message
+# payload of shape {"signal": {"id": ..., "type": ..., "data": {...}}}
+# — distinguished from schema-change payloads by the "signal" key the
+# way the reference distinguishes by table name.
+# ---------------------------------------------------------------------------
+
+
+def is_source_signal_payload(message: str) -> bool:
+    """True iff the op='m' message payload is a source-channel signal
+    row (well-formed or not) rather than a schema-change event."""
+    try:
+        obj = json.loads(message)
+    except Exception:
+        return False
+    return isinstance(obj, dict) and "signal" in obj
+
+
+def parse_source_signal(message: str) -> dict | None:
+    """Parse a source-channel signal payload.
+
+    Returns the inner ``{"id", "type", "data"}`` dict, or None when the
+    payload is not a signal row at all (schema-change payloads fall
+    through to the schema path). A payload that IS a signal row but
+    misses the required id/type fields raises ValueError — callers
+    warn-and-skip, the reference's behavior for malformed signal-table
+    rows (``SourceSignalChannel.java:62-80`` logs and drops records
+    whose required fields are missing).
+    """
+    try:
+        obj = json.loads(message)
+    except Exception:
+        return None
+    if not isinstance(obj, dict) or "signal" not in obj:
+        return None
+    sig = obj["signal"]
+    if (
+        not isinstance(sig, dict)
+        or not isinstance(sig.get("id"), str)
+        or not isinstance(sig.get("type"), str)
+    ):
+        raise ValueError(f"malformed source-channel signal: {message!r}")
+    data = sig.get("data") or {}
+    if not isinstance(data, dict):
+        raise ValueError(f"malformed source-channel signal data: {message!r}")
+    return {"id": sig["id"], "type": sig["type"], "data": data}
+
+
+class SourceSignalLedger:
+    """Processed-id ledger for the source channel, persisted under the
+    lake root so a cold restart (which replays the whole log, signal
+    rows included) never re-fires an already-completed action — the
+    analogue of the reference resuming the signal table's capture from
+    committed offsets. Ids are marked only AFTER the action completes
+    (at-least-once, matching the file channel's ack discipline)."""
+
+    def __init__(self, lake_root: str):
+        d = os.path.join(lake_root, "_signals")
+        os.makedirs(d, exist_ok=True)
+        self.path = os.path.join(d, "source.processed")
+
+    def seen(self, sid: str) -> bool:
+        if not os.path.exists(self.path):
+            return False
+        with open(self.path) as f:
+            return sid in {line.strip() for line in f if line.strip()}
+
+    def mark(self, sid: str) -> None:
+        with open(self.path, "a") as f:
+            f.write(sid + "\n")

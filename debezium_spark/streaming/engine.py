@@ -191,8 +191,13 @@ class Engine:
         if not self.lake.exists():
             self.lake.create()
         from debezium_spark.notifications import NotificationLog
+        from debezium_spark.signals import SourceSignalLedger
 
         self.notifications = NotificationLog(cfg.lake_root)
+        # source-channel signals (signal rows riding the change stream,
+        # SourceSignalChannel.java) — processed-id ledger survives
+        # restarts so full-log replay never re-fires completed actions
+        self._source_ledger = SourceSignalLedger(cfg.lake_root)
 
     def _schema_changes_from_log(self) -> list[dict]:
         """Rebuild the schema history from in-stream schema-change
@@ -251,6 +256,13 @@ class Engine:
         import json
         import re
 
+        from debezium_spark.signals import is_source_signal_payload
+
+        # source-channel signal rows share the op='m' transport but are
+        # NOT schema changes — they dispatch through the signal path
+        # (_apply_batch's control pass / _recover_source_signals)
+        if is_source_signal_payload(message):
+            return None
         if self.cfg.schema_history_ddl_filter and re.search(
             self.cfg.schema_history_ddl_filter, message
         ):
@@ -355,6 +367,7 @@ class Engine:
         commit policy exposes (EmbeddedEngine.java:815-836)."""
         if self.cfg.snapshot_mode == "initial_only":
             return []
+        self._recover_source_signals()
         bounds = lsn_bounds(self.spark, self.cfg.changelog_path)
         if bounds is None:
             # empty / not-yet-written log: nothing to replay (clean
@@ -679,69 +692,139 @@ class Engine:
         re-fire idempotent."""
         if not self.cfg.signal_path:
             return []
-        from debezium_spark.generator import TABLE_NAME
         from debezium_spark.signals import SignalChannel
 
         channel = SignalChannel(self.cfg.signal_path)
         handled = []
         for sig in channel.poll():
-            stype = sig.get("type")
-            data = sig.get("data", {}) or {}
-            if stype == "pause":
-                self._paused = True
-            elif stype == "resume":
-                self._paused = False
-            elif stype == "stop":
-                self._stopped = True
-            elif stype == "stop-snapshot":
-                self._snapshot_stopped = True
-            elif stype == "pause-snapshot":
-                self._snapshot_paused = True
-            elif stype == "resume-snapshot":
-                self._snapshot_paused = False
-            elif stype in ("execute-snapshot", "blocking-snapshot"):
-                if during_snapshot:
-                    # defer: leave pending for the engine-loop poll
-                    continue
-                tables = data.get("data-collections") or data.get(
-                    "data_collections"
-                )
-                if tables and TABLE_NAME not in tables:
-                    channel.ack(sig["id"])
-                    handled.append(sig)
-                    continue
-                src = None
-                if data.get("source_path"):
-                    src = self.spark.read.parquet(data["source_path"])
-                conds = data.get("additional-conditions") or data.get(
-                    "additional_conditions"
-                )
-                preds = [
-                    c["filter"]
-                    for c in (conds or [])
-                    if c.get("filter")
-                    and c.get("data-collection", TABLE_NAME) == TABLE_NAME
-                ]
-                if preds:
-                    src = src if src is not None else self.live_source()
-                    for p in preds:
-                        src = src.filter(F.expr(p))
-                run = (
-                    self.blocking_snapshot
-                    if stype == "blocking-snapshot"
-                    else self.incremental_snapshot
-                )
-                run(source=src, chunk_size=data.get("chunk_size"))
-            elif stype in self.cfg.custom_signal_actions:
-                # SignalAction SPI (SignalProcessor.java:130-133):
-                # custom types dispatch to registered callables; a
-                # raise leaves the signal un-acked → re-fired on the
-                # next poll, the reference's at-least-once contract
-                self.cfg.custom_signal_actions[stype](self, sig)
-            # "log" and unknown types are recorded but have no effect
+            if not self._apply_signal_action(sig, during_snapshot):
+                # deferred: leave pending (un-acked) for the next
+                # engine-loop poll
+                continue
             channel.ack(sig["id"])
             handled.append(sig)
         return handled
+
+    def _apply_signal_action(
+        self, sig: dict, during_snapshot: bool = False
+    ) -> bool:
+        """Shared action body for every signal channel (file channel in
+        :meth:`process_signals`, source channel in the control-row pass
+        / :meth:`_recover_source_signals`). Returns False when the
+        signal must stay pending (snapshot-triggering signal arriving
+        mid-snapshot); True when its action completed and the caller
+        should ack/mark it. "log" and unknown types are recorded but
+        have no effect, like the reference's Log action."""
+        stype = sig.get("type")
+        if stype == "pause":
+            self._paused = True
+        elif stype == "resume":
+            self._paused = False
+        elif stype == "stop":
+            self._stopped = True
+        elif stype == "stop-snapshot":
+            self._snapshot_stopped = True
+        elif stype == "pause-snapshot":
+            self._snapshot_paused = True
+        elif stype == "resume-snapshot":
+            self._snapshot_paused = False
+        elif stype in ("execute-snapshot", "blocking-snapshot"):
+            if during_snapshot:
+                # defer: an in-flight snapshot never recurses into
+                # another one (single snapshot-source slot)
+                return False
+            self._run_snapshot_signal(stype, sig.get("data", {}) or {})
+        elif stype in self.cfg.custom_signal_actions:
+            # SignalAction SPI (SignalProcessor.java:130-133):
+            # custom types dispatch to registered callables; a
+            # raise leaves the signal un-acked → re-fired on the
+            # next poll, the reference's at-least-once contract
+            self.cfg.custom_signal_actions[stype](self, sig)
+        return True
+
+    def _run_snapshot_signal(self, stype: str, data: dict) -> None:
+        """execute-snapshot / blocking-snapshot action body, honoring
+        the reference's payload (``ExecuteSnapshot.java`` +
+        ``AdditionalCondition.java``): ``data-collections`` names the
+        tables to snapshot (signals for other tables are no-ops) and
+        ``additional-conditions`` carries per-table predicates pushed
+        into the chunked re-read's pruned scans."""
+        from debezium_spark.generator import TABLE_NAME
+
+        tables = data.get("data-collections") or data.get("data_collections")
+        if tables and TABLE_NAME not in tables:
+            return
+        src = None
+        if data.get("source_path"):
+            src = self.spark.read.parquet(data["source_path"])
+        conds = data.get("additional-conditions") or data.get(
+            "additional_conditions"
+        )
+        preds = [
+            c["filter"]
+            for c in (conds or [])
+            if c.get("filter")
+            and c.get("data-collection", TABLE_NAME) == TABLE_NAME
+        ]
+        if preds:
+            src = src if src is not None else self.live_source()
+            for p in preds:
+                src = src.filter(F.expr(p))
+        run = (
+            self.blocking_snapshot
+            if stype == "blocking-snapshot"
+            else self.incremental_snapshot
+        )
+        run(source=src, chunk_size=data.get("chunk_size"))
+
+    def _recover_source_signals(self) -> list[dict]:
+        """Re-fire delivered-but-unprocessed SOURCE-channel signals at
+        stream start — the crash window where a batch's merge committed
+        but a deferred signal action (e.g. its execute-snapshot) did
+        not complete before the process died. The reference gets the
+        same at-least-once replay by resuming the signal table's
+        capture from committed offsets (``SourceSignalChannel.java``);
+        here the committed per-partition LSN frontier decides which
+        signal rows were already delivered, and the ledger decides
+        which of those completed. One column-pruned (op='m') scan.
+
+        Signal rows ABOVE the frontier are left alone — their own batch
+        delivers them at their LSN position."""
+        from pyspark.errors import AnalysisException
+
+        from debezium_spark.signals import parse_source_signal
+        from debezium_spark.sources.changelog import changelog_absent
+
+        try:
+            df = self.spark.read.parquet(self.cfg.changelog_path)
+        except AnalysisException:
+            if changelog_absent(self.cfg.changelog_path):
+                return []
+            raise
+        if "message" not in df.columns:
+            return []
+        rows = (
+            df.filter((F.col("op") == "m") & F.col("message").isNotNull())
+            .select("partition_id", "lsn", "message")
+            .collect()
+        )
+        offsets = self.lake.committed_offsets()
+        fired = []
+        for r in sorted(rows, key=lambda r: r["lsn"]):
+            try:
+                sig = parse_source_signal(r["message"])
+            except ValueError:
+                continue  # malformed signal row: warn-and-skip
+            if sig is None:
+                continue  # schema-change payload, not a signal
+            if int(r["lsn"]) > offsets.get(r["partition_id"], -1):
+                continue  # not yet delivered — its batch will fire it
+            if self._source_ledger.seen(sig["id"]):
+                continue
+            if self._apply_signal_action(sig):
+                self._source_ledger.mark(sig["id"])
+                fired.append(sig)
+        return fired
 
     # -- structured-streaming front-end -----------------------------------
     def run_streaming(
@@ -762,6 +845,7 @@ class Engine:
         restart; the fence must turn the re-delivery into a no-op
         (the reference's stop/restart-mid-stream tests,
         embedded/AbstractConnectorTest.java:243-330)."""
+        self._recover_source_signals()
         stream = stream_changelog(
             self.spark, self.cfg.changelog_path, max_files_per_trigger
         )
@@ -847,10 +931,40 @@ class Engine:
             .select(*ctl_cols)
             .collect()
         )
+        from debezium_spark.signals import parse_source_signal
+
+        deferred_signals: list[dict] = []
         for r in sorted(ctl, key=lambda r: r["lsn"]):
             if r["op"] == "t":
                 truncate_lsn = max(truncate_lsn or -1, int(r["lsn"]))
             elif r["op"] == "m" and ("message" in ctl_cols) and r["message"]:
+                # source-channel signal rows (SourceSignalChannel.java:
+                # signals riding the captured stream) dispatch here, at
+                # their LSN position. Flag actions (pause/stop/custom)
+                # fire inline and take effect at the NEXT batch
+                # boundary; snapshot-triggering actions are deferred to
+                # after this batch's merge commit — the snapshot's
+                # watermark must cover this batch's offsets, and the
+                # fenced merge makes a crash-between re-fire safe
+                # (_recover_source_signals). Malformed signal rows are
+                # warn-and-skipped like the reference's channel.
+                try:
+                    sig = parse_source_signal(r["message"])
+                except ValueError:
+                    continue
+                if sig is not None:
+                    if phase != "stream" or self._source_ledger.seen(
+                        sig["id"]
+                    ):
+                        continue
+                    if sig["type"] in (
+                        "execute-snapshot",
+                        "blocking-snapshot",
+                    ):
+                        deferred_signals.append(sig)
+                    elif self._apply_signal_action(sig):
+                        self._source_ledger.mark(sig["id"])
+                    continue
                 ch = self._parse_schema_change(r["message"])
                 if ch is None:
                     continue
@@ -950,8 +1064,34 @@ class Engine:
         # 4. LWW compaction + schema alignment + fenced LSN-guarded
         #    merge. Offsets/lineage are pulled from the observation
         #    after the merge's data write (but inside its commit).
+        def _obs_row(observation, fallback: dict) -> dict:
+            # An Observation whose node never materialized has no
+            # metrics row and .get dies JVM-side (toPyRow assertion).
+            # That happens only when the optimizer/AQE proved the
+            # observed subtree EMPTY — a zero-row batch window (an LSN
+            # gap in the log, or a window holding only control rows) —
+            # so the zero/None fallback is the exact answer, not an
+            # approximation. Any batch with ≥1 input row materializes
+            # the node and takes the normal path.
+            try:
+                return observation.get
+            except Exception:
+                return dict(fallback)
+
         def frontier() -> tuple[dict, list[dict], int, dict]:
-            m = obs.get
+            m_empty: dict = {
+                "max_pid": None,
+                "max_source_ts": None,
+                "last_tx": None,
+                "first_tx": None,
+                "n_tx": 0,
+            }
+            for p in range(self.cfg.partitions):
+                m_empty[f"max_{p}"] = None
+                m_empty[f"cnt_{p}"] = 0
+            for opc in ("c", "u", "d", "r"):
+                m_empty[f"op_{opc}"] = 0
+            m = _obs_row(obs, m_empty)
             # a log generated with more partitions than cfg.partitions
             # would silently lose offsets/lineage for the overflow ids —
             # fail loudly instead (the frontier range is config-bounded)
@@ -978,15 +1118,15 @@ class Engine:
             # (CommonEventMetricsMXBean / StreamingMetricsMXBean)
             import time as _time
 
-            pre_v = obs_pre_valid.get["n"]
-            post_v = obs_post_valid.get["n"]
+            pre_v = _obs_row(obs_pre_valid, {"n": 0})["n"]
+            post_v = _obs_row(obs_post_valid, {"n": 0})["n"]
             counters = {
                 "events_create": m["op_c"],
                 "events_update": m["op_u"],
                 "events_delete": m["op_d"],
                 "events_read": m["op_r"],
                 "events_erroneous": pre_v - post_v,
-                "events_survived": obs_survived.get["n"],
+                "events_survived": _obs_row(obs_survived, {"n": 0})["n"],
                 "max_source_ts_ms": m["max_source_ts"],
                 "last_tx_id": m["last_tx"],
                 "first_tx_id": m["first_tx"],
@@ -1007,7 +1147,7 @@ class Engine:
                 "after",
                 "schema_version",
             )
-            return self.lake.merge_full(
+            result = self.lake.merge_full(
                 self._align(flat),
                 batch_id,
                 frontier_fn=frontier,
@@ -1015,6 +1155,8 @@ class Engine:
                 phase=phase,
                 truncate_lsn=truncate_lsn,
             )
+            self._fire_deferred_signals(deferred_signals)
+            return result
         compacted = compact(
             ev,
             self.cfg.compaction_kernel,
@@ -1022,7 +1164,7 @@ class Engine:
             key_columns=self.cfg.key_columns,
         )
         changes = self._align(compacted)
-        return self.lake.merge(
+        result = self.lake.merge(
             changes,
             batch_id,
             frontier_fn=frontier,
@@ -1030,6 +1172,18 @@ class Engine:
             phase=phase,
             truncate_lsn=truncate_lsn,
         )
+        self._fire_deferred_signals(deferred_signals)
+        return result
+
+    def _fire_deferred_signals(self, sigs: list[dict]) -> None:
+        """Run snapshot-triggering source-channel signals after their
+        batch's merge commit (see the control-row pass). Marked in the
+        ledger only once the action completed — a crash mid-snapshot
+        leaves the id unmarked and :meth:`_recover_source_signals`
+        re-fires it on restart."""
+        for sig in sigs:
+            if self._apply_signal_action(sig):
+                self._source_ledger.mark(sig["id"])
 
     def _align(self, compacted: DataFrame) -> DataFrame:
         """Project compaction winners onto the lake's physical superset
