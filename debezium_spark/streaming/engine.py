@@ -24,6 +24,7 @@ Per-batch dataflow (SURVEY §7.1)::
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,6 +170,18 @@ class Engine:
             raise ValueError(
                 f"key_columns must include the table PK; missing {missing}"
             )
+        if cfg.snapshot_mode not in (
+            "always",
+            "initial",
+            "initial_only",
+            "never",
+            "custom",
+            "when_needed",
+            "schema_only",
+        ):
+            raise ValueError(
+                f"unknown snapshot_mode {cfg.snapshot_mode!r}"
+            )
         if cfg.watermarking_strategy not in (
             "insert_insert",
             "insert_delete",
@@ -293,6 +306,57 @@ class Engine:
             return None
         return ch
 
+    # -- stream origin (deterministic window base) ------------------------
+    @property
+    def _origin_path(self) -> str:
+        return os.path.join(self.cfg.lake_root, "_stream", "origin.json")
+
+    def _load_stream_origin(self) -> int | None:
+        import json
+
+        if not os.path.exists(self._origin_path):
+            return None
+        with open(self._origin_path) as f:
+            return int(json.load(f)["lo"])
+
+    def _pin_stream_origin(self, lo: int) -> int:
+        """Return the pinned stream-window base, writing ``lo`` as the
+        origin on first contact (atomic tmp+rename). Batch window k is
+        ``[origin + k*span, origin + (k+1)*span)`` forever after — the
+        base never moves even if the log's head is later purged, so
+        resume positions stay exact (the reference equivalent: binlog
+        file/pos offsets remain meaningful after older files rotate
+        out)."""
+        import json
+
+        cur = self._load_stream_origin()
+        if cur is not None:
+            return cur
+        os.makedirs(os.path.dirname(self._origin_path), exist_ok=True)
+        tmp = self._origin_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"lo": int(lo)}, f)
+        os.rename(tmp, self._origin_path)
+        return int(lo)
+
+    def _purged_resume_gap(self) -> bool:
+        """True when the log's head has been purged PAST the next
+        unapplied window — events this engine never applied are gone
+        from the log (binlog retention expired before we read them).
+        The ``when_needed`` snapshotter's re-snapshot trigger
+        (MySqlConnectorConfig.java:139: snapshot when the server no
+        longer has the recorded position)."""
+        origin = self._load_stream_origin()
+        if origin is None:
+            return False  # never streamed — nothing to lose
+        bounds = lsn_bounds(self.spark, self.cfg.changelog_path)
+        if bounds is None:
+            return False
+        next_start = origin + self.lake.last_batch_id("stream") * (
+            self.cfg.batch_lsn_span
+        )
+        return bounds[0] > next_start
+
     # -- snapshot phase (batch 0) ---------------------------------------
     def snapshot(self) -> dict | None:
         """Initial consistent snapshot. Snapshot-mode semantics per
@@ -300,8 +364,42 @@ class Engine:
         skipped if already done (``initial``) or disabled (``never``)."""
         mode = self.cfg.snapshot_mode
         already = self.lake.last_batch_id("snapshot") >= self.SNAPSHOT_BATCH_ID
-        if mode == "never" or (mode in ("initial", "initial_only") and already):
+        if mode in ("never", "schema_only") or (
+            mode in ("initial", "initial_only") and already
+        ):
+            # schema_only (MySqlConnectorConfig.java:151): structure
+            # only, no data rows — schema history is already recovered
+            # from the log's op='m' rows at init, and stream() pins the
+            # origin at the current tail so historical data events are
+            # never captured
             return None
+        if mode == "when_needed" and already:
+            # WHEN_NEEDED (MySqlConnectorConfig.java:139): re-snapshot
+            # only when the recorded resume position is gone — the log
+            # head was purged past an unapplied window. Heal via the
+            # watermark-stamped incremental path against the RAW source
+            # (upstream truth, which includes the purged events'
+            # effects): chunk rows at the committed watermark beat
+            # stale state, surviving log events (higher LSNs) beat the
+            # chunks, so LWW restores exactness for every key the
+            # source still holds. (DBLog-style chunks cannot observe
+            # upstream DELETEs that happened inside the purged window —
+            # the reference's incremental snapshot shares this caveat.)
+            if not self._purged_resume_gap():
+                return None
+            if self.cfg.source_table_path is None:
+                raise RuntimeError(
+                    "when_needed: resume position purged from the log "
+                    "and no source_table_path to re-snapshot from"
+                )
+            src = self.spark.read.parquet(self.cfg.source_table_path)
+            src = self._apply_snapshot_override(src)
+            chunks = self.incremental_snapshot(source=src)
+            return {
+                "phase": "snapshot",
+                "mode": "when_needed",
+                "healed_chunks": len(chunks),
+            }
         batch_id = self.SNAPSHOT_BATCH_ID
         if mode == "custom":
             decider = self.cfg.custom_should_snapshot
@@ -374,6 +472,16 @@ class Engine:
             # no-op — the WAL tail starting before the first segment)
             return []
         lo, hi = bounds
+        # Deterministic windows need a STABLE base: pin the stream
+        # origin in the lake on first contact so later log compaction /
+        # purge (WAL retention at the 100 TB target) cannot shift batch
+        # arithmetic — purged windows replay as clean zero-row batches.
+        # schema_only starts from the CURRENT position instead (no
+        # historical rows are ever captured,
+        # MySqlConnectorConfig.java:151 SCHEMA_ONLY).
+        lo = self._pin_stream_origin(
+            hi + 1 if self.cfg.snapshot_mode == "schema_only" else lo
+        )
         span = self.cfg.batch_lsn_span
         results = []
         store = None
