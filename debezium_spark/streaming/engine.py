@@ -401,6 +401,14 @@ class Engine:
                 "healed_chunks": len(chunks),
             }
         batch_id = self.SNAPSHOT_BATCH_ID
+        if mode == "always" and already:
+            # AlwaysSnapshotter re-executes the snapshot on every start
+            # (connector/postgresql/PostgresConnectorConfig.java:200):
+            # fence on a fresh snapshot batch id so the re-read applies
+            # instead of skipping. LWW keeps streamed values newer than
+            # the snapshot markers; untouched keys are re-asserted from
+            # the source.
+            batch_id = self.lake.last_batch_id("snapshot") + 1
         if mode == "custom":
             decider = self.cfg.custom_should_snapshot
             if decider is None or not decider(self.lake.committed_offsets()):
@@ -414,7 +422,15 @@ class Engine:
         from debezium_spark import notifications as N
 
         self.notifications.emit(N.INITIAL_SNAPSHOT, N.STARTED)
-        source = self.spark.read.parquet(self.cfg.source_table_path)
+        if already:
+            # a RE-RUN snapshot (always / custom re-fire) reads what the
+            # reference reads: the live database — here the
+            # reconstructed current state. Re-reading the stale
+            # snapshot parquet would resurrect stream-deleted keys and
+            # is exactly the bug live_source() exists to prevent.
+            source = self.live_source()
+        else:
+            source = self.spark.read.parquet(self.cfg.source_table_path)
         source = self._apply_snapshot_override(source)
         events = snapshot_envelopes(source, partitions=self.cfg.partitions)
         res = self._apply_batch(events, batch_id, phase="snapshot")

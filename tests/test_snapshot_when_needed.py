@@ -209,3 +209,29 @@ def test_schema_only_streams_from_current_position(spark, tmp_root):
     assert got == {k: v["content"] for k, v in oracle.items()}
     # evolved column from the historical 'm' row reached the lake schema
     assert "size_bytes" in e2.final_state().columns
+
+
+def test_always_mode_resnapshots_on_restart(spark, tmp_root):
+    """AlwaysSnapshotter semantics (PostgresConnectorConfig.java:200):
+    a restarted `always` engine re-executes the snapshot on a fresh
+    fenced batch id instead of skipping; LWW keeps streamed values
+    (newer LSNs) and re-asserts source values for untouched keys, so
+    the final state stays oracle-exact."""
+    src, log = _world(spark, tmp_root)
+    lake = os.path.join(tmp_root, "lake")
+    e1 = Engine(spark, _cfg(log, lake, src, snapshot_mode="always"))
+    e1.run()
+    assert e1.lake.last_batch_id("snapshot") == 0
+
+    e2 = Engine(spark, _cfg(log, lake, src, snapshot_mode="always"))
+    res = e2.run()
+    snap = [r for r in res if r.get("phase") is None and "batch_id" in r]
+    # the re-run snapshot applied (not {'skipped': True})
+    assert e2.lake.last_batch_id("snapshot") == 1
+    assert not any(r.get("skipped") for r in res)
+    oracle = fold_final_state(_pdf(spark, src), _pdf(spark, log))
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in e2.final_state().collect()
+    }
+    assert got == {k: v["content"] for k, v in oracle.items()}
