@@ -35,7 +35,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument(
         "--snapshot-mode",
-        choices=("always", "initial", "never", "initial_only"),
+        choices=(
+            "always",
+            "initial",
+            "never",
+            "initial_only",
+            "when_needed",
+            "schema_only",
+        ),
         default="initial",
     )
     p.add_argument("--error-mode", choices=("fail", "warn", "skip"), default="fail")
