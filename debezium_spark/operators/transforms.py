@@ -282,12 +282,26 @@ def extract_new_record_state(
     add_fields_prefix: str = "__",
     route_by_field: str | None = None,
     row_fields: tuple[str, ...] = ("repo", "path", "commit", "lang", "content"),
+    key_fields: tuple[str, ...] = ("repo", "path"),
 ) -> DataFrame:
     """Unwrap the envelope to a flat row ("flatten/unwrap" SMT).
 
-    delete_mode: ``drop`` (delete.handling.mode=drop) | ``rewrite``
-    (keep delete rows built from ``before`` with ``__deleted = true``,
-    extractnewstate/DefaultDeleteHandlingStrategy.java:1-92).
+    delete_mode — the ``delete.tombstone.handling.mode`` values of the
+    Default strategy
+    (``extractnewstate/DefaultDeleteHandlingStrategy.java:1-92``,
+    ``ExtractNewRecordStateConfigDefinition.java:60-76``):
+
+    - ``drop``: delete records (and incoming tombstones) vanish;
+    - ``rewrite``: delete rows keep their ``before`` image with
+      ``__deleted = true``;
+    - ``tombstone``: delete records become tombstone rows — key fields
+      populated (``key_fields``), every other unwrapped field NULL; the
+      flat-DataFrame stand-in for Kafka's key+null-value record.
+      Incoming envelope tombstones are KEPT in this shape (the Default
+      strategy's handleTombstoneRecord passes them through);
+    - ``rewrite-with-tombstone``: the rewrite rows PLUS one tombstone
+      row per delete (``__deleted`` NULL on the tombstone — it has no
+      value image).
 
     add_fields: ``add.fields`` specs — envelope/source paths, each
     optionally renamed (``lsn``, ``source.txId:TX``), emitted under
@@ -295,18 +309,45 @@ def extract_new_record_state(
     named unwrapped column's value becomes the record's ``topic``
     (ExtractNewRecordStateConfigDefinition.java:159-185).
     """
-    df = drop_tombstones(df)
+    def _null_of(f: str):
+        # NULL of exactly the after-image field's type
+        return F.when(F.lit(False), F.col("after").getField(f))
+
+    is_del = F.col("op") == OP_DELETE
     if delete_mode == "drop":
-        df = df.filter(F.col("op") != OP_DELETE)
+        df = drop_tombstones(df).filter(F.col("op") != OP_DELETE)
         image = F.col("after")
-    elif delete_mode == "rewrite":
-        image = F.when(F.col("op") == OP_DELETE, F.col("before")).otherwise(
-            F.col("after")
-        )
+
+        def _field(f: str):
+            return image.getField(f)
+
+    elif delete_mode in ("rewrite", "rewrite-with-tombstone"):
+        df = drop_tombstones(df)
+        image = F.when(is_del, F.col("before")).otherwise(F.col("after"))
+
+        def _field(f: str):
+            return image.getField(f)
+
+    elif delete_mode == "tombstone":
+        # field-level (not struct-level CASE — the images' struct types
+        # differ in nullability/evolved fields): keys survive from the
+        # tombstone key / delete before-image, value fields go NULL
+        def _field(f: str):
+            if f in key_fields:
+                return (
+                    F.when(F.col("is_tombstone"), F.col("key").getField(f))
+                    .when(is_del, F.col("before").getField(f))
+                    .otherwise(F.col("after").getField(f))
+                )
+            return F.when(
+                ~F.col("is_tombstone") & ~is_del,
+                F.col("after").getField(f),
+            )
+
     else:
         raise ValueError(f"unknown delete_mode {delete_mode!r}")
 
-    cols = [image.getField(f).alias(f) for f in row_fields]
+    cols = [_field(f).alias(f) for f in row_fields]
     if add_op:
         cols.append(F.col("op").alias("__op"))
     if add_ts_ms:
@@ -317,10 +358,34 @@ def extract_new_record_state(
         path, alias = _add_field_spec(spec, add_fields_prefix)
         cols.append(F.col(path).alias(alias))
     if route_by_field is not None:
-        cols.append(image.getField(route_by_field).cast("string").alias("topic"))
-    if delete_mode == "rewrite":
+        cols.append(_field(route_by_field).cast("string").alias("topic"))
+    if delete_mode in ("rewrite", "rewrite-with-tombstone"):
         cols.append((F.col("op") == OP_DELETE).alias("__deleted"))
-    return df.select(*cols)
+    out = df.select(*cols)
+    if delete_mode == "rewrite-with-tombstone":
+        def _tomb_field(f: str):
+            if f in key_fields:
+                return F.col("before").getField(f)
+            return _null_of(f)
+
+        tomb_cols = [_tomb_field(f).alias(f) for f in row_fields]
+        if add_op:
+            tomb_cols.append(F.col("op").alias("__op"))
+        if add_ts_ms:
+            tomb_cols.append(F.col("ts_ms").alias("__ts_ms"))
+        for sf_ in add_source_fields:
+            tomb_cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
+        for spec in add_fields:
+            path, alias = _add_field_spec(spec, add_fields_prefix)
+            tomb_cols.append(F.col(path).alias(alias))
+        if route_by_field is not None:
+            tomb_cols.append(
+                _tomb_field(route_by_field).cast("string").alias("topic")
+            )
+        tomb_cols.append(F.lit(None).cast("boolean").alias("__deleted"))
+        tombs = df.filter(F.col("op") == OP_DELETE).select(*tomb_cols)
+        out = out.unionByName(tombs)
+    return out
 
 
 def extract_changed_record_state(

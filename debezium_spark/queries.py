@@ -3894,6 +3894,115 @@ def cdc_ddl_parse(spark, sf_dir):
     )
 
 
+def _unwrap_envelope(spark, sf_dir):
+    """Shared synthetic envelope for the delete.tombstone.handling.mode
+    catalog entries: one data event per `events` row (op from
+    event_type) plus one incoming tombstone per 'error' row."""
+    ev = _t(spark, sf_dir, "events")
+
+    def img(pfx):
+        return F.struct(
+            F.col("user_id").cast("string").alias("repo"),
+            F.col("event_type").alias("path"),
+            F.concat(F.lit(pfx), F.col("event_id").cast("string")).alias(
+                "commit"
+            ),
+        )
+
+    key = F.struct(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_type").alias("path"),
+    )
+    null_img = F.when(F.lit(False), img("x"))
+    op = _op_col()
+    base = ev.select(
+        op.alias("op"),
+        F.lit(False).alias("is_tombstone"),
+        key.alias("key"),
+        F.when(op.isin("u", "d"), img("old_")).otherwise(null_img).alias(
+            "before"
+        ),
+        F.when(op != "d", img("new_")).otherwise(null_img).alias("after"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    tombs = ev.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("string").alias("op"),
+        F.lit(True).alias("is_tombstone"),
+        key.alias("key"),
+        null_img.alias("before"),
+        null_img.alias("after"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    return base.unionByName(tombs)
+
+
+@_q(
+    "cdc_unwrap_tombstone",
+    f"""
+    SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE 'new_' || CAST(event_id AS VARCHAR) END AS commit,
+           {_OP_SQL} AS __op, epoch_ms(ts) AS __ts_ms
+    FROM events
+    UNION ALL
+    SELECT CAST(user_id AS VARCHAR), event_type, NULL, NULL, epoch_ms(ts)
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def cdc_unwrap_tombstone(spark, sf_dir):
+    """ExtractNewRecordState, ``delete.tombstone.handling.mode=
+    tombstone`` (extractnewstate/DefaultDeleteHandlingStrategy.java:
+    58-76, ExtractNewRecordStateConfigDefinition.java:60-76): deletes
+    become key-populated value-NULL tombstone rows; incoming envelope
+    tombstones pass through in the same shape. Pure per-row projection
+    + a narrow union — no shuffle, whole-stage codegen."""
+    from debezium_spark.operators.transforms import (
+        extract_new_record_state,
+    )
+
+    env = _unwrap_envelope(spark, sf_dir)
+    return extract_new_record_state(
+        env,
+        delete_mode="tombstone",
+        row_fields=("repo", "path", "commit"),
+        key_fields=("repo", "path"),
+    )
+
+
+@_q(
+    "cdc_unwrap_rewrite_tombstone",
+    f"""
+    SELECT CAST(user_id AS VARCHAR) AS repo, event_type AS path,
+           CASE WHEN event_type = 'error'
+                THEN 'old_' || CAST(event_id AS VARCHAR)
+                ELSE 'new_' || CAST(event_id AS VARCHAR) END AS commit,
+           {_OP_SQL} AS __op, epoch_ms(ts) AS __ts_ms,
+           (event_type = 'error') AS __deleted
+    FROM events
+    UNION ALL
+    SELECT CAST(user_id AS VARCHAR), event_type, NULL,
+           'd', epoch_ms(ts), NULL
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def cdc_unwrap_rewrite_tombstone(spark, sf_dir):
+    """ExtractNewRecordState, ``delete.tombstone.handling.mode=
+    rewrite-with-tombstone``: the rewrite output (deletes keep their
+    before image, ``__deleted=true``) PLUS one key-only tombstone row
+    per delete with ``__deleted`` NULL (it carries no value image)."""
+    from debezium_spark.operators.transforms import (
+        extract_new_record_state,
+    )
+
+    env = _unwrap_envelope(spark, sf_dir)
+    return extract_new_record_state(
+        env,
+        delete_mode="rewrite-with-tombstone",
+        row_fields=("repo", "path", "commit"),
+        key_fields=("repo", "path"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -572,3 +572,45 @@ def test_replica_identity_autoset_rejects_bad_default(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown replica identity"):
         tr.apply_replica_identity_autoset(log, "", default_mode="bogus")
+
+
+def test_extract_new_record_state_tombstone_mode(spark):
+    """delete.tombstone.handling.mode=tombstone
+    (DefaultDeleteHandlingStrategy.java:58-76): deletes become
+    key-populated, value-NULL tombstone rows; incoming envelope
+    tombstones pass through in the same shape; nothing is dropped."""
+    log = _log(spark)
+    flat = tr.extract_new_record_state(log, delete_mode="tombstone")
+    assert flat.count() == log.count()  # tombstones kept, deletes kept
+    tombs = flat.filter(F.col("content").isNull())
+    n_d = log.filter(F.col("op") == "d").count()
+    n_ts = log.filter(F.col("is_tombstone")).count()
+    assert tombs.count() == n_d + n_ts
+    # every tombstone-shaped row still carries its key
+    assert tombs.filter(
+        F.col("repo").isNull() | F.col("path").isNull()
+    ).count() == 0
+    # non-delete rows are the plain after-image unwrap
+    live = flat.filter(F.col("__op").isin("c", "u", "r"))
+    assert live.filter(F.col("content").isNull()).count() == 0
+
+
+def test_extract_new_record_state_rewrite_with_tombstone(spark):
+    """delete.tombstone.handling.mode=rewrite-with-tombstone: the
+    rewrite output PLUS one tombstone row per delete (__deleted NULL on
+    the tombstone — it has no value image)."""
+    log = _log(spark)
+    flat = tr.extract_new_record_state(
+        log, delete_mode="rewrite-with-tombstone"
+    )
+    n_d = log.filter(F.col("op") == "d").count()
+    n_data = log.filter(~F.col("is_tombstone")).count()
+    assert flat.count() == n_data + n_d
+    rewrites = flat.filter(F.col("__deleted") == True)  # noqa: E712
+    assert rewrites.count() == n_d
+    # rewrites keep the before image's content; tombstones are bare keys
+    assert rewrites.filter(F.col("content").isNull()).count() == 0
+    tombs = flat.filter(F.col("__deleted").isNull())
+    assert tombs.count() == n_d
+    assert tombs.filter(F.col("content").isNotNull()).count() == 0
+    assert tombs.filter(F.col("repo").isNull()).count() == 0
