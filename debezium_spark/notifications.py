@@ -32,8 +32,20 @@ ABORTED = "ABORTED"
 
 
 class NotificationLog:
-    def __init__(self, root: str):
+    """File-sink notification channel plus a fan-out SPI.
+
+    The reference routes notifications through pluggable channels
+    (``pipeline/notification/channels/NotificationChannel.java`` —
+    SinkNotificationChannel, LogNotificationChannel, jmx). The JSON-
+    lines file is our sink channel; ``channels`` registers additional
+    consumers, each called with the finished record dict AFTER the
+    file append (so a consumer crash never loses the durable copy).
+    Consumer exceptions propagate — like the reference, a broken
+    channel is a deployment error, not something to swallow."""
+
+    def __init__(self, root: str, channels: tuple = ()):
         self.path = os.path.join(root, "_notifications", "log.jsonl")
+        self.channels = tuple(channels)
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
 
     def _next_id(self) -> int:
@@ -58,6 +70,8 @@ class NotificationLog:
         }
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        for ch in self.channels:
+            ch(rec)
         return rec
 
     def read(self) -> list[dict]:

@@ -133,6 +133,20 @@ class EngineConfig:
     # overridable, matching the reference registering its defaults
     # first). Acked after the action returns, like every other signal.
     custom_signal_actions: dict = field(default_factory=dict)
+    # PostProcessor SPI (processors/spi/PostProcessor.java, registry
+    # processors/PostProcessorRegistry.java): callables applied to the
+    # envelope DataFrame after the dispatcher's filters, before
+    # compaction — snapshot AND stream batches, like the reference
+    # applying registered processors to every emitted record. Contract:
+    # DataFrame -> DataFrame, envelope schema preserved, Column-level
+    # expressions only (stays in whole-stage codegen), values may be
+    # rewritten but rows must not be dropped (use skipped_operations /
+    # filters for that).
+    post_processors: tuple = ()
+    # NotificationChannel SPI (pipeline/notification/channels/
+    # NotificationChannel.java): extra consumers called with each
+    # notification record after the durable file append.
+    notification_channels: tuple = ()
     # snapshot.select.statement.overrides analogue
     # (relational/RelationalDatabaseConnectorConfig.java:346): per-table
     # {"filter": <SQL predicate>, "columns": [<projected columns>]}
@@ -206,7 +220,9 @@ class Engine:
         from debezium_spark.notifications import NotificationLog
         from debezium_spark.signals import SourceSignalLedger
 
-        self.notifications = NotificationLog(cfg.lake_root)
+        self.notifications = NotificationLog(
+            cfg.lake_root, channels=cfg.notification_channels
+        )
         # source-channel signals (signal rows riding the change stream,
         # SourceSignalChannel.java) — processed-id ledger survives
         # restarts so full-log replay never re-fires completed actions
@@ -1180,6 +1196,9 @@ class Engine:
         ev = drop_tombstones(ev)
         if self.cfg.skipped_operations:
             ev = skip_operations(ev, self.cfg.skipped_operations)
+        for pp in self.cfg.post_processors:
+            # PostProcessor SPI — see EngineConfig.post_processors
+            ev = pp(ev)
         obs_survived = Observation()
         ev = ev.observe(obs_survived, F.count(F.lit(1)).alias("n"))
         ev = pk_change_split(ev, self.cfg.key_columns)
