@@ -1102,8 +1102,20 @@ class Engine:
                         "blocking-snapshot",
                     ):
                         deferred_signals.append(sig)
-                    elif self._apply_signal_action(sig):
-                        self._source_ledger.mark(sig["id"])
+                    else:
+                        # flag actions apply NOW (pause/stop take effect
+                        # at the next batch boundary) but are ledger-
+                        # marked only after this batch's merge commit,
+                        # with the deferred ones: marking earlier would
+                        # lose the signal if the merge crashes (batch
+                        # replays, marked signal skipped); marking after
+                        # keeps at-least-once — crash-pre-merge
+                        # redelivers the batch and the signal with it,
+                        # crash-post-merge is the frontier-recovery case
+                        if self._apply_signal_action(sig):
+                            deferred_signals.append(
+                                {**sig, "__applied": True}
+                            )
                     continue
                 ch = self._parse_schema_change(r["message"])
                 if ch is None:
@@ -1319,13 +1331,14 @@ class Engine:
         return result
 
     def _fire_deferred_signals(self, sigs: list[dict]) -> None:
-        """Run snapshot-triggering source-channel signals after their
-        batch's merge commit (see the control-row pass). Marked in the
-        ledger only once the action completed — a crash mid-snapshot
-        leaves the id unmarked and :meth:`_recover_source_signals`
-        re-fires it on restart."""
+        """After the batch's merge commit: run snapshot-triggering
+        source-channel signals, and ledger-mark everything (snapshot
+        actions AND the flag actions already applied in the control
+        pass, tagged ``__applied``). Marks land only once the action
+        completed — a crash mid-snapshot leaves the id unmarked and
+        :meth:`_recover_source_signals` re-fires it on restart."""
         for sig in sigs:
-            if self._apply_signal_action(sig):
+            if sig.get("__applied") or self._apply_signal_action(sig):
                 self._source_ledger.mark(sig["id"])
 
     def _align(self, compacted: DataFrame) -> DataFrame:

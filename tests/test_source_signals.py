@@ -231,3 +231,38 @@ def test_malformed_signal_skipped_schema_changes_still_apply(spark, tmp_root):
     assert "size_bytes" in eng.final_state().columns
     led = SourceSignalLedger(lake)
     assert led.seen("ok1")
+
+
+def test_flag_signal_survives_crash_before_merge(spark, tmp_root):
+    """At-least-once for flag signals: a crash AFTER the control pass
+    applied the flag but BEFORE the batch's merge commit must not lose
+    the signal — it is ledger-marked only post-commit, so the replayed
+    batch re-delivers it."""
+    span = 200
+    src, log = _world_with_messages(
+        spark, tmp_root, [_sig("st2", "stop")], lsns=[BASE + span + 50]
+    )
+    lake = os.path.join(tmp_root, "lake")
+    e1 = Engine(spark, _cfg(log, lake, src, batch_lsn_span=span))
+    orig_merge = e1.lake.merge
+
+    def crashing_merge(changes, batch_id, **kw):
+        if batch_id == 2:  # the signal's batch
+            raise RuntimeError("injected: flag applied, merge not")
+        return orig_merge(changes, batch_id, **kw)
+
+    e1.lake.merge = crashing_merge
+    with pytest.raises(RuntimeError, match="injected"):
+        e1.run()
+    assert e1._stopped  # flag had been applied in-memory
+    assert not SourceSignalLedger(lake).seen("st2")  # but never marked
+
+    # restart: the batch replays, the signal re-fires, stop is honored
+    e2 = Engine(spark, _cfg(log, lake, src, batch_lsn_span=span))
+    e2.run()
+    assert e2._stopped
+    assert SourceSignalLedger(lake).seen("st2")
+    # a third engine resumes past the consumed signal and completes
+    e3 = Engine(spark, _cfg(log, lake, src, batch_lsn_span=span))
+    e3.run()
+    assert not e3._stopped
