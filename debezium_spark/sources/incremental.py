@@ -44,15 +44,25 @@ _ROW_DDL = (
 )
 
 
-def after_key(last: tuple[str, str] | None) -> Column:
-    """Lexicographic multi-column PK lower bound
-    (AbstractIncrementalSnapshotChangeEventSource.java:257-290)."""
+PK_COLS = ("repo", "path")
+
+
+def after_key(
+    last: tuple | None, key_cols: tuple[str, ...] = PK_COLS
+) -> Column:
+    """Lexicographic multi-column lower bound over ``key_cols``
+    (AbstractIncrementalSnapshotChangeEventSource.java:257-290):
+    ``(k1,k2,..) > (l1,l2,..)``. Works for any orderable column types;
+    with a single surrogate key it degenerates to ``k > l``."""
     if last is None:
         return F.lit(True)
-    lr, lp = last
-    return (F.col("repo") > lr) | (
-        (F.col("repo") == lr) & (F.col("path") > lp)
-    )
+    cond = F.lit(False)
+    for i in range(len(key_cols) - 1, -1, -1):
+        eq_prefix = F.lit(True)
+        for j in range(i):
+            eq_prefix = eq_prefix & (F.col(key_cols[j]) == F.lit(last[j]))
+        cond = cond | (eq_prefix & (F.col(key_cols[i]) > F.lit(last[i])))
+    return cond
 
 
 def read_chunk(
@@ -70,47 +80,65 @@ def read_chunk(
 
 
 def plan_chunk_bounds(
-    source: DataFrame, chunk_size: int
-) -> list[tuple[str, str]]:
+    source: DataFrame,
+    chunk_size: int,
+    key_cols: tuple[str, ...] = PK_COLS,
+) -> list[tuple]:
     """Upper key bound (inclusive) of each chunk, computed in one job.
 
-    ``repartitionByRange(n_chunks, repo, path)`` range-partitions by a
+    ``repartitionByRange(n_chunks, *key_cols)`` range-partitions by a
     sampled key distribution (RangePartitioner — no global sort); each
     partition's max key is a chunk boundary. Chunk sizes are therefore
     approximate (sampling), which the watermark semantics don't care
     about. Cost: one count + one sample-plan + one narrow max-per-
     partition pass — O(table) TOTAL, not per chunk.
+
+    ``key_cols`` defaults to the PK; an execute-snapshot signal's
+    ``surrogate-key`` (ExecuteSnapshot.java:62,137-139) substitutes any
+    single orderable column. Bounds form contiguous half-open intervals
+    covering the whole key space, so a NON-UNIQUE surrogate key is
+    safe: equal values land in exactly one ``(lo, hi]`` chunk — never
+    split, never duplicated.
     """
     n = source.count()
     if n == 0:
         return []
     n_chunks = max((n + chunk_size - 1) // chunk_size, 1)
     rows = (
-        source.select("repo", "path")
-        .repartitionByRange(n_chunks, "repo", "path")
+        source.select(*key_cols)
+        .repartitionByRange(n_chunks, *key_cols)
         .select(
             F.spark_partition_id().alias("pid"),
-            F.struct("repo", "path").alias("k"),
+            F.struct(*key_cols).alias("k"),
         )
         .groupBy("pid")
         .agg(F.max("k").alias("hi"))
         .orderBy("pid")
         .collect()
     )
-    return [(r["hi"]["repo"], r["hi"]["path"]) for r in rows]
+    return [tuple(r["hi"][c] for c in key_cols) for r in rows]
 
 
 def read_chunk_range(
     source: DataFrame,
-    lo: tuple[str, str] | None,
-    hi: tuple[str, str],
+    lo: tuple | None,
+    hi: tuple,
+    key_cols: tuple[str, ...] = PK_COLS,
 ) -> DataFrame:
     """Chunk = keys in ``(lo, hi]`` — a pruned range scan, no sort."""
-    hr, hp = hi
-    upper = (F.col("repo") < hr) | (
-        (F.col("repo") == hr) & (F.col("path") <= hp)
-    )
-    return source.filter(after_key(lo) & upper)
+    upper = F.lit(False)
+    for i in range(len(key_cols)):
+        eq_prefix = F.lit(True)
+        for j in range(i):
+            eq_prefix = eq_prefix & (F.col(key_cols[j]) == F.lit(hi[j]))
+        last = i == len(key_cols) - 1
+        cmp = (
+            F.col(key_cols[i]) <= F.lit(hi[i])
+            if last
+            else F.col(key_cols[i]) < F.lit(hi[i])
+        )
+        upper = upper | (eq_prefix & cmp)
+    return source.filter(after_key(lo, key_cols) & upper)
 
 
 _ROW_FIELD_TYPES = (

@@ -635,6 +635,7 @@ class Engine:
         source=None,
         chunk_size: int | None = None,
         max_chunks: int | None = None,
+        surrogate_key: str | None = None,
     ) -> list[dict]:
         """Chunked PK-ordered re-read of the current source state,
         each chunk stamped at the committed-offset low watermark so the
@@ -652,8 +653,18 @@ class Engine:
         (``plan_chunk_bounds`` — sampling-based range split, one pass),
         then each chunk is a pruned key-range scan — never a per-chunk
         global sort+limit (that shape is O(table) per chunk).
+
+        ``surrogate_key`` paginates chunks on a single named column
+        instead of the PK — the reference's execute-snapshot
+        ``surrogate-key`` field (ExecuteSnapshot.java:62,137-139;
+        AbstractIncrementalSnapshotChangeEventSource uses it to build
+        the chunk query when the PK is composite or unindexed). Chunk
+        *contents* and watermark/LWW semantics are unchanged — only the
+        partition of the key space differs, and non-unique surrogate
+        values stay whole inside one ``(lo, hi]`` range chunk.
         """
         from debezium_spark.sources.incremental import (
+            PK_COLS,
             chunk_envelopes,
             plan_chunk_bounds,
             read_chunk_range,
@@ -662,13 +673,21 @@ class Engine:
         from debezium_spark import notifications as N
 
         src = source if source is not None else self.live_source()
+        if surrogate_key is not None and surrogate_key not in src.columns:
+            # the reference rejects an unknown surrogate key at signal
+            # time rather than silently falling back to the PK
+            raise ValueError(
+                f"surrogate key column {surrogate_key!r} not in source "
+                f"columns {src.columns}"
+            )
+        key_cols = (surrogate_key,) if surrogate_key else PK_COLS
         chunk_size = chunk_size or self.cfg.incremental_chunk_size
         watermark = max(
             self.lake.committed_offsets().values(), default=0
         )
         src.persist()
         try:
-            bounds = plan_chunk_bounds(src, chunk_size)
+            bounds = plan_chunk_bounds(src, chunk_size, key_cols)
             if max_chunks is not None:
                 bounds = bounds[:max_chunks]
             self.notifications.emit(
@@ -678,7 +697,7 @@ class Engine:
             )
             results: list[dict] = []
             k = self.lake.last_batch_id("incremental") + 1
-            lo: tuple[str, str] | None = None
+            lo: tuple | None = None
             # stamp chunks at the CURRENT schema version so evolved
             # columns carried by the live source pass the mixed-schema
             # gate instead of being wiped back to NULL
@@ -703,7 +722,7 @@ class Engine:
                     aborted = True
                     break
                 self._emit_window_mark(f"incr-{k}", "open")
-                chunk = read_chunk_range(src, lo, hi)
+                chunk = read_chunk_range(src, lo, hi, key_cols)
                 events = chunk_envelopes(
                     chunk,
                     watermark,
@@ -784,7 +803,10 @@ class Engine:
             self._snapshot_stopped = True
 
     def blocking_snapshot(
-        self, source=None, chunk_size: int | None = None
+        self,
+        source=None,
+        chunk_size: int | None = None,
+        surrogate_key: str | None = None,
     ) -> list[dict]:
         """Blocking snapshot (pipeline/ChangeEventSourceCoordinator.java:
         198-227): pause streaming → re-snapshot the (live) source →
@@ -795,7 +817,9 @@ class Engine:
         self._paused = True
         try:
             return self.incremental_snapshot(
-                source=source, chunk_size=chunk_size
+                source=source,
+                chunk_size=chunk_size,
+                surrogate_key=surrogate_key,
             )
         finally:
             self._paused = was_paused
@@ -915,7 +939,12 @@ class Engine:
             if stype == "blocking-snapshot"
             else self.incremental_snapshot
         )
-        run(source=src, chunk_size=data.get("chunk_size"))
+        run(
+            source=src,
+            chunk_size=data.get("chunk_size"),
+            surrogate_key=data.get("surrogate-key")
+            or data.get("surrogate_key"),
+        )
 
     def _recover_source_signals(self) -> list[dict]:
         """Re-fire delivered-but-unprocessed SOURCE-channel signals at
