@@ -3534,6 +3534,129 @@ def events_tumbling_window(spark, sf_dir):
     )
 
 
+@_q(
+    "events_funnel",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_v
+      FROM events
+    ), o2 AS (
+      SELECT user_id, event_type, seen_v,
+             MAX(CASE WHEN event_type = 'click' AND seen_v = 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seen_c
+      FROM o
+    ), u AS (
+      SELECT user_id,
+             MAX(seen_v) AS s1,
+             MAX(seen_c) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND seen_c = 1
+                      THEN 1 ELSE 0 END) AS s3
+      FROM o2 GROUP BY user_id
+    )
+    SELECT step, n_users FROM (
+      SELECT 1 AS step, SUM(s1)::BIGINT AS n_users FROM u
+      UNION ALL SELECT 2, SUM(s2)::BIGINT FROM u
+      UNION ALL SELECT 3, SUM(s3)::BIGINT FROM u
+    )
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase): a user counts
+    for step k only if the steps happened IN ORDER — a click before
+    any view does not count, a purchase counts only after such a click.
+
+    Scale shape: running-max flags over ONE per-user window pass
+    ((user_id) hash exchange + in-partition sort) compute
+    "step-k-prefix seen" per row; the per-user groupBy reuses the same
+    partitioning (no second exchange) and the 3-row summary is a
+    map-side-combined global agg over 0/1 flags. No joins, no
+    per-step self-join (the textbook funnel query is a k-way
+    self-join — quadratic candidate work at 10^10 events; this is the
+    sequential-scan shape streaming analytics engines use)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    seen_v = F.max(is_view).over(w)
+    d = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "seen_v", seen_v
+    )
+    is_cav = F.when(
+        (F.col("event_type") == "click") & (F.col("seen_v") == 1), 1
+    ).otherwise(0)
+    d = d.withColumn("seen_c", F.max(is_cav).over(w))
+    is_pac = F.when(
+        (F.col("event_type") == "purchase") & (F.col("seen_c") == 1), 1
+    ).otherwise(0)
+    per_user = d.groupBy("user_id").agg(
+        F.max("seen_v").alias("s1"),
+        F.max("seen_c").alias("s2"),
+        F.max(is_pac).alias("s3"),
+    )
+    total = per_user.agg(
+        F.sum("s1").cast("long").alias("u1"),
+        F.sum("s2").cast("long").alias("u2"),
+        F.sum("s3").cast("long").alias("u3"),
+    )
+    steps = total.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("step"), F.col("u1").alias("n_users")),
+                F.struct(F.lit(2).alias("step"), F.col("u2").alias("n_users")),
+                F.struct(F.lit(3).alias("step"), F.col("u3").alias("n_users")),
+            )
+        ).alias("s")
+    )
+    return steps.select(F.col("s.step").alias("step"), F.col("s.n_users").alias("n_users"))
+
+
+@_q(
+    "events_retention_cohorts",
+    """
+    WITH c AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day)::BIGINT AS day_offset,
+           COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-activity day,
+    counted on each later active day as a day-offset from their cohort.
+
+    Scale shape: raw events collapse FIRST to distinct (user, day)
+    rows (map-side-combined groupBy — the only pass over full data);
+    the cohort day is a per-user window min over those collapsed rows
+    (no join, no broadcast dependence), and because each (user, day)
+    row is unique the final (cohort, offset) rollup is a plain count —
+    never a count-distinct Expand over raw events. Three exchanges
+    total, the last two over per-user-day cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    act = act.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    )
+    return act.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
 # ===========================================================================
 # CDC engine proper — synthetic repo-table replay (rows-only checks)
 # ===========================================================================

@@ -376,3 +376,32 @@ def test_top_terms_df_join_is_equi_not_nested(spark):
     # document frequency is a partial-aggregated groupBy (map-side
     # combine before the term exchange)
     assert plan.lower().count("hashaggregate") >= 2
+
+
+def test_funnel_single_data_exchange_no_self_join(spark):
+    """The ordered funnel is the sequential-scan shape, not the
+    textbook k-way self-join: running-max step flags + the per-user
+    groupBy all ride ONE hash(user_id) exchange; the only other
+    exchange is the SinglePartition gather of the 3 summary rows.
+    No join node anywhere."""
+    from debezium_spark.queries import events_funnel
+
+    plan = plan_of(events_funnel(spark, SF_DIR))
+    assert n_exchanges(plan) == 2
+    assert "SinglePartition" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_no_countdistinct_expand_no_join(spark):
+    """Retention collapses to distinct (user, day) FIRST; the cohort
+    min is a window over those rows (no join, no broadcast), and the
+    final rollup is a plain count — never an Expand-based
+    count-distinct over raw events. Three exchanges, all post-collapse."""
+    from debezium_spark.queries import events_retention_cohorts
+
+    plan = plan_of(events_retention_cohorts(spark, SF_DIR))
+    assert n_exchanges(plan) == 3
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
