@@ -283,6 +283,7 @@ def extract_new_record_state(
     route_by_field: str | None = None,
     row_fields: tuple[str, ...] = ("repo", "path", "commit", "lang", "content"),
     key_fields: tuple[str, ...] = ("repo", "path"),
+    keep_tombstones: bool | None = None,
 ) -> DataFrame:
     """Unwrap the envelope to a flat row ("flatten/unwrap" SMT).
 
@@ -303,6 +304,18 @@ def extract_new_record_state(
       row per delete (``__deleted`` NULL on the tombstone — it has no
       value image).
 
+    The deprecated Legacy strategy
+    (``extractnewstate/LegacyDeleteHandlingStrategy.java:28-80``) is
+    the same machinery under two independent knobs: its
+    ``delete.handling.mode=none`` is ``delete_mode="none"`` here
+    (deletes flatten to key-populated null-value rows — byte-identical
+    output shape to ``tombstone``'s delete rows), and its separate
+    ``drop.tombstones`` boolean is ``keep_tombstones`` — ``None``
+    keeps each Default mode's own retention (tombstone keeps, the
+    rest drop), an explicit bool overrides it for ANY mode, retained
+    tombstones flattening to key + all-NULL rows (``__deleted`` NULL
+    under rewrite: a tombstone has no value image to stamp).
+
     add_fields: ``add.fields`` specs — envelope/source paths, each
     optionally renamed (``lsn``, ``source.txId:TX``), emitted under
     ``add_fields_prefix``. route_by_field: ``route.by.field`` — the
@@ -314,6 +327,14 @@ def extract_new_record_state(
         return F.when(F.lit(False), F.col("after").getField(f))
 
     is_del = F.col("op") == OP_DELETE
+    if keep_tombstones is None:
+        keep_tombstones = delete_mode in ("tombstone", "none")
+    tombs_in = None
+    if (
+        delete_mode in ("drop", "rewrite", "rewrite-with-tombstone")
+        and keep_tombstones
+    ):
+        tombs_in = df.filter(F.col("is_tombstone"))
     if delete_mode == "drop":
         df = drop_tombstones(df).filter(F.col("op") != OP_DELETE)
         image = F.col("after")
@@ -328,7 +349,9 @@ def extract_new_record_state(
         def _field(f: str):
             return image.getField(f)
 
-    elif delete_mode == "tombstone":
+    elif delete_mode in ("tombstone", "none"):
+        if not keep_tombstones:
+            df = drop_tombstones(df)
         # field-level (not struct-level CASE — the images' struct types
         # differ in nullability/evolved fields): keys survive from the
         # tombstone key / delete before-image, value fields go NULL
@@ -385,6 +408,34 @@ def extract_new_record_state(
         tomb_cols.append(F.lit(None).cast("boolean").alias("__deleted"))
         tombs = df.filter(F.col("op") == OP_DELETE).select(*tomb_cols)
         out = out.unionByName(tombs)
+    if tombs_in is not None:
+        # legacy drop.tombstones=false under a non-tombstone mode:
+        # incoming envelope tombstones pass through as key + all-NULL
+        # flat rows (LegacyDeleteHandlingStrategy.handleTombstoneRecord
+        # returns the record unchanged; a Kafka null-value record
+        # flattens to exactly this)
+        def _pt_field(f: str):
+            if f in key_fields:
+                return F.col("key").getField(f)
+            return _null_of(f)
+
+        pt_cols = [_pt_field(f).alias(f) for f in row_fields]
+        if add_op:
+            pt_cols.append(F.col("op").alias("__op"))
+        if add_ts_ms:
+            pt_cols.append(F.col("ts_ms").alias("__ts_ms"))
+        for sf_ in add_source_fields:
+            pt_cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
+        for spec in add_fields:
+            path, alias = _add_field_spec(spec, add_fields_prefix)
+            pt_cols.append(F.col(path).alias(alias))
+        if route_by_field is not None:
+            pt_cols.append(
+                _pt_field(route_by_field).cast("string").alias("topic")
+            )
+        if delete_mode in ("rewrite", "rewrite-with-tombstone"):
+            pt_cols.append(F.lit(None).cast("boolean").alias("__deleted"))
+        out = out.unionByName(tombs_in.select(*pt_cols))
     return out
 
 

@@ -614,3 +614,63 @@ def test_extract_new_record_state_rewrite_with_tombstone(spark):
     assert tombs.count() == n_d
     assert tombs.filter(F.col("content").isNotNull()).count() == 0
     assert tombs.filter(F.col("repo").isNull()).count() == 0
+
+
+def test_extract_new_record_state_legacy_modes(spark):
+    """LegacyDeleteHandlingStrategy.java:28-80 — the deprecated
+    strategy's two independent knobs. delete.handling.mode=none ⇒
+    deletes flatten to key-populated null-value rows;
+    drop.tombstones=false ⇒ incoming envelope tombstones pass through
+    as key + all-NULL rows under ANY mode."""
+    log = _log(spark)
+    n_d = log.filter(F.col("op") == "d").count()
+    n_ts = log.filter(F.col("is_tombstone")).count()
+    n_data = log.filter(~F.col("is_tombstone")).count()
+
+    # legacy none + drop.tombstones=true (the legacy default)
+    flat = tr.extract_new_record_state(
+        log, delete_mode="none", keep_tombstones=False
+    )
+    assert flat.count() == n_data
+    null_val = flat.filter(F.col("content").isNull())
+    assert null_val.count() == n_d  # exactly the flattened deletes
+    assert null_val.filter(
+        F.col("repo").isNull() | F.col("path").isNull()
+    ).count() == 0
+
+    # legacy none + drop.tombstones=false: tombstones ride along too
+    flat2 = tr.extract_new_record_state(
+        log, delete_mode="none", keep_tombstones=True
+    )
+    assert flat2.count() == n_data + n_ts
+    assert flat2.filter(F.col("content").isNull()).count() == n_d + n_ts
+
+    # legacy rewrite + drop.tombstones=false: rewrite rows keep their
+    # before image with __deleted=true; pass-through tombstones carry
+    # NULL __deleted (no value image to stamp) and bare keys
+    flat3 = tr.extract_new_record_state(
+        log, delete_mode="rewrite", keep_tombstones=True
+    )
+    assert flat3.count() == n_data + n_ts
+    tombs = flat3.filter(F.col("__deleted").isNull())
+    assert tombs.count() == n_ts
+    assert tombs.filter(F.col("content").isNotNull()).count() == 0
+    assert tombs.filter(F.col("repo").isNull()).count() == 0
+    assert flat3.filter(F.col("__deleted") == True).count() == n_d  # noqa: E712
+
+    # legacy drop + drop.tombstones=false: deletes gone, tombstones kept
+    flat4 = tr.extract_new_record_state(
+        log, delete_mode="drop", keep_tombstones=True
+    )
+    assert flat4.count() == n_data - n_d + n_ts
+    assert flat4.filter(F.col("__op").isNull()).count() == n_ts
+
+    # keep_tombstones=None preserves each Default mode's retention
+    assert (
+        tr.extract_new_record_state(log, delete_mode="drop").count()
+        == n_data - n_d
+    )
+    assert (
+        tr.extract_new_record_state(log, delete_mode="tombstone").count()
+        == log.count()
+    )
