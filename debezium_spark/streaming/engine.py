@@ -160,6 +160,18 @@ class EngineConfig:
     # LSN-guarded merge still converges on the PK); a coarser one would
     # collapse distinct rows, so it is rejected at engine start.
     key_columns: tuple[str, ...] = ("repo", "path")
+    # engine lifecycle callbacks (debezium-api
+    # engine/DebeziumEngine.java:52-61 CompletionCallback, :67-110
+    # ConnectorCallback). completion_callback(success, message, error)
+    # fires EXACTLY ONCE per run() — success with error=None on a
+    # normal or signal-stopped exit, failure with the exception on an
+    # abort (which still propagates; the callback observes, it does
+    # not swallow). connector_callback is duck-typed with optional
+    # no-op-default methods connector_started / task_started /
+    # task_stopped / connector_stopped, called in the reference's
+    # startup/shutdown order around the snapshot+stream phases.
+    completion_callback: object | None = None
+    connector_callback: object | None = None
 
 
 class Engine:
@@ -563,12 +575,47 @@ class Engine:
             store.flush(k, self.lake.committed_offsets())
         return results
 
+    def _connector_event(self, name: str) -> None:
+        cb = self.cfg.connector_callback
+        if cb is not None:
+            fn = getattr(cb, name, None)
+            if fn is not None:
+                fn()
+
     def run(self, max_batches: int | None = None) -> list[dict]:
-        res = []
-        snap = self.snapshot()
-        if snap:
-            res.append(snap)
-        res.extend(self.stream(max_batches=max_batches))
+        """Embedded-engine entry (DebeziumEngine.java contract):
+        snapshot phase then stream replay, with the lifecycle
+        callbacks fired in the reference's order — connector_started /
+        task_started before the source phases, task_stopped /
+        connector_stopped after them, and the CompletionCallback
+        exactly once at the end: (True, msg, None) on a normal or
+        stop-signal exit, (False, msg, error) on an abort. Errors
+        still propagate — the callback observes the outcome (the
+        reference hands the error to the callback AND terminates)."""
+        self._connector_event("connector_started")
+        self._connector_event("task_started")
+        try:
+            res = []
+            snap = self.snapshot()
+            if snap:
+                res.append(snap)
+            res.extend(self.stream(max_batches=max_batches))
+        except Exception as e:
+            cb = self.cfg.completion_callback
+            if cb is not None:
+                cb(False, f"engine aborted: {e}", e)
+            raise
+        self._connector_event("task_stopped")
+        self._connector_event("connector_stopped")
+        cb = self.cfg.completion_callback
+        if cb is not None:
+            n = len(res)
+            msg = (
+                f"engine stopped after {n} batches"
+                if self._stopped
+                else f"engine completed {n} batches"
+            )
+            cb(True, msg, None)
         return res
 
     # -- incremental snapshot (DBLog-style, sources/incremental.py) -------

@@ -421,3 +421,75 @@ def test_notification_channel_spi(spark, tmp_root):
     assert received == eng.notifications.read()
     kinds = {r["aggregate_type"] for r in received}
     assert len(received) >= 3 and len(kinds) >= 2
+
+
+def test_lifecycle_callbacks(spark, tmp_root):
+    """DebeziumEngine.java:52-110 — CompletionCallback fires exactly
+    once per run() with (success, message, error); ConnectorCallback's
+    optional hooks fire in startup/shutdown order around the phases.
+    A mid-run abort hands the error to the callback AND propagates."""
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=800)
+    events = []
+
+    class Conn:
+        def connector_started(self):
+            events.append("connector_started")
+
+        def task_started(self):
+            events.append("task_started")
+
+        def task_stopped(self):
+            events.append("task_stopped")
+
+        def connector_stopped(self):
+            events.append("connector_stopped")
+
+    done = []
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_cb"),
+        source_table_path=src_path,
+        batch_lsn_span=2000,
+        n_buckets=8,
+        completion_callback=lambda ok, msg, err: done.append((ok, msg, err)),
+        connector_callback=Conn(),
+    )
+    Engine(spark, cfg).run()
+    assert events == [
+        "connector_started",
+        "task_started",
+        "task_stopped",
+        "connector_stopped",
+    ]
+    assert len(done) == 1
+    ok, msg, err = done[0]
+    assert ok is True and err is None and "completed" in msg
+
+    # failure path: injected merge crash → callback sees the error,
+    # exception still propagates, stop hooks do NOT fire (abort)
+    events.clear()
+    done.clear()
+    cfg2 = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_cb2"),
+        source_table_path=src_path,
+        batch_lsn_span=2000,
+        n_buckets=8,
+        completion_callback=lambda ok, msg, err: done.append((ok, msg, err)),
+        connector_callback=Conn(),
+    )
+    e2 = Engine(spark, cfg2)
+    orig = e2.lake.merge
+
+    def boom(changes, batch_id, **kw):
+        if batch_id >= 1:
+            raise RuntimeError("injected-callback-crash")
+        return orig(changes, batch_id, **kw)
+
+    e2.lake.merge = boom
+    with pytest.raises(RuntimeError, match="injected-callback-crash"):
+        e2.run()
+    assert events == ["connector_started", "task_started"]
+    assert len(done) == 1
+    ok, msg, err = done[0]
+    assert ok is False and isinstance(err, RuntimeError)
