@@ -824,6 +824,60 @@ def header_to_value(
     return out
 
 
+# ---------------------------------------------------------------------------
+# SMT predicates (Kafka Connect predicate gating)
+# ---------------------------------------------------------------------------
+# The reference's SMT chain is configured through Kafka Connect, whose
+# runtime gates each transform per record via
+# org.apache.kafka.connect.transforms.predicates.* —
+# ``predicates=p``, ``transforms.t.predicate=p``,
+# ``transforms.t.negate=true`` (Debezium's SMT docs configure
+# exactly this). The three shipped predicates and the gate:
+
+
+def predicate_topic_name_matches(pattern: str, topic_col: str = "topic"):
+    """TopicNameMatches: record's topic matches the regex (anchored,
+    like java.util.regex full-match)."""
+    return F.col(topic_col).rlike(f"^(?:{pattern})$")
+
+
+def predicate_has_header_key(key: str, headers_col: str = "headers"):
+    """HasHeaderKey: a header with the given key is present."""
+    return F.map_contains_key(F.col(headers_col), key)
+
+
+def predicate_record_is_tombstone():
+    """RecordIsTombstone: record value is null."""
+    return F.col("is_tombstone")
+
+
+def apply_with_predicate(
+    df: DataFrame,
+    smt,
+    predicate,
+    negate: bool = False,
+) -> DataFrame:
+    """Apply ``smt`` (DataFrame → DataFrame) only to records matching
+    ``predicate`` (a Column or SQL string); every other record passes
+    through untouched — the Connect runtime's per-record predicate
+    gate. ``negate`` flips the match (``transforms.t.negate``). A NULL
+    predicate value is a non-match (Connect's test() returns a
+    primitive boolean; null topic/headers simply don't match).
+
+    Works for row-dropping SMTs too (a gated Filter drops only among
+    the matched records). Pass-through records carry NULL for any
+    column the SMT added. Scale shape: a split into two pushed-filter
+    scans + unionByName — no shuffle introduced, and Catalyst prunes
+    each branch independently."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred = F.coalesce(pred.cast("boolean"), F.lit(False))
+    if negate:
+        pred = ~pred
+    matched = smt(df.filter(pred))
+    passed = df.filter(~pred)
+    return matched.unionByName(passed, allowMissingColumns=True)
+
+
 def schema_change_event_filter(
     df: DataFrame, include_types: tuple[str, ...]
 ) -> DataFrame:

@@ -510,6 +510,45 @@ def cdc_mask_hash(spark, sf_dir):
 
 
 @_q(
+    "cdc_smt_predicate_gate",
+    """
+    SELECT event_id,
+           'server1.' || event_type AS topic,
+           CASE WHEN regexp_full_match('server1.' || event_type,
+                                       'server1\\.(view|click)')
+                THEN '***' ELSE props END AS props_out
+    FROM events
+    """,
+)
+def cdc_smt_predicate_gate(spark, sf_dir):
+    """Connect SMT predicate gating
+    (org.apache.kafka.connect.transforms.predicates.TopicNameMatches —
+    the runtime mechanism Debezium's SMT docs configure via
+    ``predicates=`` + ``transforms.t.predicate``): a masker fires only
+    on records whose topic full-matches the regex; everything else
+    passes through untouched. Runs the real split-union gate
+    (``apply_with_predicate``), not an inline CASE — the oracle's CASE
+    is the semantic twin. Scale shape: two pushed-filter scans +
+    unionByName, no shuffle introduced."""
+    from debezium_spark.operators import transforms as T
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("server1."), F.col("event_type")).alias("topic"),
+        "props",
+    )
+    mask = lambda d: d.withColumn("props", F.lit("***"))  # noqa: E731
+    out = T.apply_with_predicate(
+        ev,
+        mask,
+        T.predicate_topic_name_matches(r"server1\.(view|click)"),
+    )
+    return out.select(
+        "event_id", "topic", F.col("props").alias("props_out")
+    )
+
+
+@_q(
     "cdc_truncate_mask",
     """
     SELECT c_custkey, substr(c_name, 1, 5) AS c_name_trunc,

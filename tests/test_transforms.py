@@ -674,3 +674,76 @@ def test_extract_new_record_state_legacy_modes(spark):
         tr.extract_new_record_state(log, delete_mode="tombstone").count()
         == log.count()
     )
+
+
+def test_smt_predicate_gate(spark):
+    """Kafka Connect predicate gating
+    (org.apache.kafka.connect.transforms.predicates.*): an SMT fires
+    only on records matching its predicate; negate flips it; NULL
+    predicate input is a non-match; row-dropping SMTs drop only among
+    the matched records."""
+    log = tr.drop_tombstones(_log(spark))
+    log = log.withColumn(
+        "topic",
+        F.concat(F.lit("server1.db."), F.col("source.table")),
+    ).withColumn(
+        "headers",
+        F.when(
+            F.col("op") == "u",
+            F.create_map(F.lit("trace"), F.lit("t1")),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+    )
+
+    # RecordIsTombstone on a tombstone-bearing slice: mask content only
+    # on tombstones' siblings — use op='d' rows via negate-composition
+    mask = lambda d: d.withColumn("content", F.lit("***"))
+
+    # TopicNameMatches: full-match anchoring (Connect uses
+    # java.util.regex matches()) — a prefix alone must NOT match
+    out = tr.apply_with_predicate(
+        log, mask, tr.predicate_topic_name_matches("server1\\.db\\..*")
+    )
+    assert out.filter(F.col("content") != "***").count() == 0
+    out2 = tr.apply_with_predicate(
+        log, mask, tr.predicate_topic_name_matches("server1")
+    )
+    assert out2.filter(F.col("content") == "***").count() == 0
+
+    # HasHeaderKey: only the op='u' records carry the header
+    out3 = tr.apply_with_predicate(
+        log, mask, tr.predicate_has_header_key("trace")
+    )
+    n_u = log.filter(F.col("op") == "u").count()
+    assert out3.filter(F.col("content") == "***").count() == n_u
+    # negate flips the gate
+    out4 = tr.apply_with_predicate(
+        log, mask, tr.predicate_has_header_key("trace"), negate=True
+    )
+    assert (
+        out4.filter(F.col("content") == "***").count()
+        == log.count() - n_u
+    )
+
+    # row-dropping SMT under a gate: the Filter drops only matched rows
+    drop_all = lambda d: d.filter(F.lit(False))
+    out5 = tr.apply_with_predicate(
+        log, drop_all, tr.predicate_has_header_key("trace")
+    )
+    assert out5.count() == log.count() - n_u
+
+    # NULL predicate input = non-match (null topic)
+    log_null = log.withColumn(
+        "topic", F.when(F.col("op") == "c", F.col("topic"))
+    )
+    out6 = tr.apply_with_predicate(
+        log_null, mask, tr.predicate_topic_name_matches(".*")
+    )
+    n_c = log.filter(F.col("op") == "c").count()
+    assert out6.filter(F.col("content") == "***").count() == n_c
+
+    # SMT-added columns are NULL on pass-through records
+    add_col = lambda d: d.withColumn("routed", F.lit("x"))
+    out7 = tr.apply_with_predicate(
+        log, add_col, tr.predicate_has_header_key("trace")
+    )
+    assert out7.filter(F.col("routed").isNull()).count() == log.count() - n_u
