@@ -3574,6 +3574,32 @@ def events_tumbling_window(spark, sf_dir):
 
 
 @_q(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+           MAX(CAST(props->>'$.k' AS BIGINT))::BIGINT AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull a field out of the JSON
+    ``props`` payload and aggregate — the Debezium-feed consumption
+    pattern for JSONB/document columns (the envelope carries them as
+    strings; Spark's ``get_json_object`` is codegen'd path extraction,
+    no UDF). One map-side-combined groupBy; extraction happens
+    pre-shuffle so only (type, k) longs cross the exchange."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_q(
     "events_funnel",
     """
     WITH o AS (
