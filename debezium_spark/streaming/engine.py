@@ -172,6 +172,20 @@ class EngineConfig:
     # startup/shutdown order around the snapshot+stream phases.
     completion_callback: object | None = None
     connector_callback: object | None = None
+    # engine-side heartbeats (heartbeat/HeartbeatImpl.java:38-43,
+    # Heartbeat.java:27-49): every N stream batches (the loop is
+    # driver-paced, so batches are its clock ≙ heartbeat.interval.ms)
+    # a record carrying the CURRENT committed offsets is appended to
+    # <lake>/_heartbeats/log.jsonl — the __debezium-heartbeat.<server>
+    # topic analogue, observability-plane and append-only (never part
+    # of the transactional commit, like the reference emitting through
+    # a separate topic). heartbeat_action is the
+    # ``heartbeat.action.query`` hook: a callable(engine) invoked at
+    # each emission (the reference runs a SQL statement on the source
+    # to keep replication slots advancing; here any side effect).
+    # 0 disables, the reference default.
+    heartbeat_interval_batches: int = 0
+    heartbeat_action: object | None = None
 
 
 class Engine:
@@ -558,6 +572,11 @@ class Engine:
             )
             k += 1
             n_done += 1
+            if (
+                self.cfg.heartbeat_interval_batches
+                and n_done % self.cfg.heartbeat_interval_batches == 0
+            ):
+                self._emit_heartbeat(k)
             if crash_after_batches is not None and n_done >= crash_after_batches:
                 raise RuntimeError(
                     "injected crash: merge committed, offsets not flushed"
@@ -574,6 +593,30 @@ class Engine:
         if store is not None and k > flushed_through:
             store.flush(k, self.lake.committed_offsets())
         return results
+
+    def _emit_heartbeat(self, batch_id: int) -> None:
+        """Append one heartbeat record (HeartbeatImpl.forcedBeat shape:
+        the current offsets, nothing else) and run the configured
+        action. Append-only observability — a crash between a merge
+        commit and a heartbeat loses at most a heartbeat, never data."""
+        import json as _json
+        import os as _os
+        import time as _time
+
+        path = _os.path.join(self.cfg.lake_root, "_heartbeats", "log.jsonl")
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        rec = {
+            "batch_id": int(batch_id),
+            "ts_ms": int(_time.time() * 1000),
+            "offsets": {
+                str(p): int(v)
+                for p, v in sorted(self.lake.committed_offsets().items())
+            },
+        }
+        with open(path, "a") as fh:
+            fh.write(_json.dumps(rec, sort_keys=True) + "\n")
+        if self.cfg.heartbeat_action is not None:
+            self.cfg.heartbeat_action(self)
 
     def _connector_event(self, name: str) -> None:
         cb = self.cfg.connector_callback

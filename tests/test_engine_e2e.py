@@ -493,3 +493,52 @@ def test_lifecycle_callbacks(spark, tmp_root):
     assert len(done) == 1
     ok, msg, err = done[0]
     assert ok is False and isinstance(err, RuntimeError)
+
+
+def test_engine_heartbeats(spark, tmp_root):
+    """heartbeat/HeartbeatImpl.java:38-43 + heartbeat.action.query:
+    every N stream batches a record carrying the CURRENT committed
+    offsets lands in <lake>/_heartbeats/log.jsonl and the configured
+    action runs. Offsets in successive heartbeats are monotone."""
+    import json
+
+    src_path, log_path = _make_fixture(spark, tmp_root, n_events=3000)
+    actions = []
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_hb"),
+        source_table_path=src_path,
+        batch_lsn_span=800,
+        n_buckets=8,
+        heartbeat_interval_batches=2,
+        heartbeat_action=lambda eng: actions.append(
+            max(eng.lake.committed_offsets().values(), default=-1)
+        ),
+    )
+    eng = Engine(spark, cfg)
+    res = eng.run()
+    n_stream = len([r for r in res if not r.get("skipped")]) - 1  # minus snapshot
+    hb_path = os.path.join(tmp_root, "lake_hb", "_heartbeats", "log.jsonl")
+    with open(hb_path) as fh:
+        beats = [json.loads(line) for line in fh]
+    assert len(beats) == n_stream // 2
+    assert len(actions) == len(beats)
+    # offsets monotone non-decreasing across beats, batch ids increasing
+    frontiers = [max(b["offsets"].values()) for b in beats]
+    assert frontiers == sorted(frontiers)
+    ids = [b["batch_id"] for b in beats]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # the action observed the same committed frontier the record holds
+    assert actions == frontiers
+    # disabled by default: fresh engine on a fresh lake writes none
+    cfg2 = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_hb2"),
+        source_table_path=src_path,
+        batch_lsn_span=800,
+        n_buckets=8,
+    )
+    Engine(spark, cfg2).run()
+    assert not os.path.exists(
+        os.path.join(tmp_root, "lake_hb2", "_heartbeats")
+    )
