@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--offset-flush-interval-batches", type=int, default=4)
     p.add_argument(
+        "--heartbeat-interval-batches",
+        type=int,
+        default=0,
+        help="emit an offset-carrying heartbeat record every N stream "
+        "batches to <lake>/_heartbeats/log.jsonl (heartbeat.interval.ms "
+        "analogue; 0 = disabled, the reference default)",
+    )
+    p.add_argument(
         "--watermarking-strategy",
         choices=("insert_insert", "insert_delete", "read_only"),
         default="insert_insert",
@@ -163,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         schema_history_skip_unparseable=args.skip_unparseable_ddl,
         schema_history_ddl_filter=args.ddl_filter,
         schema_history_store_only_captured=args.store_only_captured,
+        heartbeat_interval_batches=args.heartbeat_interval_batches,
     )
     if args.streaming:
         if not args.checkpoint:
