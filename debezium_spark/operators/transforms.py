@@ -314,7 +314,13 @@ def extract_new_record_state(
     keeps each Default mode's own retention (tombstone keeps, the
     rest drop), an explicit bool overrides it for ANY mode, retained
     tombstones flattening to key + all-NULL rows (``__deleted`` NULL
-    under rewrite: a tombstone has no value image to stamp).
+    under rewrite: a tombstone has no value image to stamp). Note:
+    ``rewrite-with-tombstone`` + ``keep_tombstones=True`` on a feed
+    that still carries envelope tombstones emits BOTH the synthetic
+    and the pass-through tombstone per delete (indistinguishable
+    key+NULL rows) — exactly what the reference combination does;
+    the default (drop) avoids the doubling, and feeds normally
+    disable source tombstones when using this mode.
 
     add_fields: ``add.fields`` specs — envelope/source paths, each
     optionally renamed (``lsn``, ``source.txId:TX``), emitted under
@@ -327,8 +333,11 @@ def extract_new_record_state(
         return F.when(F.lit(False), F.col("after").getField(f))
 
     is_del = F.col("op") == OP_DELETE
+    # default retention: tombstone mode keeps (Default strategy passes
+    # them through), every other mode — including legacy "none" —
+    # drops, matching the legacy drop.tombstones=true default
     if keep_tombstones is None:
-        keep_tombstones = delete_mode in ("tombstone", "none")
+        keep_tombstones = delete_mode == "tombstone"
     tombs_in = None
     if (
         delete_mode in ("drop", "rewrite", "rewrite-with-tombstone")
@@ -370,43 +379,44 @@ def extract_new_record_state(
     else:
         raise ValueError(f"unknown delete_mode {delete_mode!r}")
 
-    cols = [_field(f).alias(f) for f in row_fields]
-    if add_op:
-        cols.append(F.col("op").alias("__op"))
-    if add_ts_ms:
-        cols.append(F.col("ts_ms").alias("__ts_ms"))
-    for sf_ in add_source_fields:
-        cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
-    for spec in add_fields:
-        path, alias = _add_field_spec(spec, add_fields_prefix)
-        cols.append(F.col(path).alias(alias))
-    if route_by_field is not None:
-        cols.append(_field(route_by_field).cast("string").alias("topic"))
-    if delete_mode in ("rewrite", "rewrite-with-tombstone"):
-        cols.append((F.col("op") == OP_DELETE).alias("__deleted"))
-    out = df.select(*cols)
+    rewrite_mode = delete_mode in ("rewrite", "rewrite-with-tombstone")
+
+    def _assemble(field_fn, deleted: Column | None) -> list[Column]:
+        # one column-assembly for all three row shapes (live, synthetic
+        # tombstone, pass-through tombstone) — a new add_* option added
+        # here reaches every branch, keeping unionByName schemas aligned
+        cs = [field_fn(f).alias(f) for f in row_fields]
+        if add_op:
+            cs.append(F.col("op").alias("__op"))
+        if add_ts_ms:
+            cs.append(F.col("ts_ms").alias("__ts_ms"))
+        for sf_ in add_source_fields:
+            cs.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
+        for spec in add_fields:
+            path, alias = _add_field_spec(spec, add_fields_prefix)
+            cs.append(F.col(path).alias(alias))
+        if route_by_field is not None:
+            cs.append(field_fn(route_by_field).cast("string").alias("topic"))
+        if deleted is not None:
+            cs.append(deleted.alias("__deleted"))
+        return cs
+
+    out = df.select(
+        *_assemble(
+            _field,
+            (F.col("op") == OP_DELETE) if rewrite_mode else None,
+        )
+    )
+    null_deleted = F.lit(None).cast("boolean")
     if delete_mode == "rewrite-with-tombstone":
         def _tomb_field(f: str):
             if f in key_fields:
                 return F.col("before").getField(f)
             return _null_of(f)
 
-        tomb_cols = [_tomb_field(f).alias(f) for f in row_fields]
-        if add_op:
-            tomb_cols.append(F.col("op").alias("__op"))
-        if add_ts_ms:
-            tomb_cols.append(F.col("ts_ms").alias("__ts_ms"))
-        for sf_ in add_source_fields:
-            tomb_cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
-        for spec in add_fields:
-            path, alias = _add_field_spec(spec, add_fields_prefix)
-            tomb_cols.append(F.col(path).alias(alias))
-        if route_by_field is not None:
-            tomb_cols.append(
-                _tomb_field(route_by_field).cast("string").alias("topic")
-            )
-        tomb_cols.append(F.lit(None).cast("boolean").alias("__deleted"))
-        tombs = df.filter(F.col("op") == OP_DELETE).select(*tomb_cols)
+        tombs = df.filter(F.col("op") == OP_DELETE).select(
+            *_assemble(_tomb_field, null_deleted)
+        )
         out = out.unionByName(tombs)
     if tombs_in is not None:
         # legacy drop.tombstones=false under a non-tombstone mode:
@@ -419,23 +429,13 @@ def extract_new_record_state(
                 return F.col("key").getField(f)
             return _null_of(f)
 
-        pt_cols = [_pt_field(f).alias(f) for f in row_fields]
-        if add_op:
-            pt_cols.append(F.col("op").alias("__op"))
-        if add_ts_ms:
-            pt_cols.append(F.col("ts_ms").alias("__ts_ms"))
-        for sf_ in add_source_fields:
-            pt_cols.append(F.col(f"source.{sf_}").alias(f"__source_{sf_}"))
-        for spec in add_fields:
-            path, alias = _add_field_spec(spec, add_fields_prefix)
-            pt_cols.append(F.col(path).alias(alias))
-        if route_by_field is not None:
-            pt_cols.append(
-                _pt_field(route_by_field).cast("string").alias("topic")
+        out = out.unionByName(
+            tombs_in.select(
+                *_assemble(
+                    _pt_field, null_deleted if rewrite_mode else None
+                )
             )
-        if delete_mode in ("rewrite", "rewrite-with-tombstone"):
-            pt_cols.append(F.lit(None).cast("boolean").alias("__deleted"))
-        out = out.unionByName(tombs_in.select(*pt_cols))
+        )
     return out
 
 

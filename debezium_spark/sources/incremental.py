@@ -99,13 +99,22 @@ def plan_chunk_bounds(
     covering the whole key space, so a NON-UNIQUE surrogate key is
     safe: equal values land in exactly one ``(lo, hi]`` chunk — never
     split, never duplicated.
+
+    NULL handling: rows with a NULL in any key column sort below every
+    value (NULLS FIRST) and belong to the FIRST chunk —
+    :func:`read_chunk_range` folds them into its ``lo=None`` scan, so
+    a nullable surrogate column loses no rows. Bounds are planned over
+    the non-null subset only (a NULL bound would be meaningless as a
+    range endpoint); an all-null-keyed source yields the single
+    sentinel bound ``None`` (= the null-only first chunk).
     """
     n = source.count()
     if n == 0:
         return []
+    nn = source.filter(~_any_key_null(key_cols))
     n_chunks = max((n + chunk_size - 1) // chunk_size, 1)
     rows = (
-        source.select(*key_cols)
+        nn.select(*key_cols)
         .repartitionByRange(n_chunks, *key_cols)
         .select(
             F.spark_partition_id().alias("pid"),
@@ -116,16 +125,35 @@ def plan_chunk_bounds(
         .orderBy("pid")
         .collect()
     )
-    return [tuple(r["hi"][c] for c in key_cols) for r in rows]
+    bounds = [tuple(r["hi"][c] for c in key_cols) for r in rows]
+    if not bounds:
+        # non-empty source, every key NULL: one null-only chunk
+        return [None]
+    return bounds
+
+
+def _any_key_null(key_cols: tuple[str, ...]) -> Column:
+    cond = F.lit(False)
+    for k in key_cols:
+        cond = cond | F.col(k).isNull()
+    return cond
 
 
 def read_chunk_range(
     source: DataFrame,
     lo: tuple | None,
-    hi: tuple,
+    hi: tuple | None,
     key_cols: tuple[str, ...] = PK_COLS,
 ) -> DataFrame:
-    """Chunk = keys in ``(lo, hi]`` — a pruned range scan, no sort."""
+    """Chunk = keys in ``(lo, hi]`` — a pruned range scan, no sort.
+
+    The FIRST chunk (``lo=None``) additionally owns every row with a
+    NULL key column (NULLS FIRST; a NULL comparison would otherwise
+    silently exclude the row from every chunk). ``hi=None`` is the
+    all-null sentinel bound from :func:`plan_chunk_bounds`."""
+    null_key = _any_key_null(key_cols)
+    if hi is None:
+        return source.filter(null_key)
     upper = F.lit(False)
     for i in range(len(key_cols)):
         eq_prefix = F.lit(True)
@@ -138,7 +166,10 @@ def read_chunk_range(
             else F.col(key_cols[i]) < F.lit(hi[i])
         )
         upper = upper | (eq_prefix & cmp)
-    return source.filter(after_key(lo, key_cols) & upper)
+    in_range = after_key(lo, key_cols) & upper
+    if lo is None:
+        return source.filter(in_range | null_key)
+    return source.filter(in_range & ~null_key)
 
 
 _ROW_FIELD_TYPES = (

@@ -646,7 +646,19 @@ class Engine:
         except Exception as e:
             cb = self.cfg.completion_callback
             if cb is not None:
-                cb(False, f"engine aborted: {e}", e)
+                try:
+                    cb(False, f"engine aborted: {e}", e)
+                except Exception:
+                    # a broken callback must not REPLACE the engine
+                    # error on the re-raise below — the reference
+                    # guards callback invocation the same way
+                    import warnings
+
+                    warnings.warn(
+                        "completion_callback raised during abort "
+                        "handling; original engine error propagates",
+                        stacklevel=2,
+                    )
             raise
         self._connector_event("task_stopped")
         self._connector_event("connector_stopped")
@@ -826,7 +838,11 @@ class Engine:
                 self.notifications.emit(
                     N.INCREMENTAL_SNAPSHOT,
                     N.IN_PROGRESS,
-                    {"chunk": i + 1, "of": len(bounds), "to_key": list(hi)},
+                    {
+                        "chunk": i + 1,
+                        "of": len(bounds),
+                        "to_key": list(hi) if hi is not None else None,
+                    },
                 )
                 lo = hi
                 k += 1
@@ -1029,12 +1045,29 @@ class Engine:
             if stype == "blocking-snapshot"
             else self.incremental_snapshot
         )
-        run(
-            source=src,
-            chunk_size=data.get("chunk_size"),
-            surrogate_key=data.get("surrogate-key")
-            or data.get("surrogate_key"),
-        )
+        try:
+            run(
+                source=src,
+                chunk_size=data.get("chunk_size"),
+                surrogate_key=data.get("surrogate-key")
+                or data.get("surrogate_key"),
+            )
+        except ValueError:
+            # malformed signal PAYLOAD (e.g. unknown surrogate-key
+            # column): warn-and-skip like any other malformed signal
+            # row — the signal gets acked as a no-op. Propagating
+            # would poison-pill a log-carried signal: the deferred
+            # fire happens after the batch's merge commit, so a crash
+            # here re-fires the same bad signal on every restart
+            # (_recover_source_signals) and the engine never comes up.
+            # Engine/IO failures are NOT ValueError and still abort.
+            import warnings
+
+            warnings.warn(
+                f"skipping {stype} signal with invalid payload "
+                f"{data!r}",
+                stacklevel=2,
+            )
 
     def _recover_source_signals(self) -> list[dict]:
         """Re-fire delivered-but-unprocessed SOURCE-channel signals at
@@ -1127,6 +1160,15 @@ class Engine:
                 batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=lsn_hi
             )
             applied["n"] += 1
+            # same heartbeat cadence as the batch-replay loop — the
+            # front-end must not silently disable a configured
+            # heartbeat (HeartbeatImpl emits regardless of how the
+            # poll loop is driven)
+            if (
+                self.cfg.heartbeat_interval_batches
+                and applied["n"] % self.cfg.heartbeat_interval_batches == 0
+            ):
+                self._emit_heartbeat(int(epoch_id) + 1)
             if (
                 crash_after_batches is not None
                 and applied["n"] >= crash_after_batches

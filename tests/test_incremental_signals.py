@@ -965,3 +965,44 @@ def test_surrogate_key_chunking(spark, small_world):
     # reference's validation — not silently PK-fallback
     with pytest.raises(ValueError, match="surrogate key"):
         eng.incremental_snapshot(surrogate_key="no_such_col")
+
+    # ... but a SIGNAL carrying the bad column is warn-and-skipped
+    # (acked as a no-op), never a poison pill that aborts the engine
+    before_lineage = len(eng.lake.lineage())
+    ch.send("sk-bad", "execute-snapshot", {"surrogate-key": "no_such_col"})
+    with pytest.warns(UserWarning, match="invalid payload"):
+        eng.process_signals()
+    assert ch.poll() == []  # acked
+    assert len(eng.lake.lineage()) == before_lineage  # nothing ran
+
+
+def test_surrogate_key_null_values_not_lost(spark, small_world):
+    """A NULLABLE surrogate column must lose no rows: NULLs sort first
+    and belong to the first chunk (NULL comparisons would otherwise
+    exclude them from every range). Also covers the all-null sentinel
+    bound."""
+    from debezium_spark.sources.incremental import (
+        plan_chunk_bounds,
+        read_chunk_range,
+    )
+
+    src = spark.read.parquet(f"{small_world}/src")
+    # null out lang for ~a third of rows
+    nsrc = src.withColumn(
+        "lang",
+        F.when(F.pmod(F.xxhash64("path"), F.lit(3)) != 0, F.col("lang")),
+    )
+    assert nsrc.filter(F.col("lang").isNull()).count() > 0
+    bounds = plan_chunk_bounds(nsrc, 16, ("lang",))
+    seen = 0
+    lo = None
+    for hi in bounds:
+        seen += read_chunk_range(nsrc, lo, hi, ("lang",)).count()
+        lo = hi
+    assert seen == nsrc.count()
+
+    # all-null column: single sentinel chunk covers everything
+    allnull = src.withColumn("lang", F.lit(None).cast("string"))
+    b2 = plan_chunk_bounds(allnull, 16, ("lang",))
+    assert b2 == [None]
+    assert read_chunk_range(allnull, None, None, ("lang",)).count() == src.count()

@@ -257,3 +257,39 @@ def test_streaming_with_truncate(spark, tmp_root):
         for r in engine.lake.read_state(with_sys=True).select("_lsn").collect()
     ]
     assert lsns and all(l > t_lsn for l in lsns)
+
+
+def test_streaming_front_end_emits_heartbeats(spark, tmp_root):
+    """A configured heartbeat interval must work under the Structured
+    Streaming front-end too, not only the batch-replay loop — an
+    operator watching <lake>/_heartbeats would otherwise read a healthy
+    pipeline as stalled."""
+    import json
+
+    src_path = os.path.join(tmp_root, "src_hb")
+    log_path = os.path.join(tmp_root, "log_hb")
+    gen_source_table(spark, 3, 10).write.parquet(src_path)
+    log = gen_change_log(spark, 3, 10, n_events=600, snapshot_lsn_base=30)
+    write_changelog_ordered(log, log_path, n_files=4)
+
+    lake = os.path.join(tmp_root, "lake_hb_stream")
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=lake,
+        source_table_path=src_path,
+        n_buckets=8,
+        heartbeat_interval_batches=2,
+    )
+    engine = Engine(spark, cfg)
+    engine.snapshot()
+    engine.run_streaming(
+        checkpoint_dir=os.path.join(tmp_root, "ckpt_hb"),
+        max_files_per_trigger=1,
+    )
+    hb_path = os.path.join(lake, "_heartbeats", "log.jsonl")
+    assert os.path.exists(hb_path)
+    with open(hb_path) as fh:
+        beats = [json.loads(line) for line in fh]
+    assert len(beats) == 4 // 2  # one beat per 2 of the 4 file-batches
+    frontiers = [max(b["offsets"].values()) for b in beats]
+    assert frontiers == sorted(frontiers)

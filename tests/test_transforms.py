@@ -665,7 +665,8 @@ def test_extract_new_record_state_legacy_modes(spark):
     assert flat4.count() == n_data - n_d + n_ts
     assert flat4.filter(F.col("__op").isNull()).count() == n_ts
 
-    # keep_tombstones=None preserves each Default mode's retention
+    # keep_tombstones=None preserves each Default mode's retention,
+    # and legacy "none" follows drop.tombstones=true (drop) by default
     assert (
         tr.extract_new_record_state(log, delete_mode="drop").count()
         == n_data - n_d
@@ -673,6 +674,10 @@ def test_extract_new_record_state_legacy_modes(spark):
     assert (
         tr.extract_new_record_state(log, delete_mode="tombstone").count()
         == log.count()
+    )
+    assert (
+        tr.extract_new_record_state(log, delete_mode="none").count()
+        == n_data
     )
 
 
