@@ -549,6 +549,122 @@ def cdc_smt_predicate_gate(spark, sf_dir):
 
 
 @_q(
+    "cdc_connect_smt_chain",
+    """
+    SELECT event_id AS lsn,
+           CASE WHEN regexp_full_match(topic, 'server1\\.(view|click)')
+                THEN regexp_replace(topic, '^(?:server1\\.(view|click))$',
+                                    'server1.interaction.\\1')
+                ELSE topic END AS topic,
+           CAST(user_id AS INTEGER) AS user_id,
+           CAST(trunc(value) AS BIGINT) AS amount,
+           'us-east-1' AS source_region,
+           topic AS origin_topic,
+           event_id AS __offset,
+           strftime(epoch_ms(ts_ms), '%Y-%m-%d %H:%M') AS __ts_ms
+    FROM (
+      SELECT event_id, 'server1.' || event_type AS topic, user_id, value,
+             epoch_ms(ts) AS ts_ms
+      FROM events
+    )
+    """,
+)
+def cdc_connect_smt_chain(spark, sf_dir):
+    """The Kafka Connect core SMT chain Debezium's docs configure
+    around its own transforms (org.apache.kafka.connect.transforms.*):
+    RegexRouter (full-match topic rewrite) → InsertField$Value (static
+    + topic/offset/timestamp metadata) → Cast$Value (float64→int64
+    truncation, int64→int32) → TimestampConverter$Value (millis →
+    formatted UTC string) → ReplaceField$Value (exclude + rename).
+    All pure column expressions — one codegen stage, no shuffle.
+    DuckDB-cast caveat mirrored in the oracle: CAST(double AS BIGINT)
+    rounds there, so the oracle truncs explicitly to match Java/Spark
+    cast semantics."""
+    from debezium_spark.operators import connect_smt as C
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.concat(F.lit("server1."), F.col("event_type")).alias("topic"),
+        "user_id",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    # InsertField first so origin_topic snapshots the pre-route topic,
+    # then the router rewrites in place — the order a Connect chain
+    # would configure for audit fields.
+    out = C.insert_field(
+        ev,
+        static_field="source_region",
+        static_value="us-east-1",
+        topic_field="origin_topic",
+        offset_field="__offset",
+        timestamp_field="__ts_ms",
+        lsn_col="lsn",
+    )
+    out = C.regex_router(
+        out, r"server1\.(view|click)", "server1.interaction.$1"
+    )
+    out = C.cast_fields(out, "value:int64,user_id:int32")
+    out = C.timestamp_converter(out, "__ts_ms", "string", "yyyy-MM-dd HH:mm")
+    out = C.replace_field(
+        out, exclude=("ts_ms",), renames=("value:amount",)
+    )
+    return out
+
+
+@_q(
+    "cdc_connect_struct_smts",
+    """
+    SELECT event_id,
+           'server1.' || event_type || '-' ||
+             strftime(epoch_ms(epoch_ms(ts)), '%Y%m%d') AS topic,
+           user_id AS uid,
+           user_id AS payload_user_id,
+           value AS payload_value,
+           'cdc' AS hdr_pipeline,
+           CAST(NULL AS VARCHAR) AS hdr_trace
+    FROM events
+    """,
+)
+def cdc_connect_struct_smts(spark, sf_dir):
+    """Structural Connect SMTs over the same record model:
+    TimestampRouter (${topic}-${timestamp} splice) → HoistField$Value
+    (wrap value fields into a struct) → ExtractField$Value (pull one
+    back out) → Flatten$Value (struct fields to <s>_<f> columns) →
+    InsertHeader / DropHeaders (map<string,string> header model, same
+    as HeaderToValue's). Headers surface as flat hdr_* columns because
+    the contract hash needs flat output; hdr_trace proves DropHeaders
+    removed the key."""
+    from debezium_spark.operators import connect_smt as C
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("server1."), F.col("event_type")).alias("topic"),
+        "user_id",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.create_map(
+            F.lit("trace"), F.col("event_type").cast("string")
+        ).alias("headers"),
+    )
+    out = C.timestamp_router(ev, "${topic}-${timestamp}", "yyyyMMdd")
+    out = C.hoist_field(out, ("user_id", "value"), "payload")
+    out = C.extract_field(out, "payload", "user_id", "uid")
+    out = C.insert_header(out, "pipeline", "cdc")
+    out = C.drop_headers(out, ("trace",))
+    out = C.flatten_struct(out, "payload", "_")
+    return out.select(
+        "event_id",
+        "topic",
+        "uid",
+        "payload_user_id",
+        "payload_value",
+        F.col("headers").getItem("pipeline").alias("hdr_pipeline"),
+        F.col("headers").getItem("trace").alias("hdr_trace"),
+    )
+
+
+@_q(
     "cdc_truncate_mask",
     """
     SELECT c_custkey, substr(c_name, 1, 5) AS c_name_trunc,
