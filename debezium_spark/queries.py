@@ -1579,12 +1579,22 @@ def cdc_topic_naming(spark, sf_dir):
     UnicodeReplacementFunction.java:20-27 — minimal lowercase hex,
     ``00``-prefixed when ≤ 2 digits; underscore is the escape
     character so it escapes too (`_` → `_u005f`). The unicode column's
-    input carries `_$` so both escape paths are exercised."""
+    input carries `_$` so both escape paths are exercised.
+
+    Scale shape: topic names are functions of the TABLE name, whose
+    cardinality is tiny by construction (the reference caches them per
+    table in topicNames/ — AbstractTopicNamingStrategy.java keeps a
+    BoundedConcurrentHashMap for exactly this reason). So the per-
+    character unicode transform runs once per DISTINCT table via a
+    map-side-combined distinct (a few rows through the exchange), and
+    the results broadcast-join back onto the stream — the expensive
+    escape is O(tables), not O(events)."""
     from debezium_spark.operators.transforms import topic_name
 
     ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
+    names = ev.select("event_type").distinct()
+    names = names.select(
+        "event_type",
         topic_name(
             "server1", F.lit("public"), F.col("event_type"), "default"
         ).alias("topic_default"),
@@ -1603,6 +1613,13 @@ def cdc_topic_naming(spark, sf_dir):
             F.concat(F.col("event_type"), F.lit("_$")),
             "unicode",
         ).alias("topic_unicode"),
+    )
+    return ev.join(F.broadcast(names), "event_type").select(
+        "event_id",
+        "topic_default",
+        "topic_schema",
+        "topic_sanitized",
+        "topic_unicode",
     )
 
 
@@ -3151,6 +3168,73 @@ def ann_cosine_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "nbr_id", "rank", "sim_dmil")
     )
+
+
+@_q(
+    "ann_sq8_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+    st AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+      FROM (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos)
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(range(1, len(v) + 1), i ->
+               CASE WHEN mxs[i] > mns[i]
+                    THEN greatest(0, least(255,
+                         floor((v[i] - mns[i]) * 255.0
+                               / (mxs[i] - mns[i]) + 0.5)::BIGINT))
+                    ELSE 0 END) AS c
+      FROM e, st
+    ),
+    qq AS (SELECT vec_id AS query_id, c FROM q8 WHERE vec_id < 10),
+    scored AS (
+      SELECT qq.query_id, b.vec_id AS nbr_id,
+             CASE WHEN list_sum(list_transform(qq.c, x -> x * x)) > 0
+                   AND list_sum(list_transform(b.c, x -> x * x)) > 0
+                  THEN floor(
+                    list_sum(list_transform(range(1, len(qq.c) + 1),
+                                            i -> qq.c[i] * b.c[i]))::DOUBLE
+                    / sqrt(list_sum(list_transform(qq.c, x -> x * x))::DOUBLE)
+                    / sqrt(list_sum(list_transform(b.c, x -> x * x))::DOUBLE)
+                    * 1e4)::BIGINT
+                  ELSE -10000 END AS qsim_dmil
+      FROM qq JOIN q8 b ON b.vec_id <> qq.query_id
+    )
+    SELECT query_id, nbr_id, rank, qsim_dmil FROM (
+      SELECT query_id, nbr_id, qsim_dmil,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qsim_dmil DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN — the FAISS IndexScalarQuantizer scan
+    re-expressed: per-dimension linear codes 0..255 from a one-pass
+    min/max stats job (posexplode → partial-agg shuffle → 64 driver
+    scalars), then brute-force cosine over the INTEGER codes with
+    broadcast queries. The 100 TB point is scan bandwidth: 1 byte/dim
+    instead of 8 on the corpus side, with the same no-corpus-shuffle
+    plan as ann_cosine_topk; quantization is the only approximation,
+    so the oracle reproduces it exactly (floor(+0.5) rounding, integer
+    dots, deci-milli floor, id tie-break)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mns, mxs = S.sq8_stats(e, "v")
+    codes = e.select(
+        "vec_id", S.sq8_quantize(F.col("v"), mns, mxs).alias("c")
+    )
+    corpus = codes.select(
+        F.col("vec_id").alias("nbr_id"), F.col("c").alias("qv8")
+    )
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qq8")
+    )
+    return S.sq8_topk(corpus, q, k=5)
 
 
 def _sql_bucket(planes: list[list[float]], vec: str = "v") -> str:

@@ -405,3 +405,24 @@ def test_retention_no_countdistinct_expand_no_join(spark):
     assert "Expand" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_connect_smt_chain_is_exchange_free(spark):
+    # the whole Connect SMT chain is column rewrites in one codegen
+    # stage: no shuffle, no Python, and the scan stays column-pruned
+    from debezium_spark.queries import cdc_connect_smt_chain
+
+    plan = plan_of(cdc_connect_smt_chain(spark, SF_DIR))
+    assert n_exchanges(plan) == 0
+    assert "Python" not in plan
+    assert "props" not in plan  # unused column pruned from the scan
+
+
+def test_sq8_topk_broadcasts_queries_not_corpus(spark):
+    # quantized scan keeps ann_cosine_topk's shape: queries broadcast,
+    # corpus never sort-merge-joined
+    from debezium_spark.queries import ann_sq8_topk
+
+    plan = plan_of(ann_sq8_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
