@@ -670,3 +670,178 @@ def cosine_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ===========================================================================
+# Product quantization (FAISS IndexPQ / ADC inner-product scan)
+# ===========================================================================
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same left-to-right fold a SQL oracle
+    reproduces (list_sum over an index-ordered transform)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub_slices(vec: Column, n_sub: int, sub_dim: int) -> Column:
+    """array of the M contiguous sub-vectors of ``vec``."""
+    return F.array(
+        *[F.slice(vec, m * sub_dim + 1, sub_dim) for m in range(n_sub)]
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seed: str = "pq",
+) -> DataFrame:
+    """Deterministic PQ codebook ``(m, j, cv)``: the ``k`` corpus
+    vectors with the smallest ``md5(seed|id)`` (a seeded uniform
+    sample — no k-means iterations, so a SQL oracle reproduces the
+    exact codebook, same discipline as :func:`ivf_centroids`), sliced
+    into ``n_sub`` contiguous sub-vectors. ``j`` is the 1-based rank in
+    the sample order, shared by all sub-spaces.
+
+    ``k`` defaults to ``min(256, |corpus|)``. Unlike LSH widths or IVF
+    codebook sizes, K does NOT scale with the corpus: K=256 is the
+    fixed 8-bit-code budget of production PQ (FAISS IndexPQ; Jégou et
+    al. 2011) — it bounds the per-query LUT (M·K floats) and the code
+    width (M bytes/vector) regardless of n. Corpus-scaled recall comes
+    from composing with the IVF index (IVFPQ), whose width already
+    auto-scales (:func:`auto_centroid_count`)."""
+    if k is None:
+        k = min(256, corpus.count())
+    sub_dim = dim // n_sub
+    key = F.md5(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    samp = (
+        corpus.select(
+            F.col(id_col).alias("sid"),
+            _as_double(F.col(vec_col)).alias("sv"),
+            key.alias("__k"),
+        )
+        .orderBy("__k", "sid")
+        .limit(k)
+    )
+    # rank within the K-row sample — a single-partition window over a
+    # control-plane-sized input (K ≤ 256), never over the corpus
+    w = Window.orderBy("__k", "sid")
+    return (
+        samp.withColumn("j", F.row_number().over(w))
+        .select(
+            "j",
+            F.posexplode(_sub_slices(F.col("sv"), n_sub, sub_dim)).alias(
+                "m", "cv"
+            ),
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cent: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """PQ encoding ``(nbr_id, code)`` — per sub-space, the 1-based index
+    of the L2-nearest sub-codebook entry (``floor(l2sq·1e6)`` with
+    lowest-``j`` tie-break, so engines agree on boundaries). ``code``
+    is an array of ``n_sub`` small ints: M bytes/vector of index state
+    against ``4·dim`` bytes of float32 — at 10^10 vectors the scan-side
+    working set shrinks 64× (dim=64, M=4).
+
+    Plan shape: posexplode (M rows/vector, same partition) → broadcast
+    join with the M·K codebook → two map-side-complete groupBys (the
+    argmin rows for one key never leave their partition, so each
+    exchange carries one row per key) — the corpus is never sort-merge
+    joined or replicated."""
+    sub_dim = dim // n_sub
+    sub = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.posexplode(
+            _sub_slices(_as_double(F.col(vec_col)), n_sub, sub_dim)
+        ).alias("m", "sv"),
+    )
+    d6 = F.floor(l2sq(F.col("sv"), F.col("cv")) * 1e6).cast("long")
+    return (
+        sub.join(F.broadcast(cent), "m")
+        .select("nbr_id", "m", F.struct(d6.alias("d"), "j").alias("dj"))
+        .groupBy("nbr_id", "m")
+        .agg(F.min("dj").alias("dj"))
+        .groupBy("nbr_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("m", F.col("dj.j").alias("j")))
+                ),
+                lambda s: s["j"],
+            ).alias("code")
+        )
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) inner-product top-k over PQ codes —
+    FAISS IndexPQ's search loop re-expressed. Per query, the float work
+    is ONE tiny LUT (``ip6[m][j] = floor(dot(q_m, c_mj)·1e6)``, M·K
+    longs); the corpus side reads ONLY the M-byte codes and sums M
+    integer LUT hits per (query, vector) — exact integer arithmetic,
+    so summation order cannot perturb the ranking and a SQL oracle
+    hash-matches. Expects ``corpus_codes(nbr_id, code)`` from
+    :func:`pq_encode` and ``queries(query_id, qv)``.
+
+    Plan shape: the LUT build touches Q·M·K rows (broadcast codebook);
+    the scan posexplodes codes (M rows/vector, partition-local), joins
+    the broadcast LUT on (m, j), and partial-aggregates the M-term sums
+    map-side — one exchange of Q rows per corpus vector, the corpus is
+    never sort-merge joined."""
+    sub_dim = dim // n_sub
+    qsub = queries.select(
+        "query_id",
+        F.posexplode(
+            _sub_slices(_as_double(F.col("qv")), n_sub, sub_dim)
+        ).alias("m", "qsv"),
+    )
+    lut = qsub.join(F.broadcast(cent), "m").select(
+        "query_id",
+        "m",
+        "j",
+        F.floor(dot(F.col("qsv"), F.col("cv")) * 1e6)
+        .cast("long")
+        .alias("ip6"),
+    )
+    codepos = corpus_codes.select(
+        "nbr_id", F.posexplode("code").alias("m", "j")
+    )
+    scored = (
+        codepos.join(F.broadcast(lut), ["m", "j"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .groupBy("query_id", "nbr_id")
+        .agg(F.sum("ip6").alias("ip6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip6"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "ip6")
+    )

@@ -3493,6 +3493,91 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _ann_pq_oracle(n_sub: int = 4, sub_dim: int = 16, k: int = 5) -> str:
+    # mirrors pq_codebook/pq_encode/pq_topk exactly: same md5 sample
+    # order, same floor(·1e6) integer boundaries, same tie-breaks
+    def sl(v: str) -> str:
+        return (
+            f"{v}[r.range * {sub_dim} + 1 : r.range * {sub_dim} + {sub_dim}]"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT COUNT(*) AS c FROM e),
+    samp AS (
+      SELECT vec_id AS sid, v AS sv,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('pq|' || vec_id::VARCHAR), vec_id) AS j
+      FROM e, n
+      QUALIFY j <= LEAST(256, n.c)
+    ),
+    cent AS (
+      SELECT j, r.range AS m, {sl('sv')} AS cv
+      FROM samp, range(0, {n_sub}) r
+    ),
+    sub AS (
+      SELECT vec_id AS nbr_id, r.range AS m, {sl('v')} AS sv
+      FROM e, range(0, {n_sub}) r
+    ),
+    codes AS (
+      SELECT nbr_id, m, j FROM (
+        SELECT s.nbr_id, s.m, c.j,
+          floor(list_sum(list_transform(range(1, len(s.sv) + 1),
+            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+            * 1e6)::BIGINT AS d6
+        FROM sub s JOIN cent c USING (m)
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY nbr_id, m
+                                 ORDER BY d6, j) = 1
+    ),
+    qsub AS (SELECT nbr_id AS query_id, m, sv AS qsv
+             FROM sub WHERE nbr_id < 10),
+    lut AS (
+      SELECT q.query_id, c.m, c.j,
+        floor(list_sum(list_transform(range(1, len(q.qsv) + 1),
+          i -> q.qsv[i] * c.cv[i])) * 1e6)::BIGINT AS ip6
+      FROM qsub q JOIN cent c USING (m)
+    ),
+    scored AS (
+      SELECT l.query_id, cd.nbr_id, SUM(l.ip6)::BIGINT AS ip6
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.j = cd.j
+      WHERE cd.nbr_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, rank, ip6 FROM (
+      SELECT query_id, nbr_id, ip6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ip6 DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("ann_pq_topk", _ann_pq_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantized ANN (FAISS IndexPQ, inner-product ADC scan) —
+    the missing member of the quantization family next to SQ8 and IVF.
+    Index state is M=4 sub-space codes (4 bytes/vector vs 256 bytes of
+    float32: 64×); the scan reads ONLY codes and sums M integer LUT
+    hits per (query, vector), so all float work is the Q·M·K LUT build
+    (Jégou et al. 2011). K=min(256, n) is deliberately NOT
+    corpus-scaled — K is PQ's fixed 8-bit code budget (it bounds LUT
+    and code width at any n); corpus-scaled recall comes from
+    composing with the auto-scaled IVF (IVFPQ). Deterministic
+    md5-sampled codebook (no k-means — the SQL oracle reproduces the
+    exact codebook), floor(·1e6) integer boundaries, exact integer ADC
+    sums immune to FP summation order."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cent = S.pq_codebook(e, dim=64, n_sub=4)
+    codes = S.pq_encode(e, cent, dim=64, n_sub=4)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return S.pq_topk(codes, q, cent, dim=64, n_sub=4, k=5)
+
+
 @_q(
     "pipeline_clean_corpus",
     """
@@ -3659,6 +3744,131 @@ def events_sessionize(spark, sf_dir):
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long")
         .alias("session_seq"),
+    )
+
+
+@_q(
+    "events_asof_join",
+    """
+    SELECT event_id, user_id, ts_us, click_event_id, gap_us FROM (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END
+                   IGNORE NULLS) OVER w AS click_event_id,
+        epoch_us(ts) - last_value(
+          CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+          IGNORE NULLS) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join — for every purchase, the same user's latest click
+    strictly earlier in (ts, event_id) order — expressed as ONE
+    sort-window pass over the unioned stream (here the two sides
+    already share a table): no join node at all, a single exchange on
+    the key. This is the scale-correct as-of shape the brief calls out
+    as missing from Spark: the naive formulation is a range theta-join
+    Spark can only execute as a nested-loop; the union-window form
+    shuffles each row once, handles any key skew AQE can, and extends
+    to two tables via unionByName + a source tag. Purchases with no
+    prior click keep NULL (left as-of). Micros-integer timestamps keep
+    the oracle exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    click = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("event_id").alias("cid"), us.alias("cus")),
+    )
+    return (
+        ev.withColumn("prev_click", F.last(click, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            us.alias("ts_us"),
+            F.col("prev_click.cid").alias("click_event_id"),
+            (us - F.col("prev_click.cus")).alias("gap_us"),
+        )
+    )
+
+
+@_q(
+    "events_interval_join",
+    """
+    WITH err AS (
+      SELECT event_id AS err_event_id, user_id, epoch_us(ts) AS t0
+      FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS tc
+      FROM events WHERE event_type = 'click'
+    ),
+    cand AS (
+      SELECT e.err_event_id, COUNT(*)::BIGINT AS n_clicks_10m
+      FROM err e JOIN clk c ON c.user_id = e.user_id
+        AND c.tc >= e.t0 AND c.tc < e.t0 + 600000000
+      GROUP BY 1
+    )
+    SELECT e.err_event_id, e.user_id, e.t0 AS err_ts_us,
+           COALESCE(n.n_clicks_10m, 0)::BIGINT AS n_clicks_10m
+    FROM err e LEFT JOIN cand n USING (err_event_id)
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Interval (range) join — clicks landing in the 10 minutes after
+    each error by the same user — via BIN BUCKETING, the equi-join
+    rewrite of a range join (the optimization Spark lacks natively and
+    Databricks ships as a range-join hint). Each interval spans at
+    most 2 bins of its own width, so the interval side explodes ≤2×;
+    the point side maps to exactly 1 bin; the join becomes an
+    equi-join on (user_id, bin) + a residual BETWEEN filter — hash
+    shuffle on bounded keys instead of the nested-loop theta-join the
+    naive form compiles to (the DuckDB oracle IS that naive form,
+    proving equivalence). A (err, click) pair can meet in at most one
+    bin, so no dedup pass is needed. Left join keeps zero-click errors
+    with count 0; micros-integer time keeps the oracle exact."""
+    BIN = 600_000_000  # 10 min in µs = the interval width
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        "user_id",
+        us.alias("t0"),
+    )
+    errb = err.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.expr(f"t0 div {BIN}"), F.expr(f"t0 div {BIN}") + 1
+            )
+        ),
+    )
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("tc"))
+        .withColumn("bin", F.expr(f"tc div {BIN}"))
+    )
+    counts = (
+        errb.join(clk, ["user_id", "bin"])
+        .filter(
+            (F.col("tc") >= F.col("t0"))
+            & (F.col("tc") < F.col("t0") + BIN)
+        )
+        .groupBy("err_event_id")
+        .agg(F.count("*").alias("n_clicks_10m"))
+    )
+    return err.join(counts, "err_event_id", "left").select(
+        "err_event_id",
+        "user_id",
+        F.col("t0").alias("err_ts_us"),
+        F.coalesce(F.col("n_clicks_10m"), F.lit(0)).alias("n_clicks_10m"),
     )
 
 

@@ -426,3 +426,34 @@ def test_sq8_topk_broadcasts_queries_not_corpus(spark):
     plan = plan_of(ann_sq8_topk(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_exchange_no_join(spark):
+    # the union-window as-of join: one hash exchange on the key, no
+    # join node (the naive range formulation would be a nested loop)
+    from debezium_spark.queries import events_asof_join
+
+    plan = plan_of(events_asof_join(spark, SF_DIR))
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # bin bucketing turns the range predicate into an equi-join on
+    # (user_id, bin) + residual filter — never a nested-loop/cartesian
+    from debezium_spark.queries import events_interval_join
+
+    plan = plan_of(events_interval_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_catalog_plan_no_sortmerge(spark):
+    from debezium_spark.queries import ann_pq_topk
+
+    plan = plan_of(ann_pq_topk(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
