@@ -753,6 +753,7 @@ def pq_encode(
     n_sub: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ encoding ``(nbr_id, code)`` — per sub-space, the 1-based index
     of the L2-nearest sub-codebook entry (``floor(l2sq·1e6)`` with
@@ -769,16 +770,25 @@ def pq_encode(
     sub_dim = dim // n_sub
     sub = corpus.select(
         F.col(id_col).alias("nbr_id"),
+        *carry,
         F.posexplode(
             _sub_slices(_as_double(F.col(vec_col)), n_sub, sub_dim)
         ).alias("m", "sv"),
     )
     d6 = F.floor(l2sq(F.col("sv"), F.col("cv")) * 1e6).cast("long")
+    # `carry` columns (e.g. the IVF cell id) ride the two groupBys as
+    # first() — one value per nbr_id by construction — so composed
+    # indexes need no extra join against the encode output
     return (
         sub.join(F.broadcast(cent), "m")
-        .select("nbr_id", "m", F.struct(d6.alias("d"), "j").alias("dj"))
+        .select(
+            "nbr_id", *carry, "m", F.struct(d6.alias("d"), "j").alias("dj")
+        )
         .groupBy("nbr_id", "m")
-        .agg(F.min("dj").alias("dj"))
+        .agg(
+            F.min("dj").alias("dj"),
+            *[F.first(c).alias(c) for c in carry],
+        )
         .groupBy("nbr_id")
         .agg(
             F.transform(
@@ -786,7 +796,8 @@ def pq_encode(
                     F.collect_list(F.struct("m", F.col("dj.j").alias("j")))
                 ),
                 lambda s: s["j"],
-            ).alias("code")
+            ).alias("code"),
+            *[F.first(c).alias(c) for c in carry],
         )
     )
 
@@ -833,6 +844,159 @@ def pq_topk(
     )
     scored = (
         codepos.join(F.broadcast(lut), ["m", "j"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .groupBy("query_id", "nbr_id")
+        .agg(F.sum("ip6").alias("ip6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip6"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "ip6")
+    )
+
+
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 5,
+    nprobe: int = 4,
+    n_centroids: int | None = None,
+    max_cell: int | None = 128,
+    target_cell: int = 32,
+    ladder: tuple[int, ...] = IVF_LADDER,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """IVFPQ — the composed production index at the 10^10-vector
+    target (FAISS IndexIVFPQ with ``by_residual=false``: PQ codes of
+    the raw vectors, not cell residuals — residual encoding re-centers
+    floats per cell, which buys recall but breaks exact SQL
+    reproducibility; the scan shape is identical). IVF bounds WHICH
+    rows a query touches (~nprobe·n/C, C ∝ √n via
+    :func:`auto_centroid_count`); PQ bounds the BYTES per touched row
+    (M codes instead of 4·dim). The scan joins the code table against
+    ONE broadcast probe×LUT table on (cid, m, j) — cell pruning and
+    ADC scoring in a single broadcast hash join, exact integer sums.
+
+    Composes the two independently-oracle-verified constructions
+    unchanged: md5-sampled IVF codebook + floor(cos·1e6) assignment
+    with ``max_cell`` capping, md5-sampled PQ sub-codebooks (fixed
+    K=min(256,n) code budget) + floor(l2sq·1e6) encoding."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    n_rows = c.count()
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(
+            n_rows, target_cell=target_cell, ladder=ladder
+        )
+    cent_rows = ivf_centroids(
+        c, n_centroids, id_col="nbr_id", vec_col="v"
+    ).collect()
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in cent_rows],
+        "cid long, cv array<double>",
+    ).withColumn("ncv", norm(F.col("cv")))
+    # flat broadcast argmax assignment (same construction ann_ivf_topk
+    # verifies; the routed two-level variant plugs in above its C
+    # threshold exactly as there)
+    sim6 = F.floor(
+        dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
+    ).cast("long")
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "nbr_id",
+            "v",
+            "nv",
+            F.struct(sim6.alias("s"), (-F.col("cid")).alias("nc")).alias(
+                "sc"
+            ),
+        )
+        .groupBy("nbr_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+            F.max("sc").alias("m"),
+        )
+        .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
+    )
+    if max_cell is not None:
+        wc = Window.partitionBy("cid").orderBy("nbr_id")
+        assigned = (
+            assigned.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= max_cell)
+            .drop("__rn")
+        )
+    # PQ codebook from the FULL corpus (stable under cell capping);
+    # codes carry their cell id through the encode — no join back
+    pcent = pq_codebook(
+        c,
+        dim=dim,
+        n_sub=n_sub,
+        k=min(256, n_rows),
+        id_col="nbr_id",
+        vec_col="v",
+    )
+    codes = pq_encode(
+        assigned,
+        pcent,
+        dim=dim,
+        n_sub=n_sub,
+        id_col="nbr_id",
+        vec_col="v",
+        carry=("cid",),
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        _as_double(F.col(qvec_col)).alias("qv"),
+    ).withColumn("nqv", norm(F.col("qv")))
+    qsim6 = F.floor(
+        dot(F.col("qv"), F.col("cv")) / F.col("nqv") / F.col("ncv") * 1e6
+    ).cast("long")
+    wp = Window.partitionBy("query_id").orderBy(F.desc("__s"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cid", qsim6.alias("__s"))
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    sub_dim = dim // n_sub
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            _sub_slices(F.col("qv"), n_sub, sub_dim)
+        ).alias("m", "qsv"),
+    )
+    lut = qsub.join(F.broadcast(pcent), "m").select(
+        "query_id",
+        "m",
+        "j",
+        F.floor(dot(F.col("qsv"), F.col("cv")) * 1e6)
+        .cast("long")
+        .alias("ip6"),
+    )
+    # ONE broadcast table = probed (query, cell) pairs × the query's
+    # LUT rows: joining codes on (cid, m, j) prunes to probed cells
+    # and scores in the same hash join
+    probelut = probes.select("query_id", "cid").join(
+        F.broadcast(lut), "query_id"
+    )
+    codepos = codes.select(
+        "nbr_id", "cid", F.posexplode("code").alias("m", "j")
+    )
+    scored = (
+        codepos.join(F.broadcast(probelut), ["cid", "m", "j"])
         .filter(F.col("nbr_id") != F.col("query_id"))
         .groupBy("query_id", "nbr_id")
         .agg(F.sum("ip6").alias("ip6"))

@@ -3553,6 +3553,138 @@ def _ann_pq_oracle(n_sub: int = 4, sub_dim: int = 16, k: int = 5) -> str:
     """
 
 
+def _ann_ivfpq_oracle(
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    nprobe: int = 4,
+    max_cell: int = 128,
+    k: int = 5,
+) -> str:
+    # composition of the two verified constructions: _ann_ivf_oracle's
+    # count-gated codebook + flat cos6 assignment + cell cap, and
+    # _ann_pq_oracle's sampled sub-codebooks + l2sq6 encoding + integer
+    # ADC — joined on the probed cells
+    def cos6(a: str, b: str) -> str:
+        return f"""floor(
+          list_sum(list_transform(range(1, len({a}) + 1),
+            i -> {a}[i] * {b}[i]))
+          / sqrt(list_sum(list_transform({a}, x -> x * x)))
+          / sqrt(list_sum(list_transform({b}, x -> x * x)))
+          * 1e6)::BIGINT"""
+
+    def sl(v: str) -> str:
+        return (
+            f"{v}[r.range * {sub_dim} + 1 : r.range * {sub_dim} + {sub_dim}]"
+        )
+
+    c_case = (
+        "CASE WHEN n.c <= 16 THEN 16 WHEN n.c <= 256 THEN 64 "
+        "WHEN n.c <= 4096 THEN 256 WHEN n.c <= 65536 THEN 1024 "
+        "WHEN n.c <= 1048576 THEN 4096 WHEN n.c <= 16777216 THEN 16384 "
+        "WHEN n.c <= 268435456 THEN 65536 ELSE 262144 END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT COUNT(*) AS c FROM e),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e, n
+      QUALIFY ROW_NUMBER() OVER (
+          ORDER BY md5('ivf|' || vec_id::VARCHAR), vec_id) <= {c_case}
+    ),
+    assigned0 AS (
+      SELECT e.vec_id AS nbr_id, e.v, cent.cid
+      FROM e CROSS JOIN cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {cos6('e.v', 'cent.cv')} DESC, cent.cid) = 1
+    ),
+    assigned AS (
+      SELECT nbr_id, v, cid FROM assigned0
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY nbr_id)
+              <= {max_cell}
+    ),
+    psamp AS (
+      SELECT vec_id AS sid, v AS sv,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('pq|' || vec_id::VARCHAR), vec_id) AS j
+      FROM e, n
+      QUALIFY j <= LEAST(256, n.c)
+    ),
+    pcent AS (
+      SELECT j, r.range AS m, {sl('sv')} AS cv
+      FROM psamp, range(0, {n_sub}) r
+    ),
+    sub AS (
+      SELECT nbr_id, cid, r.range AS m, {sl('v')} AS sv
+      FROM assigned, range(0, {n_sub}) r
+    ),
+    codes AS (
+      SELECT nbr_id, cid, m, j FROM (
+        SELECT s.nbr_id, s.cid, s.m, c.j,
+          floor(list_sum(list_transform(range(1, len(s.sv) + 1),
+            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))
+            * 1e6)::BIGINT AS d6
+        FROM sub s JOIN pcent c USING (m)
+      )
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY nbr_id, m
+                                 ORDER BY d6, j) = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+      SELECT q.query_id, cent.cid
+      FROM q CROSS JOIN cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+          ORDER BY {cos6('q.qv', 'cent.cv')} DESC, cent.cid) <= {nprobe}
+    ),
+    qsub AS (
+      SELECT query_id, r.range AS m, {sl('qv')} AS qsv
+      FROM q, range(0, {n_sub}) r
+    ),
+    lut AS (
+      SELECT qs.query_id, c.m, c.j,
+        floor(list_sum(list_transform(range(1, len(qs.qsv) + 1),
+          i -> qs.qsv[i] * c.cv[i])) * 1e6)::BIGINT AS ip6
+      FROM qsub qs JOIN pcent c USING (m)
+    ),
+    scored AS (
+      SELECT p.query_id, cd.nbr_id, SUM(l.ip6)::BIGINT AS ip6
+      FROM probes p
+      JOIN codes cd USING (cid)
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.m = cd.m AND l.j = cd.j
+      WHERE cd.nbr_id <> p.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, rank, ip6 FROM (
+      SELECT query_id, nbr_id, ip6,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ip6 DESC, nbr_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("ann_ivfpq_topk", _ann_ivfpq_oracle())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVFPQ — the composed production ANN index at 10^10 vectors
+    (FAISS IndexIVFPQ, by_residual=false): IVF bounds WHICH rows a
+    query touches (nprobe·n/C, C ∝ √n), PQ bounds the BYTES per
+    touched row (M=4 codes vs 256 float bytes). The scan is ONE
+    broadcast hash join of the code table against the probed
+    (query, cell) pairs × per-query integer LUT — cell pruning and ADC
+    scoring together, corpus never sort-merge joined. Composes the two
+    independently-verified constructions unchanged, so the oracle is
+    their CTE composition."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return S.ann_ivfpq_topk(
+        e, q, dim=64, n_sub=4, k=5, nprobe=4, max_cell=128
+    )
+
+
 @_q("ann_pq_topk", _ann_pq_oracle())
 def ann_pq_topk(spark, sf_dir):
     """Product-quantized ANN (FAISS IndexPQ, inner-product ADC scan) —

@@ -457,3 +457,14 @@ def test_pq_catalog_plan_no_sortmerge(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_catalog_plan_no_sortmerge(spark):
+    # composed index keeps both constituents' shape: broadcast-only
+    # joins, corpus never sort-merge joined, no Python in the scan
+    from debezium_spark.queries import ann_ivfpq_topk
+
+    plan = plan_of(ann_ivfpq_topk(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -104,3 +104,38 @@ def test_pq_scan_plan_broadcasts_lut_no_sortmerge(spark, vecs):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_encode_carry_passthrough(spark, vecs):
+    cent = S.pq_codebook(vecs, dim=4, n_sub=2, k=2)
+    tagged = vecs.withColumn("cell", F.col("vec_id") % 2)
+    out = S.pq_encode(
+        tagged, cent, dim=4, n_sub=2, carry=("cell",)
+    ).collect()
+    assert {r["nbr_id"]: r["cell"] for r in out} == {
+        0: 0, 1: 1, 2: 0, 3: 1
+    }
+    assert all(len(r["code"]) == 2 for r in out)
+
+
+def test_ivfpq_subset_of_pq_ranking(spark):
+    # IVFPQ with every cell probed must equal plain PQ ADC ranking
+    # (same codebooks, same integer sums) — cell pruning only removes
+    # candidates, never rescores them
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full = S.ann_ivfpq_topk(
+        df, q, dim=4, n_sub=2, k=3, nprobe=10**6, max_cell=None,
+        n_centroids=4,
+    ).collect()
+    cent = S.pq_codebook(df, dim=4, n_sub=2)
+    codes = S.pq_encode(df, cent, dim=4, n_sub=2)
+    plain = S.pq_topk(codes, q, cent, dim=4, n_sub=2, k=3).collect()
+    assert sorted((r["query_id"], r["rank"], r["nbr_id"], r["ip6"])
+                  for r in full) == \
+           sorted((r["query_id"], r["rank"], r["nbr_id"], r["ip6"])
+                  for r in plain)
