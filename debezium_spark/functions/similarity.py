@@ -435,7 +435,86 @@ def _routed_assign(c: DataFrame, cent: DataFrame, n_centroids: int):
             F.first("nv").alias("nv"),
             F.max("sc").alias("m"),
         )
-        .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
+        .select(
+            "nbr_id",
+            "v",
+            "nv",
+            F.col("m.s").alias("cs6"),
+            (-F.col("m.nc")).alias("cid"),
+        )
+    )
+
+
+def _flat_assign(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Flat nearest-centroid assignment: per-row argmax over the
+    broadcast codebook — lexicographic max of (floor(cos·1e6), -cid)
+    = highest similarity, lowest cid on ties. The corpus never
+    shuffles before its per-id argmax groupBy (map-side combined).
+    Emits ``cs6`` (similarity to the OWN cell's centroid in micro
+    units) alongside ``cid`` — the prototypicality score SemDeDup /
+    SSL-prototype pruning rank by."""
+    sim6 = F.floor(
+        dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "nbr_id",
+            "v",
+            "nv",
+            F.struct(
+                sim6.alias("s"), (-F.col("cid")).alias("nc")
+            ).alias("sc"),
+        )
+        .groupBy("nbr_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nv").alias("nv"),
+            F.max("sc").alias("m"),
+        )
+        .select(
+            "nbr_id",
+            "v",
+            "nv",
+            F.col("m.s").alias("cs6"),
+            (-F.col("m.nc")).alias("cid"),
+        )
+    )
+
+
+def ivf_assign(
+    c: DataFrame,
+    n_centroids: int,
+    route_threshold: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF index-build stage: materialize the deterministic
+    md5-sampled codebook (control-plane: C rows) and assign every
+    corpus row to its nearest centroid. ``c`` must carry
+    ``(nbr_id, v, nv)``. Returns ``(assigned, cent)`` where assigned
+    has ``(nbr_id, v, nv, cs6, cid)``. Above ``route_threshold``
+    centroids the two-level routed (IMI-style) assignment replaces
+    the flat n·C pass (≈2√C dots/row)."""
+    cent_rows = ivf_centroids(
+        c, n_centroids, id_col="nbr_id", vec_col="v"
+    ).collect()
+    spark = c.sparkSession
+    cent = spark.createDataFrame(
+        [(r["cid"], r["cv"]) for r in cent_rows],
+        "cid long, cv array<double>",
+    ).withColumn("ncv", norm(F.col("cv")))
+    if n_centroids >= route_threshold:
+        return _routed_assign(c, cent, n_centroids), cent
+    return _flat_assign(c, cent), cent
+
+
+def _cap_cells(assigned: DataFrame, max_cell: int) -> DataFrame:
+    """Truncate any cell to its ``max_cell`` lowest-id members (the
+    ``max_postings`` discipline applied at index build)."""
+    wc = Window.partitionBy("cid").orderBy("nbr_id")
+    return (
+        assigned.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= max_cell)
+        .drop("__rn")
     )
 
 
@@ -482,53 +561,14 @@ def ann_ivf_topk(
         n_centroids = auto_centroid_count(
             c.count(), target_cell=target_cell, ladder=ladder
         )
-    # materialize the codebook once (control-plane: C rows, the index
-    # build artifact) — both broadcast consumers below would otherwise
-    # re-run the top-C corpus scan
-    cent_rows = ivf_centroids(
-        c, n_centroids, id_col="nbr_id", vec_col="v"
-    ).collect()
-    spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(r["cid"], r["cv"]) for r in cent_rows],
-        "cid long, cv array<double>",
-    ).withColumn("ncv", norm(F.col("cv")))
-    if n_centroids >= route_threshold:
-        # two-level routed assignment (IMI-style): ~2√C dots per row
-        # instead of C — the flat n·C pass stops being executor-
-        # affordable once C ∝ √n reaches ~10^3
-        assigned = _routed_assign(c, cent, n_centroids)
-    else:
-        sim6 = F.floor(
-            dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
-        ).cast("long")
-        # per-row argmax over the broadcast codebook: lexicographic max
-        # of (sim, -cid) = highest similarity, lowest cid on ties
-        assigned = (
-            c.crossJoin(F.broadcast(cent))
-            .select(
-                "nbr_id",
-                "v",
-                "nv",
-                F.struct(
-                    sim6.alias("s"), (-F.col("cid")).alias("nc")
-                ).alias("sc"),
-            )
-            .groupBy("nbr_id")
-            .agg(
-                F.first("v").alias("v"),
-                F.first("nv").alias("nv"),
-                F.max("sc").alias("m"),
-            )
-            .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
-        )
+    # codebook materialized once inside ivf_assign (control-plane: C
+    # rows, the index build artifact); above route_threshold the
+    # two-level routed assignment replaces the flat n·C pass
+    assigned, cent = ivf_assign(
+        c, n_centroids, route_threshold=route_threshold
+    )
     if max_cell is not None:
-        wc = Window.partitionBy("cid").orderBy("nbr_id")
-        assigned = (
-            assigned.withColumn("__rn", F.row_number().over(wc))
-            .filter(F.col("__rn") <= max_cell)
-            .drop("__rn")
-        )
+        assigned = _cap_cells(assigned, max_cell)
     q = queries.select(
         F.col(qid_col).alias("query_id"),
         _as_double(F.col(qvec_col)).alias("qv"),
@@ -898,45 +938,12 @@ def ann_ivfpq_topk(
         n_centroids = auto_centroid_count(
             n_rows, target_cell=target_cell, ladder=ladder
         )
-    cent_rows = ivf_centroids(
-        c, n_centroids, id_col="nbr_id", vec_col="v"
-    ).collect()
-    spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(r["cid"], r["cv"]) for r in cent_rows],
-        "cid long, cv array<double>",
-    ).withColumn("ncv", norm(F.col("cv")))
-    # flat broadcast argmax assignment (same construction ann_ivf_topk
+    # shared IVF build stage (same construction ann_ivf_topk
     # verifies; the routed two-level variant plugs in above its C
     # threshold exactly as there)
-    sim6 = F.floor(
-        dot(F.col("v"), F.col("cv")) / F.col("nv") / F.col("ncv") * 1e6
-    ).cast("long")
-    assigned = (
-        c.crossJoin(F.broadcast(cent))
-        .select(
-            "nbr_id",
-            "v",
-            "nv",
-            F.struct(sim6.alias("s"), (-F.col("cid")).alias("nc")).alias(
-                "sc"
-            ),
-        )
-        .groupBy("nbr_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.first("nv").alias("nv"),
-            F.max("sc").alias("m"),
-        )
-        .select("nbr_id", "v", "nv", (-F.col("m.nc")).alias("cid"))
-    )
+    assigned, cent = ivf_assign(c, n_centroids)
     if max_cell is not None:
-        wc = Window.partitionBy("cid").orderBy("nbr_id")
-        assigned = (
-            assigned.withColumn("__rn", F.row_number().over(wc))
-            .filter(F.col("__rn") <= max_cell)
-            .drop("__rn")
-        )
+        assigned = _cap_cells(assigned, max_cell)
     # PQ codebook from the FULL corpus (stable under cell capping);
     # codes carry their cell id through the encode — no join back
     pcent = pq_codebook(
@@ -1008,4 +1015,166 @@ def ann_ivfpq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "ip6")
+    )
+
+
+# ===========================================================================
+# Embedding-space corpus curation (SemDeDup / SSL-prototype pruning)
+# ===========================================================================
+
+
+def semdedup(
+    corpus: DataFrame,
+    tau6: int = 350000,
+    n_centroids: int | None = None,
+    max_cell: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 32,
+    ladder: tuple[int, ...] = IVF_LADDER,
+    route_threshold: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then look for duplicate
+    pairs ONLY inside each cluster — the curation-side complement of
+    :func:`cosine_near_dup_pairs` (LSH finds lexical-scale near-dups;
+    cluster-local scan finds semantic ones at a lower threshold
+    without a global pair explosion).
+
+    Construction (every stage engine-portable so a SQL oracle
+    reproduces it bit-for-bit):
+
+    - cells = deterministic md5-sampled IVF codebook + nearest-
+      centroid assignment (:func:`ivf_assign`; C scales as ~4√n, so
+      assignment work is n·C ≈ n^1.5 flat, n·2√C routed above the
+      threshold — never n²);
+    - within-cell candidate pairs via the shared capped-postings
+      stage (:func:`debezium_spark.functions.dedup.capped_pair_explode`
+      — ONE groupBy, pair work ≤ max_cell² per cell by construction,
+      degenerate hot cells dropped, no join);
+    - a doc is REMOVED iff some same-cell doc with a better keep-key
+      is tau6-similar to it, keep-key = (cs6 DESC, id ASC) — the most
+      prototypical member of each duplicate relation survives
+      (SemDeDup's representative rule, made deterministic with
+      micro-unit similarities and id tie-breaks). Pairwise-greedy,
+      not transitive closure — matching the paper, which thresholds
+      per-pair max-similarity within a cluster.
+
+    Returns one row per corpus doc: ``(id, cid, cent_sim6, kept)``
+    with kept ∈ {0,1} as BIGINT (cross-engine hashable)."""
+    from debezium_spark.functions.dedup import capped_pair_explode
+
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(
+            c.count(), target_cell=target_cell, ladder=ladder
+        )
+    assigned, _ = ivf_assign(
+        c, n_centroids, route_threshold=route_threshold
+    )
+    item = F.struct(
+        F.col("nbr_id").alias("id"),
+        F.col("cs6").alias("k"),
+        F.col("v").alias("v"),
+        F.col("nv").alias("nv"),
+    )
+    pairs = capped_pair_explode(assigned, ["cid"], item, max_cell)
+    s6 = F.floor(
+        dot(F.col("a.v"), F.col("b.v"))
+        / F.col("a.nv")
+        / F.col("b.nv")
+        * 1e6
+    ).cast("long")
+    # cells partition the corpus, so each unordered pair occurs in
+    # exactly one cell — no dropDuplicates needed. Worse side of a
+    # qualifying pair = lower cs6, ties to the higher id (a.id < b.id
+    # by construction, so a tie removes b).
+    removed = (
+        pairs.withColumn("s6", s6)
+        .filter(F.col("s6") >= F.lit(tau6))
+        .select(
+            F.when(F.col("b.k") <= F.col("a.k"), F.col("b.id"))
+            .otherwise(F.col("a.id"))
+            .alias("nbr_id")
+        )
+        .distinct()
+    )
+    return (
+        assigned.join(
+            removed.withColumn("__r", F.lit(1)), "nbr_id", "left"
+        )
+        .select(
+            F.col("nbr_id").alias(id_col),
+            "cid",
+            F.col("cs6").alias("cent_sim6"),
+            F.when(F.col("__r").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+
+
+def ssl_prototype_prune(
+    corpus: DataFrame,
+    drop_num: int = 1,
+    drop_den: int = 4,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 32,
+    ladder: tuple[int, ...] = IVF_LADDER,
+    route_threshold: int = 1024,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022 "Beyond
+    neural scaling laws", the prototypicality half of D4, Tirumala et
+    al. 2023): rank each cluster's members by similarity to their own
+    centroid and prune the most prototypical ``drop_num/drop_den``
+    fraction — the easy, redundant examples near cluster cores add
+    the least information at large data scale.
+
+    Same deterministic cell construction as :func:`semdedup` (shared
+    :func:`ivf_assign`); the prune rule is exact-integer:
+    ``pruned = 1 iff cell_rank·drop_den <= cell_count·drop_num`` with
+    rank ordered by (cs6 DESC, id ASC). One window exchange on cid;
+    no joins.
+
+    Returns ``(id, cid, cent_sim6, cell_rank, pruned)``."""
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(
+            c.count(), target_cell=target_cell, ladder=ladder
+        )
+    assigned, _ = ivf_assign(
+        c, n_centroids, route_threshold=route_threshold
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("cs6"), F.asc("nbr_id")
+    )
+    wc = Window.partitionBy("cid")
+    return (
+        assigned.withColumn(
+            "cell_rank", F.row_number().over(w).cast("long")
+        )
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .select(
+            F.col("nbr_id").alias(id_col),
+            "cid",
+            F.col("cs6").alias("cent_sim6"),
+            "cell_rank",
+            F.when(
+                F.col("cell_rank") * F.lit(drop_den)
+                <= F.col("__cnt") * F.lit(drop_num),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pruned"),
+        )
     )

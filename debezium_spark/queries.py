@@ -3685,6 +3685,112 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _ivf_asg_cte() -> str:
+    """Shared oracle CTE chain reproducing :func:`similarity.ivf_assign`
+    bit-for-bit: md5-sampled codebook (the √n count ladder), flat
+    nearest-centroid argmax with (cs6 DESC, cid) tie-break, winning
+    cell similarity ``cs6`` carried per row."""
+    cos6 = """floor(
+          list_sum(list_transform(range(1, len(e.v) + 1),
+            i -> e.v[i] * cent.cv[i]))
+          / sqrt(list_sum(list_transform(e.v, x -> x * x)))
+          / sqrt(list_sum(list_transform(cent.cv, x -> x * x)))
+          * 1e6)::BIGINT"""
+    c_case = (
+        "CASE WHEN n.c <= 16 THEN 16 WHEN n.c <= 256 THEN 64 "
+        "WHEN n.c <= 4096 THEN 256 WHEN n.c <= 65536 THEN 1024 "
+        "WHEN n.c <= 1048576 THEN 4096 WHEN n.c <= 16777216 THEN 16384 "
+        "WHEN n.c <= 268435456 THEN 65536 ELSE 262144 END"
+    )
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT COUNT(*) AS c FROM e),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e, n
+      QUALIFY ROW_NUMBER() OVER (
+          ORDER BY md5('ivf|' || vec_id::VARCHAR), vec_id) <= {c_case}
+    ),
+    asg AS (
+      SELECT e.vec_id, e.v, cent.cid, {cos6} AS cs6
+      FROM e CROSS JOIN cent
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY {cos6} DESC, cent.cid) = 1
+    )"""
+
+
+def _semdedup_oracle(tau6: int = 350000, max_cell: int = 128) -> str:
+    pair_cos6 = """floor(
+          list_sum(list_transform(range(1, len(a.v) + 1),
+            i -> a.v[i] * b.v[i]))
+          / sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          / sqrt(list_sum(list_transform(b.v, x -> x * x)))
+          * 1e6)::BIGINT"""
+    return f"""
+    WITH {_ivf_asg_cte()},
+    cellsz AS (SELECT cid, COUNT(*) AS cnt FROM asg GROUP BY cid),
+    removed AS (
+      SELECT DISTINCT CASE WHEN b.cs6 <= a.cs6 THEN b.vec_id
+                           ELSE a.vec_id END AS vec_id
+      FROM asg a
+      JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN cellsz s ON s.cid = a.cid
+      WHERE s.cnt <= {max_cell} AND {pair_cos6} >= {tau6}
+    )
+    SELECT a.vec_id, a.cid, a.cs6 AS cent_sim6,
+           CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS kept
+    FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    """
+
+
+@_q("semantic_dedup", _semdedup_oracle())
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the cluster-then-scan-within-cluster method
+    used on web-scale LAION/C4 curation): md5-sampled IVF cells
+    (C ∝ √n, routed assignment above 1024 cells), within-cell
+    candidate pairs via the shared capped-postings stage (≤ max_cell²
+    pair work per cell by construction, join-free), remove every doc
+    that has a more-prototypical tau-similar cellmate. Complements
+    ``embedding_near_dup``: LSH buckets catch high-cosine near-copies;
+    cluster-local scans catch semantic duplicates at lower thresholds
+    without a global pair explosion. The reference has no embedding
+    ops; this is the training-data-pipeline extension mandated by the
+    brief."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.semdedup(e, tau6=350000, max_cell=128)
+
+
+def _ssl_prune_oracle(drop_num: int = 1, drop_den: int = 4) -> str:
+    return f"""
+    WITH {_ivf_asg_cte()}
+    SELECT vec_id, cid, cent_sim6, cell_rank,
+           CAST(CASE WHEN cell_rank * {drop_den} <= cnt * {drop_num}
+                     THEN 1 ELSE 0 END AS BIGINT) AS pruned
+    FROM (
+      SELECT vec_id, cid, cs6 AS cent_sim6,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY cs6 DESC, vec_id) AS cell_rank,
+             COUNT(*) OVER (PARTITION BY cid) AS cnt
+      FROM asg
+    )
+    """
+
+
+@_q("corpus_ssl_prune", _ssl_prune_oracle())
+def corpus_ssl_prune(spark, sf_dir):
+    """SSL-prototype data pruning (Sorscher et al. 2022 'Beyond
+    neural scaling laws'; the prototypicality half of D4, Tirumala et
+    al. 2023): rank each embedding cell's members by similarity to
+    their own centroid, prune the most prototypical quarter —
+    redundant examples near cluster cores contribute least at scale.
+    Shares ``ivf_assign`` with semantic_dedup/ANN; the prune rule is
+    exact-integer (rank·4 <= count), one window exchange on cid, no
+    joins after assignment."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ssl_prototype_prune(e, drop_num=1, drop_den=4)
+
+
 @_q("ann_pq_topk", _ann_pq_oracle())
 def ann_pq_topk(spark, sf_dir):
     """Product-quantized ANN (FAISS IndexPQ, inner-product ADC scan) —
