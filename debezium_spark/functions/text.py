@@ -233,3 +233,11 @@ def portable_hash32(col: Column, salt: str | int = "") -> Column:
         16,
         10,
     ).cast("long")
+
+
+def bitlen(col: Column) -> Column:
+    """floor(log2(x)) + 1 for x >= 1, computed EXACTLY in both Spark
+    and DuckDB as the length of the binary representation — the
+    integer-portable log2 the oracles need (libm log() rounding
+    differs between JVMs and DuckDB, bin() cannot)."""
+    return F.length(F.bin(col)).cast("long")

@@ -4497,6 +4497,77 @@ def doc_chunk_windows(spark, sf_dir):
 
 
 @_q(
+    "text_unigram_surprisal",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM toks GROUP BY doc_id, term
+    ), tc AS (
+      SELECT term, SUM(tf)::BIGINT AS cnt FROM tf GROUP BY term
+    ), tot AS (
+      SELECT SUM(cnt)::BIGINT AS n FROM tc
+    )
+    SELECT doc_id,
+           SUM(tf)::BIGINT AS n_tokens,
+           floor(SUM(tf * (length(bin(tot.n)) - length(bin(tc.cnt))))
+                 * 1000000.0 / SUM(tf))::BIGINT AS surprisal_micro_bits
+    FROM tf JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Corpus-self-trained unigram LM quality score — the CCNet-family
+    perplexity filter (Wenzek et al. 2020 train a KenLM and keep the
+    middle perplexity band; here the LM is the corpus's own unigram
+    distribution). Per-token surprisal is the EXACT integer
+    ``bitlen(N) - bitlen(count(term))`` (= -log2(count/N) within 1
+    bit, computed via binary-string length so Spark and DuckDB agree
+    bit-for-bit — no libm); a document's score is the mean surprisal
+    in micro-bits. Low = boilerplate built from the corpus's most
+    common tokens; high = rare-token-heavy (OCR noise, gibberish);
+    the keep-band is the middle. Docs with zero tokens have no LM
+    evidence and are absent (inner semantics in both engines).
+
+    Scale: narrow token explode -> (doc,term) partial-agg groupBy ->
+    term-count groupBy (both map-side combined) -> tf⋈counts
+    equi-join on term (vocabulary-distributed) -> per-doc agg. The
+    global total N rides a broadcast 1-row aggregate, never a
+    single-partition exchange."""
+    from debezium_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    tc = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    tot = tc.agg(F.sum("cnt").cast("long").alias("n"))
+    surp = X.bitlen(F.col("n")) - X.bitlen(F.col("cnt"))
+    return (
+        tf.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.floor(
+                F.sum(F.col("tf") * surp)
+                * F.lit(1000000.0)
+                / F.sum("tf")
+            )
+            .cast("long")
+            .alias("surprisal_micro_bits"),
+        )
+    )
+
+
+@_q(
     "text_top_terms",
     """
     WITH toks AS (
@@ -4836,6 +4907,209 @@ def cdc_unwrap_rewrite_tombstone(spark, sf_dir):
         delete_mode="rewrite-with-tombstone",
         row_fields=("repo", "path", "commit"),
         key_fields=("repo", "path"),
+    )
+
+
+@_q(
+    "text_bpe_pairs",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term
+    )
+    SELECT pair, SUM(cnt)::BIGINT AS pair_count
+    FROM (
+      SELECT unnest(list_transform(range(1, length(term)),
+                    i -> substr(term, i::INT, 2))) AS pair, cnt
+      FROM tf WHERE length(term) >= 2
+    )
+    GROUP BY pair
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """Corpus-wide adjacent-symbol-pair frequencies — the statistic one
+    iteration of BPE tokenizer training maximises over (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units": merge the most frequent pair). Counting is over the
+    VOCABULARY weighted by term frequency, the classic BPE trick: the
+    pair explode touches each distinct term once, not each token
+    occurrence, so corpus growth only adds weight, not explode width.
+
+    Scale: token explode -> term-count groupBy (map-side combined, the
+    vocabulary is the exchange, not the corpus) -> bounded char-bigram
+    explode per distinct term (|term|-1 pairs) -> pair groupBy over a
+    key space capped by charset² — the second shuffle is near-constant
+    size at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bp = tf.filter(F.length("term") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(term) - 1),"
+                " i -> substring(term, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return bp.groupBy("pair").agg(
+        F.sum("cnt").cast("long").alias("pair_count")
+    )
+
+
+@_q(
+    "corpus_dsir_importance",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('dsir|' || term), 1, 8)) AS BIGINT)
+               % 1024 AS b
+      FROM toks
+    ), tf AS (
+      SELECT doc_id, b, COUNT(*)::BIGINT AS tf FROM feat GROUP BY doc_id, b
+    ), raw AS (
+      SELECT b, COUNT(*)::BIGINT AS cnt_r FROM feat GROUP BY b
+    ), tgt AS (
+      SELECT b, COUNT(*)::BIGINT AS cnt_t FROM feat
+      WHERE source = 'src0' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT SUM(cnt_r) FROM raw)::BIGINT AS n_r,
+             (SELECT COALESCE(SUM(cnt_t), 0) FROM tgt)::BIGINT AS n_t
+    )
+    SELECT tf.doc_id,
+           SUM(tf.tf)::BIGINT AS n_tokens,
+           floor(SUM(tf.tf * (
+               (length(bin(COALESCE(tgt.cnt_t, 0))) - length(bin(tot.n_t)))
+             - (length(bin(raw.cnt_r)) - length(bin(tot.n_r)))
+           )) * 1000000.0 / SUM(tf.tf))::BIGINT AS dsir_micro_bits
+    FROM tf JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+)
+def corpus_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weight per document (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    log p_target(x) - log p_raw(x) under hashed-unigram bag-of-words
+    models, target = the 'src0' domain, raw = the whole corpus.
+    log2 is the EXACT integer bitlen (length of binary representation,
+    = log2 within 1 bit — no libm, so Spark and DuckDB agree
+    bit-for-bit); a zero target count degrades to bitlen(0)=1, i.e.
+    add-one-ish smoothing. Score is the mean per-token log-ratio in
+    micro-bits: positive = looks like the target domain.
+
+    Scale: the two model tables are 1024-row aggregates (hashed feature
+    space is FIXED width — the DSIR trick), so scoring is
+    (doc,bucket)-grain joins against two broadcastable sides plus one
+    broadcast 1-row total; nothing grows with corpus except the
+    map-side-combined groupBys."""
+    d = _t(spark, sf_dir, "documents")
+    feat = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(X.tokens(F.col("text"))).alias("term"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(
+                X.portable_hash32(F.col("term"), "dsir"), F.lit(1024)
+            ).alias("b"),
+        )
+    )
+    tf = feat.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    raw = feat.groupBy("b").agg(F.count("*").cast("long").alias("cnt_r"))
+    tgt = (
+        feat.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("cnt_t"))
+    )
+    tot = raw.join(tgt, "b", "left").agg(
+        F.sum("cnt_r").cast("long").alias("n_r"),
+        F.coalesce(F.sum("cnt_t"), F.lit(0)).cast("long").alias("n_t"),
+    )
+    w = (
+        X.bitlen(F.coalesce(F.col("cnt_t"), F.lit(0))) - X.bitlen(F.col("n_t"))
+    ) - (X.bitlen(F.col("cnt_r")) - X.bitlen(F.col("n_r")))
+    return (
+        tf.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.floor(
+                F.sum(F.col("tf") * w) * F.lit(1000000.0) / F.sum("tf")
+            )
+            .cast("long")
+            .alias("dsir_micro_bits"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    # composed verbatim from the two verified oracles: identical
+    # candidate arithmetic by construction
+    return f"""
+    WITH exact AS (SELECT query_id, nbr_id
+                   FROM ({ORACLES["ann_cosine_topk"]})),
+    appr AS (SELECT query_id, nbr_id FROM ({ORACLES["ann_lsh_topk"]})),
+    k AS (SELECT query_id, COUNT(*)::BIGINT AS k
+          FROM exact GROUP BY query_id),
+    h AS (SELECT exact.query_id, COUNT(*)::BIGINT AS n_hits
+          FROM exact JOIN appr USING (query_id, nbr_id)
+          GROUP BY exact.query_id)
+    SELECT k.query_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           floor(COALESCE(h.n_hits, 0) * 1000000.0 / k.k)::BIGINT
+             AS recall_micro
+    FROM k LEFT JOIN h USING (query_id)
+    """
+
+
+@_q("ann_recall_eval", _ann_recall_oracle())
+def ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the LSH-indexed ANN path against the exact
+    brute-force top-5, per query — the quality-evaluation loop every
+    production ANN deployment runs before trusting an index (FAISS's
+    own benchmark discipline). Both sides are this catalog's verified
+    queries, so the metric itself is oracle-checked end-to-end.
+
+    Scale: the joined frames are (n_queries × k) rows — evaluation
+    cost is query-bound, never corpus-bound; run it on a sampled query
+    set to size an index's n_planes/max_bucket before a full sweep."""
+    exact = QUERIES["ann_cosine_topk"](spark, sf_dir).select(
+        "query_id", "nbr_id"
+    )
+    appr = QUERIES["ann_lsh_topk"](spark, sf_dir).select(
+        "query_id", "nbr_id"
+    )
+    k = exact.groupBy("query_id").agg(F.count("*").cast("long").alias("k"))
+    h = exact.join(appr, ["query_id", "nbr_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return k.join(h, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.floor(
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            * F.lit(1000000.0)
+            / F.col("k")
+        )
+        .cast("long")
+        .alias("recall_micro"),
     )
 
 

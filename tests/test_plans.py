@@ -468,3 +468,28 @@ def test_ivfpq_catalog_plan_no_sortmerge(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pairs_vocab_grain_two_exchanges(spark):
+    # BPE pair counting must shuffle the VOCABULARY, not the corpus:
+    # term-count groupBy + pair groupBy = exactly two exchanges, the
+    # bigram explode itself is narrow, everything stays JVM-side
+    from debezium_spark.queries import text_bpe_pairs
+
+    plan = plan_of(text_bpe_pairs(spark, SF_DIR))
+    assert n_exchanges(plan) == 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dsir_models_broadcast_not_sortmerge(spark):
+    # the two hashed-feature model tables are fixed-width (1024
+    # buckets) — scoring joins must broadcast them, never sort-merge
+    # the (doc, bucket) side
+    from debezium_spark.queries import corpus_dsir_importance
+
+    plan = plan_of(corpus_dsir_importance(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
