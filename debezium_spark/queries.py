@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from debezium_spark.functions import code as CQ
 from debezium_spark.functions import dedup as D
 from debezium_spark.functions import multimodal as M
 from debezium_spark.functions import similarity as S
@@ -5110,6 +5111,181 @@ def ann_recall_eval(spark, sf_dir):
         )
         .cast("long")
         .alias("recall_micro"),
+    )
+
+
+# --- code-corpus curation (the north-star table is source code) ------
+
+@_q(
+    "code_quality_metrics",
+    """
+    WITH tk AS (
+      SELECT doc_id, lang,
+             list_slice(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               t -> t <> ''), 1, 2048) AS tk
+      FROM documents
+    ), ln AS (
+      SELECT doc_id,
+        list_concat(list_concat(list_concat(
+          CASE WHEN doc_id % 10 = 0
+               THEN ['// auto-generated; do not edit'] ELSE [] END,
+          CASE WHEN doc_id % 3 = 0
+               THEN ['// ' || lang || ' helpers'] ELSE [] END),
+          CASE WHEN len(tk) > 0 THEN list_transform(
+            range(0, (len(tk)+7)//8), i ->
+              array_to_string(list_slice(tk, (i*8+1)::INT, (i*8+8)::INT),
+                              ' ')) ELSE [] END),
+          CASE WHEN doc_id % 7 = 0
+               THEN [repeat('x', 1200)] ELSE [] END) AS lines
+      FROM tk
+    ), met AS (
+      SELECT doc_id,
+        len(lines)::BIGINT AS n_lines,
+        COALESCE(list_max(list_transform(lines, l -> length(l))),
+                 0)::BIGINT AS max_line_len,
+        floor(COALESCE(list_sum(list_transform(lines, l -> length(l))),
+            0)::DOUBLE * 1e6 / greatest(len(lines), 1))::BIGINT
+          AS mean_line_micro,
+        floor(len(list_filter(lines, l -> l LIKE '//%'))::DOUBLE * 1e6
+          / greatest(len(lines), 1))::BIGINT AS comment_micro,
+        floor(length(regexp_replace(array_to_string(lines, chr(10)),
+            '[^A-Za-z0-9]', '', 'g'))::DOUBLE * 1e6
+          / greatest(length(array_to_string(lines, chr(10))), 1))::BIGINT
+          AS alnum_micro,
+        (array_to_string(lines, chr(10)) LIKE '%auto-generated%')
+          AS is_autogen
+      FROM ln
+    )
+    SELECT doc_id, n_lines, max_line_len, mean_line_micro,
+           comment_micro, alnum_micro, is_autogen,
+           (max_line_len <= 1000 AND mean_line_micro <= 100000000
+            AND alnum_micro >= 250000 AND NOT is_autogen) AS keep
+    FROM met
+    """,
+)
+def code_quality_metrics(spark, sf_dir):
+    """The-Stack/StarCoder file filters (Kocetkov et al. 2022, Li et
+    al. 2023 §3.1 published rules) over code-shaped documents: max and
+    mean line length, ``//``-comment density, alphanumeric fraction,
+    auto-generated detection, and the composed keep flag — all exact
+    integer micro-units.
+
+    The north-star input is a (repo, path, commit, lang, content)
+    source-code table; the fixture adapter wraps the prose docs into
+    deterministic code-shaped lines (header comments, 8-token lines,
+    a minified >1000-char line for doc_id%7==0, an auto-generated
+    marker for %10==0) so every filter rule actually fires.
+
+    Scale shape: one narrow projection — array ops + regexp in
+    whole-stage codegen, ZERO exchanges (plan-pinned in
+    tests/test_code_ops.py); pipelines straight out of the parquet
+    scan at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    lines = CQ.synth_code_lines(F.col("text"), F.col("doc_id"), F.col("lang"))
+    m = CQ.line_metrics(lines)
+    return d.select("doc_id", *[v.alias(k) for k, v in m.items()])
+
+
+@_q(
+    "dedup_cdc_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, text AS t, length(text) AS n FROM documents
+    ), c0 AS (
+      SELECT doc_id, t, n,
+        list_filter(list_transform(
+          CASE WHEN n >= 8 THEN range(8, n+1) ELSE [] END, i ->
+            CASE WHEN ('0x' || substr(md5('cc|' || substr(t, (i-7)::INT,
+                8)), 1, 8))::BIGINT % 16 = 0 THEN i END),
+          x -> x IS NOT NULL) AS cuts
+      FROM base
+    ), b0 AS (
+      SELECT doc_id, t,
+        list_concat(list_concat([0], list_filter(cuts, i -> i < n)),
+                    [n]) AS bounds
+      FROM c0
+    ), ch AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(bounds)), j ->
+          substr(t, (bounds[j]+1)::INT,
+                 (bounds[j+1]-bounds[j])::INT))) AS chunk
+      FROM b0
+    ), fr AS (
+      SELECT md5(chunk) AS ck, count(distinct doc_id) AS n_docs
+      FROM ch GROUP BY 1
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+        AS shared_chunks,
+      floor(sum(CASE WHEN n_docs >= 2 THEN length(chunk) ELSE 0
+        END)::DOUBLE * 1e6
+        / greatest(sum(length(chunk)), 1))::BIGINT AS shared_char_micro
+    FROM ch JOIN fr ON md5(ch.chunk) = fr.ck
+    GROUP BY doc_id
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Block-level dedup via content-defined chunking (LBFS rolling-
+    boundary chunks, Muthitacharoen et al. SOSP'01 — the rsync/Rabin
+    idea): cut where the 8-char window hash ≡ 0 mod 16, so boundaries
+    survive insertions and shared boilerplate dedups at BLOCK grain
+    across files whose file-level hashes all differ. Per doc: chunk
+    count, chunks shared with ≥2 docs, shared character-mass fraction.
+
+    Scale shape: the boundary scan is a codegen transform-over-
+    sequence (linear in chars, no Python); cross-doc sharing is one
+    map-side-combined groupBy on the md5 chunk key + one equi-join
+    back + one per-doc groupBy — uniform hash keys, no self-join, no
+    skew. The chunk-key frequency table is the block-store directory a
+    real code-lake dedup (or CAS store) maintains incrementally."""
+    d = _t(spark, sf_dir, "documents")
+    return CQ.chunk_share_stats(
+        d.select("doc_id", F.col("text").alias("t"))
+    )
+
+
+@_q(
+    "events_hopping_window",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - k.k * INTERVAL '15 minutes' AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(floor(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) 1-hour window every 15 minutes per event
+    type — the overlapping-window sibling of ``events_tumbling_window``
+    and the same ``F.window(ts, '1 hour', '15 minutes')`` expression
+    Structured Streaming runs under a watermark. Each event lands in
+    exactly 4 windows; windows are derived from event times, so sparse
+    periods cost nothing (the oracle's unnest([0..3]) is the same
+    4-way membership spelled relationally).
+
+    Scale shape: one map-side-combined groupBy on (window, event_type)
+    after a 4× narrow fan-out — no join, no skew beyond the event-type
+    cardinality itself."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
     )
 
 
