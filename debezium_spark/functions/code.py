@@ -241,15 +241,15 @@ def chunk_share_stats(df, text_col: str = "t", id_col: str = "doc_id"):
     the md5 chunk key (countDistinct doc), ONE equi-join back, one
     final per-doc groupBy. No self-join, no skew (md5 keys).
 
-    Parallelism guard: when the input scan yields fewer partitions
-    than the cluster has slots (a single small fixture file), the raw
-    (id, text) rows are respread before the per-char hash scan — a
-    few-MB shuffle here, a strict no-op branch at corpus scale where
-    file splits already exceed the core count."""
-    base = df.select(F.col(id_col), F.col(text_col).alias("__cdc_t"))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    Parallelism guard: the raw (id, text) rows go through
+    :func:`~debezium_spark.functions.util.ensure_parallelism` before
+    the per-char hash scan (a single small fixture file would
+    serialize it on one core)."""
+    from debezium_spark.functions.util import ensure_parallelism
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("__cdc_t"))
+    )
     ch = with_cdc_chunks(base, "__cdc_t").select(
         id_col, F.explode("chunks").alias("chunk")
     )

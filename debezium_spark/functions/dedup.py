@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from debezium_spark.functions.util import ensure_parallelism
 from debezium_spark.functions.text import (
     fingerprint,
     portable_hash32,
@@ -84,6 +85,7 @@ def ngram_jaccard_pairs(
     Plan (``max_postings=None`` — exactness for small inputs): classic
     inverted-index self-equi-join on shingle. No cross join anywhere.
     """
+    df = ensure_parallelism(df)
     sized = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n).alias("sh"),
@@ -158,6 +160,7 @@ def minhash_signature(
     digests are materialized in an explicit projection before the
     aggregate so the 4-way reuse never depends on codegen CSE.
     """
+    df = ensure_parallelism(df)
     posts = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
@@ -392,6 +395,7 @@ def simhash_parts(
     per-token ×32 row blowup, single map-side-combinable exchange of
     65 longs per doc.
     """
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from debezium_spark.functions.util import ensure_parallelism
+
 
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
@@ -93,6 +95,7 @@ def brute_force_topk(
     (query, partition) by the window's partial top-k under AQE.
     Excludes self-matches (same id).
     """
+    corpus = ensure_parallelism(corpus)
     c = corpus.select(
         F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -166,6 +169,7 @@ def sq8_topk(
     Integer dot products; similarity reported in deci-milli units with
     the floor-then-tie-break discipline the oracles use. Expects
     ``corpus_codes(nbr_id, qv8)`` / ``query_codes(query_id, qq8)``."""
+    corpus_codes = ensure_parallelism(corpus_codes)
     idot = F.aggregate(
         F.zip_with(F.col("qq8"), F.col("qv8"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -261,6 +265,7 @@ def ann_lsh_topk(
     deterministic) — the bucketed index is materialized once in
     production, so the cap's window runs at index build, not per
     query."""
+    corpus = ensure_parallelism(corpus)
     if n_planes is None:
         n_planes = auto_plane_count(
             corpus.count(), target_bucket=target_bucket, ladder=ladder
@@ -494,6 +499,7 @@ def ivf_assign(
     has ``(nbr_id, v, nv, cs6, cid)``. Above ``route_threshold``
     centroids the two-level routed (IMI-style) assignment replaces
     the flat n·C pass (≈2√C dots/row)."""
+    c = ensure_parallelism(c)
     cent_rows = ivf_centroids(
         c, n_centroids, id_col="nbr_id", vec_col="v"
     ).collect()
@@ -643,6 +649,7 @@ def cosine_near_dup_pairs(
     of a rounded double — the engine-portable form a SQL oracle can
     reproduce bit-for-bit.
     """
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -807,6 +814,7 @@ def pq_encode(
     argmin rows for one key never leave their partition, so each
     exchange carries one row per key) — the corpus is never sort-merge
     joined or replicated."""
+    corpus = ensure_parallelism(corpus)
     sub_dim = dim // n_sub
     sub = corpus.select(
         F.col(id_col).alias("nbr_id"),

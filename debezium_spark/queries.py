@@ -51,6 +51,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table load for compute-heavy scans (token/shingle explosions,
+    per-row hashing): respreads a single-split fixture file across the
+    cluster first (``ensure_parallelism`` — a no-op branch whenever the
+    scan already yields >= defaultParallelism splits, i.e. always at
+    real corpus scale)."""
+    from debezium_spark.functions.util import ensure_parallelism
+
+    return ensure_parallelism(_t(spark, sf_dir, name))
+
+
 # The Debezium op-code mapping for the events stream.
 _OP_SQL = (
     "CASE WHEN event_type = 'signup' THEN 'c' "
@@ -2476,7 +2487,7 @@ def corpus_decontaminate(spark, sf_dir):
     the only exchange is the map-side-combinable per-doc hit count.
     Contamination ratio in integer micro-units for exact cross-engine
     match."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", X.word_shingles(F.col("text"), 5).alias("sh")
     )
     is_bench = (
@@ -2679,7 +2690,7 @@ def multimodal_decode_features(spark, sf_dir):
     in SQL and checks the features' L1 mass in integer micro-units, so
     the Python-side Arrow pipeline is VALUE-checked end-to-end, not
     just row-counted."""
-    media = M.to_media_table(_t(spark, sf_dir, "documents"))
+    media = M.to_media_table(_t_wide(spark, sf_dir, "documents"))
     feats = M.decode_stub_features(media, dim=16)
     l1 = F.floor(
         F.aggregate(
@@ -4541,7 +4552,7 @@ def text_unigram_surprisal(spark, sf_dir):
     single-partition exchange."""
     from debezium_spark.functions import text as X
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
@@ -4608,7 +4619,7 @@ def text_top_terms(spark, sf_dir):
     O(doc terms) per task at any corpus size."""
     from debezium_spark.functions import text as X
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     stop = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     toks = d.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
@@ -4683,7 +4694,7 @@ def dedup_passages(spark, sf_dir):
     two-phase distinct-agg — (hash, doc_id) then hash — so shuffle
     volume is O(distinct pairs), never the corpus (plan-pinned,
     tests/test_plans.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     n_p = F.greatest(
         F.ceil(F.length("text") / F.lit(float(_PASSAGE_SIZE))).cast("long"),
         F.lit(1).cast("long"),
@@ -4944,7 +4955,7 @@ def text_bpe_pairs(spark, sf_dir):
     explode per distinct term (|term|-1 pairs) -> pair groupBy over a
     key space capped by charset² — the second shuffle is near-constant
     size at any corpus scale."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(X.tokens(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -5014,7 +5025,7 @@ def corpus_dsir_importance(spark, sf_dir):
     (doc,bucket)-grain joins against two broadcastable sides plus one
     broadcast 1-row total; nothing grows with corpus except the
     map-side-combined groupBys."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     feat = (
         d.select(
             "doc_id",

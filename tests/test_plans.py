@@ -35,8 +35,14 @@ def n_exchanges(plan: str) -> int:
     import re
 
     # formatted plans print each node once in the tree and once in the
-    # detail section — count detail headers only
-    return len(re.findall(r"\(\d+\) Exchange", plan))
+    # detail section — count detail headers only. Round-robin exchanges
+    # are the fixture-scale `ensure_parallelism` respread of a
+    # single-split input, not a data-keyed shuffle — the pinned shape
+    # is the hash/range exchange count, which is what survives at
+    # corpus scale (the respread branch is a no-op there).
+    total = len(re.findall(r"\(\d+\) Exchange", plan))
+    rr = len(re.findall(r"Arguments: RoundRobinPartitioning", plan))
+    return total - rr
 
 
 @pytest.fixture(scope="module")
