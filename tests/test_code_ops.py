@@ -150,6 +150,91 @@ def test_chunk_share_plan_bounded(spark):
     assert "partial_count" in plan or "partial" in plan.lower()
 
 
+def test_license_filter_policy(spark):
+    from debezium_spark.queries import QUERIES
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["code_license_filter"](spark, SF_DIR).collect()
+    }
+    want = {0: "MIT", 1: "Apache-2.0", 2: "BSD-3-Clause",
+            3: "GPL-3.0", 4: "AGPL-3.0", 5: "NONE"}
+    for doc_id, r in rows.items():
+        assert r["license"] == want[doc_id % 6]
+        assert r["keep"] == (doc_id % 6 in (0, 1, 2))
+    # unlicensed and copyleft are both dropped (The Stack's policy)
+    assert not rows[3]["keep"] and not rows[5]["keep"]
+
+
+def test_secret_scan_counts_and_redaction_witness(spark):
+    from debezium_spark.queries import QUERIES
+
+    out = QUERIES["code_secret_scan"](spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for doc_id, r in rows.items():
+        if doc_id % 17 == 0:
+            assert r["n_hex_secret"] == 1 and r["has_secret"]
+        elif doc_id % 13 == 0:
+            assert r["n_private_key"] == 1 and r["has_secret"]
+        elif doc_id % 11 == 0:
+            assert r["n_github_token"] == 1 and r["has_secret"]
+        elif doc_id % 7 == 0:
+            assert r["n_aws_key"] == 1 and r["has_secret"]
+        else:
+            assert r["n_secrets"] == 0 and not r["has_secret"]
+    # redaction witness: a clean doc's redacted_md5 equals md5(text);
+    # a dirty doc's differs (the secret was actually replaced)
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    import hashlib
+
+    for doc_id in (1, 2):
+        assert (
+            rows[doc_id]["redacted_md5"]
+            == hashlib.md5(docs[doc_id].encode()).hexdigest()
+        )
+    assert (
+        rows[7]["redacted_md5"]
+        != hashlib.md5(docs[7].encode()).hexdigest()
+    )
+
+
+def test_license_and_secret_plans_are_narrow(spark):
+    from debezium_spark.queries import QUERIES
+
+    for name in ("code_license_filter", "code_secret_scan"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert n_exchanges(plan) == 0, name
+        assert "Join" not in plan, name
+
+
+def test_repo_fork_pairs_finds_exactly_the_forks(spark):
+    from debezium_spark.queries import QUERIES
+
+    rows = QUERIES["dedup_repo_forks"](spark, SF_DIR).collect()
+    assert rows, "fork construction must produce pairs"
+    for r in rows:
+        # every qualifying pair is fork<X> against its upstream
+        # repo<Y> with Y ≡ X (mod 10) — never repo-repo or fork-fork
+        assert r["repo_a"].startswith("fork")
+        assert r["repo_b"].startswith("repo")
+        x = int(r["repo_a"][4:])
+        y = int(r["repo_b"][4:])
+        assert y % 10 == x
+        assert 0 < r["shared_files"] <= min(r["n_a"], r["n_b"])
+        assert r["jaccard_micro"] >= 100000
+
+
+def test_repo_fork_plan_join_free_candidates(spark):
+    from debezium_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_repo_forks"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the two size joins are broadcast (one row per repo)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_hopping_window_four_memberships(spark):
     from debezium_spark.queries import QUERIES
 
