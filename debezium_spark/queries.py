@@ -5466,6 +5466,73 @@ def dedup_repo_forks(spark, sf_dir):
     return CQ.repo_fork_pairs(files, threshold_micro=100000)
 
 
+@_q(
+    "events_value_percentiles",
+    """
+    WITH h AS (
+      SELECT event_type, floor(value * 100)::BIGINT AS v,
+             count(*)::BIGINT AS cnt
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, v, cnt,
+        sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type, max(n)::BIGINT AS n_events,
+      min(CASE WHEN cum * 100 >= 50 * n THEN v END)::BIGINT AS p50,
+      min(CASE WHEN cum * 100 >= 95 * n THEN v END)::BIGINT AS p95,
+      min(CASE WHEN cum * 100 >= 99 * n THEN v END)::BIGINT AS p99
+    FROM c GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact p50/p95/p99 per event type — the ops-latency-percentile
+    shape a CDC pipeline's StreamingMeter needs, computed the
+    scale-safe way: the exact percentile is the smallest histogram
+    value whose cumulative count reaches ceil(p·n/100)
+    (``cum·100 >= p·n`` in pure integers, so engines agree bit-for-bit
+    — never ``percentile_approx``, whose sketch is
+    implementation-defined).
+
+    Scale shape: raw events collapse to a (type, value) HISTOGRAM in
+    one map-side-combined groupBy — the window pass then runs at
+    histogram grain (distinct values), never sorting raw events; the
+    final per-type groupBy reuses the window's partitioning (no third
+    exchange). Memory per task is O(distinct values), not O(events) —
+    the reason production percentile jobs are histogram-first."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def pick(p: int) -> Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= p * F.col("n"), F.col("v"))
+        ).cast("long")
+
+    return c.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick(50).alias("p50"),
+        pick(95).alias("p95"),
+        pick(99).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

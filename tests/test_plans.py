@@ -499,3 +499,31 @@ def test_dsir_models_broadcast_not_sortmerge(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percentiles_histogram_grain_two_exchanges(spark):
+    # exact percentiles must run at HISTOGRAM grain: one partial-agg
+    # exchange to (type, value) counts, one type exchange shared by
+    # the window pass AND the final groupBy (same partitioning — no
+    # third exchange), and never a sort or window over raw events
+    from debezium_spark.queries import events_value_percentiles
+
+    df = events_value_percentiles(spark, SF_DIR)
+    plan = plan_of(df)
+    assert n_exchanges(plan) == 2
+    assert "Join" not in plan
+    # exactness spot-check against a driver-side sort at fixture scale
+    import math
+
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    vals = sorted(
+        r["v"]
+        for r in ev.filter(F.col("event_type") == "click")
+        .select(F.floor(F.col("value") * 100).cast("long").alias("v"))
+        .collect()
+    )
+    got = {r["event_type"]: r for r in df.collect()}["click"]
+    for p in (50, 95, 99):
+        assert got[f"p{p}"] == vals[math.ceil(p * len(vals) / 100) - 1]
