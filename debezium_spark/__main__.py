@@ -45,7 +45,13 @@ def main(argv: list[str] | None = None) -> int:
         ),
         default="initial",
     )
-    p.add_argument("--error-mode", choices=("fail", "warn", "skip"), default="fail")
+    p.add_argument(
+        "--error-mode",
+        choices=("fail", "warn", "skip", "dlq"),
+        default="fail",
+        help="dlq = errors.tolerance=all + dead-letter routing to "
+        "<lake-root>/_dlq with __connect.errors.* context headers",
+    )
     p.add_argument("--signal-path")
     p.add_argument("--salt", type=int, default=0)
     p.add_argument(

@@ -201,32 +201,93 @@ def normalize_target_key(
 # EventDispatcher failure modes :319-335 — fail / warn / skip)
 # ---------------------------------------------------------------------------
 
-def event_invalid(df: DataFrame) -> Column:
-    """Envelope-shape violations (VerifyRecord.java:129-227 rules):
-    unknown op, missing key, c/u/r without after image, d without
-    before image. Tombstones are exempt (null value side by design);
-    control ops 't'/'m' carry no row images and no table key
-    (Envelope.java:319 truncate has no image)."""
+def _invalid_rules() -> list[tuple[str, str, Column]]:
+    """Envelope-shape violations (VerifyRecord.java:129-227 rules) as an
+    ordered ``(stage, message, predicate)`` list — evaluation order
+    mirrors the Connect task pipeline (key converter, then value
+    converter), and the FIRST matching rule names a record's failure
+    (DeadLetterQueueReporter attaches exactly one error context per
+    record). Tombstones are exempt (null value side by design); control
+    ops 't'/'m' carry no row images and no table key (Envelope.java:319
+    truncate has no image)."""
     from debezium_spark.envelope import ALL_OPS, OP_DELETE, OP_MESSAGE, OP_TRUNCATE
 
     not_tomb = ~F.col("is_tombstone")
     control = F.coalesce(
         F.col("op").isin(OP_TRUNCATE, OP_MESSAGE), F.lit(False)
     )
-    bad_op = not_tomb & (
-        F.col("op").isNull() | ~F.col("op").isin(*ALL_OPS)
-    )
     bad_key = ~control & (
         F.col("key").isNull()
         | F.col("key.repo").isNull()
         | F.col("key.path").isNull()
+    )
+    bad_op = not_tomb & (
+        F.col("op").isNull() | ~F.col("op").isin(*ALL_OPS)
     )
     needs_after = not_tomb & F.col("op").isin("r", "c", "u")
     bad_after = needs_after & F.col("after").isNull()
     bad_before = (
         not_tomb & (F.col("op") == OP_DELETE) & F.col("before").isNull()
     )
-    return bad_op | bad_key | bad_after | bad_before
+    return [
+        ("KEY_CONVERTER", "missing or incomplete key", bad_key),
+        ("VALUE_CONVERTER", "unknown or missing op code", bad_op),
+        ("VALUE_CONVERTER", "c/r/u event without after image", bad_after),
+        ("VALUE_CONVERTER", "delete event without before image", bad_before),
+    ]
+
+
+def event_invalid(df: DataFrame) -> Column:
+    """OR of every :func:`_invalid_rules` predicate — True when the
+    envelope is malformed under any rule."""
+    rules = _invalid_rules()
+    out = rules[0][2]
+    for _, _, pred in rules[1:]:
+        out = out | pred
+    return out
+
+
+# Connect's DeadLetterQueueReporter error-context header keys
+# (connect/runtime/errors/DeadLetterQueueReporter.java — the public
+# `errors.deadletterqueue.context.headers.enable` surface).
+DLQ_EXCEPTION_CLASS = "org.apache.kafka.connect.errors.DataException"
+
+
+def dead_letter_records(
+    df: DataFrame,
+    source_topic: str = "events",
+    connector: str = "debezium-spark",
+    task_id: int = 0,
+) -> DataFrame:
+    """`errors.tolerance=all` + DLQ routing: the invalid slice of a
+    batch, each record carrying Connect's DeadLetterQueueReporter
+    error-context headers (``__connect.errors.*``) in the standard
+    map<string,string> ``headers`` column. The record VALUE is the
+    original envelope unchanged — like the reference, the DLQ keeps
+    the raw record so it can be repaired and replayed. Stage/message
+    come from the first matching :func:`_invalid_rules` entry.
+
+    Pure scan→filter→project (codegen, no shuffle): at scale this is
+    the produce-to-DLQ-topic side channel, not a join."""
+    rules = _invalid_rules()
+    stage = F.lit(None).cast("string")
+    msg = F.lit(None).cast("string")
+    for st, m, pred in reversed(rules):
+        stage = F.when(pred, F.lit(st)).otherwise(stage)
+        msg = F.when(pred, F.lit(m)).otherwise(msg)
+    headers = F.create_map(
+        F.lit("__connect.errors.topic"), F.lit(source_topic),
+        F.lit("__connect.errors.partition"),
+        F.col("partition_id").cast("string"),
+        F.lit("__connect.errors.offset"), F.col("lsn").cast("string"),
+        F.lit("__connect.errors.connector.name"), F.lit(connector),
+        F.lit("__connect.errors.task.id"), F.lit(str(task_id)),
+        F.lit("__connect.errors.stage"), stage,
+        F.lit("__connect.errors.exception.class.name"),
+        F.lit(DLQ_EXCEPTION_CLASS),
+        F.lit("__connect.errors.exception.message"), msg,
+    )
+    return df.filter(event_invalid(df)).withColumn("headers", headers)
 
 
 def enforce_valid(df: DataFrame, mode: str = "fail") -> DataFrame:
@@ -235,7 +296,11 @@ def enforce_valid(df: DataFrame, mode: str = "fail") -> DataFrame:
     - ``fail``: any invalid event aborts the batch BEFORE its commit
       (``raise_error`` inside the pipeline — no extra validation job);
     - ``warn`` / ``skip``: invalid events are filtered out; ``warn``
-      additionally counts them via the engine's observed metrics.
+      additionally counts them via the engine's observed metrics;
+    - ``dlq``: like ``skip`` for the main path — the engine routes the
+      invalid slice to the dead-letter sink via
+      :func:`dead_letter_records` (Connect ``errors.tolerance=all`` +
+      ``errors.deadletterqueue.topic.name``).
     """
     invalid = event_invalid(df)
     if mode == "fail":
@@ -251,7 +316,7 @@ def enforce_valid(df: DataFrame, mode: str = "fail") -> DataFrame:
             ).cast("long"),
         ).otherwise(F.col("lsn"))
         return df.withColumn("lsn", guard)
-    if mode in ("warn", "skip"):
+    if mode in ("warn", "skip", "dlq"):
         return df.filter(~invalid)
     raise ValueError(f"unknown error mode {mode!r}")
 

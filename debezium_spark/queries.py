@@ -758,6 +758,77 @@ def cdc_scripting_filter(spark, sf_dir):
 
 
 @_q(
+    "cdc_dlq_route",
+    """
+    WITH env AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_id % 41 <> 0 THEN user_id END AS user_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             CASE WHEN event_type <> 'error' AND event_id % 23 <> 0
+                  THEN value END AS after_value
+      FROM events
+    )
+    SELECT lsn, user_id, op,
+           'dlq.events' AS dlq_topic,
+           CASE WHEN user_id IS NULL THEN 'KEY_CONVERTER'
+                ELSE 'VALUE_CONVERTER' END AS err_stage,
+           'org.apache.kafka.connect.errors.DataException' AS err_class,
+           CASE WHEN user_id IS NULL THEN 'missing or incomplete key'
+                ELSE 'c/r/u event without after image' END AS err_message
+    FROM env
+    WHERE user_id IS NULL
+       OR (op IN ('c', 'u') AND after_value IS NULL)
+    """,
+)
+def cdc_dlq_route(spark, sf_dir):
+    """Dead-letter-queue routing (Kafka Connect ``errors.tolerance=all``
+    + ``errors.deadletterqueue.topic.name``; DeadLetterQueueReporter's
+    ``__connect.errors.*`` context headers): deterministic converter
+    faults are injected into the envelope stream (every 41st LSN loses
+    its key, every 23rd its after image) and the invalid slice is
+    routed through the real
+    :func:`debezium_spark.operators.transforms.dead_letter_records`
+    operator — scan→filter→project, codegen, no shuffle. Headers are
+    flattened to flat columns for the hash compare."""
+    from debezium_spark.operators.transforms import dead_letter_records
+
+    ev = _t(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    env = ev.select(
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias(
+            "partition_id"
+        ),
+        F.col("event_id").alias("lsn"),
+        _op_col().alias("op"),
+        F.when(
+            F.col("event_id") % 41 != 0,
+            F.struct(
+                F.col("user_id").cast("string").alias("repo"),
+                F.lit("p").alias("path"),
+            ),
+        ).alias("key"),
+        F.when(is_del, F.col("value")).alias("before"),
+        F.when(
+            ~is_del & (F.col("event_id") % 23 != 0), F.col("value")
+        ).alias("after"),
+        F.lit(False).alias("is_tombstone"),
+    )
+    h = F.col("headers")
+    return dead_letter_records(env, source_topic="events").select(
+        "lsn",
+        F.col("key.repo").cast("bigint").alias("user_id"),
+        "op",
+        F.concat(
+            F.lit("dlq."), h["__connect.errors.topic"]
+        ).alias("dlq_topic"),
+        h["__connect.errors.stage"].alias("err_stage"),
+        h["__connect.errors.exception.class.name"].alias("err_class"),
+        h["__connect.errors.exception.message"].alias("err_message"),
+    )
+
+
+@_q(
     "cdc_schema_evolution_gate",
     """
     SELECT event_id,

@@ -76,7 +76,12 @@ class EngineConfig:
     custom_should_snapshot: object = None  # Callable[[dict], bool]
     table_include_regex: str | None = None
     skipped_operations: tuple[str, ...] = ()
-    # fail | warn | skip — EventDispatcher error modes (:319-335)
+    # fail | warn | skip | dlq — EventDispatcher error modes (:319-335);
+    # dlq = Connect errors.tolerance=all + deadletterqueue.topic.name:
+    # invalid envelopes are routed to <lake_root>/_dlq with
+    # __connect.errors.* context headers and the batch commits without
+    # them (DeadLetterQueueReporter semantics — at-least-once on the
+    # DLQ side, idempotent per (phase, batch) via overwrite).
     error_mode: str = "fail"
     # JSON-lines control file polled between batches (SignalProcessor)
     signal_path: str | None = None
@@ -1363,6 +1368,8 @@ class Engine:
             )
         obs_pre_valid = Observation()
         ev = ev.observe(obs_pre_valid, F.count(F.lit(1)).alias("n"))
+        if self.cfg.error_mode == "dlq":
+            self._write_dead_letters(ev, batch_id, phase)
         ev = enforce_valid(ev, self.cfg.error_mode)
         obs_post_valid = Observation()
         ev = ev.observe(obs_post_valid, F.count(F.lit(1)).alias("n"))
@@ -1541,6 +1548,39 @@ class Engine:
         been expired by :meth:`debezium_spark.lake.LakeTable.
         expire_snapshots`."""
         return self.lake.read_state(logical=True, version=version)
+
+    def _write_dead_letters(
+        self, ev: DataFrame, batch_id: int, phase: str
+    ) -> None:
+        """Route this batch's invalid envelopes to the dead-letter sink
+        (Connect DeadLetterQueueReporter → here a parquet dir per
+        (phase, batch) under ``<lake_root>/_dlq``). Overwrite makes a
+        redelivered batch idempotent on the DLQ side; like the
+        reference the DLQ itself is at-least-once (a crash AFTER this
+        write but BEFORE the merge commit re-runs both)."""
+        from debezium_spark.generator import TABLE_NAME
+        from debezium_spark.operators.transforms import dead_letter_records
+
+        out = os.path.join(
+            self.cfg.lake_root, "_dlq", f"{phase}_b{batch_id}"
+        )
+        dead_letter_records(ev, source_topic=TABLE_NAME).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    def dead_letters(self) -> DataFrame:
+        """Every dead-lettered record (all phases/batches), with the
+        ``__connect.errors.*`` context headers. Empty DataFrame when
+        the DLQ dir does not exist yet."""
+        from debezium_spark.envelope import EVENT_SCHEMA
+        from debezium_spark.operators.transforms import dead_letter_records
+
+        root = os.path.join(self.cfg.lake_root, "_dlq")
+        try:
+            return self.spark.read.parquet(f"{root}/*")
+        except Exception:
+            empty = self.spark.createDataFrame([], EVENT_SCHEMA)
+            return dead_letter_records(empty)
 
     def metrics(self) -> list[dict]:
         return self.lake.lineage()

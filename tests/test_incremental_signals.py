@@ -266,6 +266,107 @@ def test_error_mode_fail_aborts_before_commit(spark, tmp_root, small_world):
     assert eng2.final_state().count() > 0
 
 
+def test_error_mode_dlq_routes_and_commits(spark, small_world):
+    """``errors.tolerance=all`` + dead-letter routing
+    (DeadLetterQueueReporter): invalid envelopes land in
+    <lake_root>/_dlq with __connect.errors.* context headers, the main
+    path commits the valid remainder (identical to skip mode), and a
+    re-delivered batch leaves the DLQ unchanged (idempotent
+    overwrite)."""
+    from debezium_spark.operators.transforms import event_invalid
+
+    bad = gen_change_log(spark, 4, 20, n_events=100, snapshot_lsn_base=80)
+    bad = bad.withColumn(
+        "after",
+        F.when(
+            F.col("lsn") % 7 == 0,
+            F.lit(None).cast(bad.schema["after"].dataType),
+        ).otherwise(F.col("after")),
+    )
+    bad.write.mode("overwrite").parquet(f"{small_world}/badlog_dlq")
+    n_invalid = bad.filter(event_invalid(bad)).count()
+    assert n_invalid > 0
+
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            changelog_path=f"{small_world}/badlog_dlq",
+            lake_root=f"{small_world}/lake_dlq",
+            snapshot_mode="never",
+            error_mode="dlq",
+        ),
+    )
+    out = eng.stream()
+    assert out and all(not r.get("skipped") for r in out)
+
+    dlq = eng.dead_letters()
+    rows = dlq.collect()
+    assert len(rows) == n_invalid
+    for r in rows:
+        h = r["headers"]
+        assert h["__connect.errors.stage"] == "VALUE_CONVERTER"
+        assert (
+            h["__connect.errors.exception.message"]
+            == "c/r/u event without after image"
+        )
+        assert h["__connect.errors.offset"] == str(r["lsn"])
+        assert int(r["lsn"]) % 7 == 0
+        # the DLQ keeps the raw record for repair-and-replay
+        assert r["after"] is None and r["op"] in ("c", "u", "r")
+
+    # main path == skip mode final state
+    eng_skip = Engine(
+        spark,
+        _cfg(
+            small_world,
+            changelog_path=f"{small_world}/badlog_dlq",
+            lake_root=f"{small_world}/lake_dlq_skip",
+            snapshot_mode="never",
+            error_mode="skip",
+        ),
+    )
+    eng_skip.stream()
+    a = {tuple(r) for r in eng.final_state().collect()}
+    b = {tuple(r) for r in eng_skip.final_state().collect()}
+    assert a == b
+
+    # re-delivery: fresh engine over the same lake skips the committed
+    # batch and the DLQ stays exactly as written
+    eng2 = Engine(
+        spark,
+        _cfg(
+            small_world,
+            changelog_path=f"{small_world}/badlog_dlq",
+            lake_root=f"{small_world}/lake_dlq",
+            snapshot_mode="never",
+            error_mode="dlq",
+        ),
+    )
+    out2 = eng2.stream()
+    # either the offset fast-path yields no windows at all, or every
+    # re-delivered window is fenced off as skipped — both are no-ops
+    assert all(r.get("skipped") for r in out2)
+    assert eng2.dead_letters().count() == n_invalid
+
+
+def test_dead_letters_empty_lake(spark, tmp_root, small_world):
+    """dead_letters() on a lake that never routed anything is an empty
+    DataFrame with the headers column, not an error."""
+    eng = Engine(
+        spark,
+        _cfg(
+            small_world,
+            lake_root=f"{small_world}/lake_nodlq",
+            snapshot_mode="never",
+            error_mode="dlq",
+        ),
+    )
+    df = eng.dead_letters()
+    assert "headers" in df.columns
+    assert df.count() == 0
+
+
 def test_blocking_snapshot_phase(spark, small_world):
     """Dedicated blocking-snapshot phase: pause -> snapshot -> resume
     (ChangeEventSourceCoordinator.java:198-227); streaming continues
