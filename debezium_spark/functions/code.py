@@ -43,12 +43,27 @@ MAX_LINE_LEN = 1000
 MEAN_LINE_MICRO = 100 * 1_000_000  # mean line length <= 100 chars
 MIN_ALNUM_MICRO = 250_000  # alphanumeric fraction > 0.25
 
-# Content-defined chunking parameters: an 8-char rolling window and a
-# mod-16 divisor give ~16-char expected chunks on the prose fixture;
-# at corpus scale the same constants give boundary density 1/16 of
-# positions regardless of file size (tune divisor for larger blocks).
+# Content-defined chunking parameters: an 8-char window hash and a
+# 1/16 boundary density give ~16-char expected chunks on the prose
+# fixture; at corpus scale the same constants give boundary density
+# 1/16 of positions regardless of file size (tune the threshold for
+# larger blocks). The window hash is the cheap polynomial family real
+# CDC chunkers use (Gear/Rabin — LBFS, Muthitacharoen et al. SOSP'01;
+# FastCDC, Xia et al. ATC'16), NOT a cryptographic hash per position:
+#   H(i)  = Σ_{j=0..W-1} codepoint(t[i-j]) · B^j          (exact int64)
+#   cut i ⇔ ((H(i) mod 2³²) · MIX) mod 2³² < 2³²/16
+# The odd-multiplier mix makes the threshold read the HIGH bits of the
+# product (low bits of a polynomial in base 31 alone are weakly mixed).
+# Every term stays < 2^58, so the arithmetic is exact in numpy uint64,
+# Spark BIGINT, and DuckDB BIGINT alike — boundaries are bit-identical
+# across all three engines.
 CDC_WINDOW = 8
 CDC_DIVISOR = 16
+CDC_BASE = 31
+CDC_MOD = 1 << 32
+CDC_MIX = 40503  # odd ⇒ bijection mod 2^32; Fibonacci-ish 16-bit
+CDC_THRESH = CDC_MOD // CDC_DIVISOR
+_CDC_POWS = [CDC_BASE**j for j in range(CDC_WINDOW)]
 
 
 def _empty_lines() -> Column:
@@ -139,61 +154,75 @@ def line_metrics(lines: Column) -> dict[str, Column]:
 
 def cut_positions_expr(col_name: str) -> Column:
     """JVM-expression form of the boundary scan: position i (1-based,
-    i ≥ window) is a cut whenever the portable 32-bit hash
-    (``conv(substring(md5(..),1,8),16,10)``, the same construction as
-    :func:`debezium_spark.functions.text.portable_hash32`) of the
-    ``CDC_WINDOW``-char window ending at i is ≡ 0 mod ``CDC_DIVISOR``.
+    i ≥ window) is a cut whenever the polynomial window hash of the
+    ``CDC_WINDOW`` chars ending at i passes the mixed threshold test
+    (see the CDC_* constants above for the exact rule).
 
     Kept as the executable spec / parity witness for the Arrow kernel
-    below — higher-order lambdas are interpreted, and md5-per-position
-    through this path measured ~170 µs/char (sf0.1 ≈ 257 s), so the
-    hot path is :func:`cut_bounds` instead."""
-    w, d, t = CDC_WINDOW, CDC_DIVISOR, col_name
+    below — higher-order lambdas are interpreted, so the hot path is
+    :func:`cut_bounds` instead. Char codes come from ``ascii()``,
+    which Spark defines on the first BYTE while the kernel/oracle use
+    the code point — identical on single-byte (ASCII/latin-1 range)
+    text, which is what the parity tests and fixtures use; the
+    production rule is the code-point form."""
+    w, t = CDC_WINDOW, col_name
+    h = " + ".join(
+        f"CAST(ascii(substring({t}, i - {j}, 1)) AS BIGINT) * {p}L"
+        for j, p in enumerate(_CDC_POWS)
+    )
     return F.expr(
         f"filter(transform(CASE WHEN length({t}) >= {w} THEN "
         f"sequence({w}, length({t})) ELSE CAST(array() AS ARRAY<INT>) END, "
-        f"i -> CASE WHEN CAST(conv(substring(md5(concat('cc|', "
-        f"substring({t}, i - {w - 1}, {w}))), 1, 8), 16, 10) AS BIGINT) "
-        f"% {d} = 0 THEN i END), x -> x IS NOT NULL)"
+        f"i -> CASE WHEN (({h}) % {CDC_MOD}L) * {CDC_MIX}L % {CDC_MOD}L "
+        f"< {CDC_THRESH}L THEN i END), x -> x IS NOT NULL)"
     )
 
 
 def _bounds_kernel(texts):
     """Per-batch boundary scan: for each string, the full bounds array
-    ``[0, cuts < len, len]`` in characters. ``int.from_bytes(digest[:4],
-    'big')`` equals ``CAST(conv(substring(md5(..),1,8),16,10) AS
-    BIGINT)`` — hex-prefix and byte-prefix of md5 are the same 32
-    bits — so boundaries are byte-identical to the SQL/DuckDB form."""
-    import hashlib
-
+    ``[0, cuts < len, len]`` in characters. The polynomial window hash
+    (CDC_* constants) is fully vectorized — 8 shifted multiply-adds
+    over the code-point array per document, exact in uint64 — so the
+    scan runs at numpy speed instead of a per-position hash call."""
+    import numpy as np
     import pandas as pd
 
-    w, d = CDC_WINDOW, CDC_DIVISOR
+    w = CDC_WINDOW
+    mod = np.uint64(CDC_MOD - 1)  # 2^32-1: x & mod == x % 2^32
+    mix = np.uint64(CDC_MIX)
+    thresh = np.uint64(CDC_THRESH)
+    pows = [np.uint64(p) for p in _CDC_POWS]
     out = []
     for t in texts:
         if t is None:
             out.append(None)
             continue
         n = len(t)
-        bounds = [0]
-        md5 = hashlib.md5
-        for i in range(w, n + 1):
-            h = md5(("cc|" + t[i - w : i]).encode("utf-8")).digest()
-            if int.from_bytes(h[:4], "big") % d == 0 and i < n:
-                bounds.append(i)
-        bounds.append(n)
-        out.append(bounds)
+        if n < w:
+            out.append([0, n])
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+            np.uint64
+        )
+        h = np.zeros(n - w + 1, dtype=np.uint64)
+        for j in range(w):
+            # window ending at 1-based position i = k + w: char t[i-j]
+            h += codes[w - 1 - j : n - j] * pows[j]
+        x = ((h & mod) * mix) & mod
+        pos = np.nonzero(x < thresh)[0] + w
+        pos = pos[pos < n]
+        out.append([0, *pos.tolist(), n])
     return pd.Series(out)
 
 
 def cut_bounds(col: Column) -> Column:
     """Arrow-batched boundary scan producing ``[0, cuts…, len]`` for
-    content-defined chunking. Same md5-window rule as
-    :func:`cut_positions_expr` (parity-tested), but ~60× faster: the
-    per-position hash loop runs in CPython/hashlib instead of Spark's
-    interpreted higher-order-lambda evaluator. Linear in corpus chars,
-    embarrassingly parallel across Arrow batches; output is a small
-    int array (~len/16 entries), so Arrow transfer stays narrow."""
+    content-defined chunking. Same polynomial window-hash rule as
+    :func:`cut_positions_expr` (parity-tested), vectorized in numpy
+    instead of Spark's interpreted higher-order-lambda evaluator.
+    Linear in corpus chars, embarrassingly parallel across Arrow
+    batches; output is a small int array (~len/16 entries), so Arrow
+    transfer stays narrow."""
     from pyspark.sql.functions import pandas_udf
 
     kernel = pandas_udf(_bounds_kernel, "array<int>")

@@ -5274,14 +5274,23 @@ def code_quality_metrics(spark, sf_dir):
     """
     WITH base AS (
       SELECT doc_id, text AS t, length(text) AS n FROM documents
+    ), cp AS (
+      SELECT doc_id, t, n,
+        list_transform(range(1, n+1),
+                       i -> ascii(substr(t, i::INT, 1))::BIGINT) AS c
+      FROM base
     ), c0 AS (
       SELECT doc_id, t, n,
         list_filter(list_transform(
           CASE WHEN n >= 8 THEN range(8, n+1) ELSE [] END, i ->
-            CASE WHEN ('0x' || substr(md5('cc|' || substr(t, (i-7)::INT,
-                8)), 1, 8))::BIGINT % 16 = 0 THEN i END),
+            CASE WHEN ((c[i::INT] + c[(i-1)::INT]*31
+                + c[(i-2)::INT]*961 + c[(i-3)::INT]*29791
+                + c[(i-4)::INT]*923521 + c[(i-5)::INT]*28629151
+                + c[(i-6)::INT]*887503681
+                + c[(i-7)::INT]*27512614111) % 4294967296)
+                * 40503 % 4294967296 < 268435456 THEN i END),
           x -> x IS NOT NULL) AS cuts
-      FROM base
+      FROM cp
     ), b0 AS (
       SELECT doc_id, t,
         list_concat(list_concat([0], list_filter(cuts, i -> i < n)),
@@ -5310,10 +5319,13 @@ def code_quality_metrics(spark, sf_dir):
 def dedup_cdc_chunks(spark, sf_dir):
     """Block-level dedup via content-defined chunking (LBFS rolling-
     boundary chunks, Muthitacharoen et al. SOSP'01 — the rsync/Rabin
-    idea): cut where the 8-char window hash ≡ 0 mod 16, so boundaries
-    survive insertions and shared boilerplate dedups at BLOCK grain
-    across files whose file-level hashes all differ. Per doc: chunk
-    count, chunks shared with ≥2 docs, shared character-mass fraction.
+    idea): cut where the cheap polynomial 8-char window hash passes a
+    1/16-density threshold (the Gear/FastCDC-style integer hash real
+    chunkers use — see ``functions/code.py`` CDC_* constants), so
+    boundaries survive insertions and shared boilerplate dedups at
+    BLOCK grain across files whose file-level hashes all differ. Per
+    doc: chunk count, chunks shared with ≥2 docs, shared
+    character-mass fraction.
 
     Scale shape: the boundary scan is a codegen transform-over-
     sequence (linear in chars, no Python); cross-doc sharing is one
