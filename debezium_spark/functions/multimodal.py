@@ -131,6 +131,82 @@ def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
     return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("out_md5", T.StringType()),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Resize plumbing over the opaque payload: thumbnail-fit target
+    dimensions (never upscale, aspect preserved, exact integer
+    division) are computed JVM-side BEFORE the Python boundary; the
+    Arrow batch then runs the codec slot — here a deterministic md5
+    stand-in for PIL's ``Image.resize`` — as the ONLY per-element
+    Python, mirroring :func:`decode_stub_features`.
+
+    Source dims come from a deterministic fixture adapter over
+    ``n_bytes`` (a real deployment reads them from the metadata
+    struct); the fake resized payload is the 16-byte md5 of
+    ``payload || '|resize|WxH'`` so a SQL oracle can value-check the
+    whole pipeline (``md5(text || ...)``) without a real decoder."""
+    w = (F.lit(16) + F.col("meta.n_bytes") % 497).cast("int")
+    h = (F.lit(16) + (F.col("meta.n_bytes") * 31) % 359).cast("int")
+    fits = (w <= max_w) & (h <= max_h)
+    wide = w * max_h >= h * max_w  # w/h >= max_w/max_h
+    out_w = (
+        F.when(fits, w)
+        .when(wide, F.lit(max_w))
+        .otherwise(F.floor(w * max_h / h).cast("int"))
+        .cast("int")
+    )
+    out_h = (
+        F.when(fits, h)
+        .when(wide, F.floor(h * max_w / w).cast("int"))
+        .otherwise(F.lit(max_h))
+        .cast("int")
+    )
+    flat = df.select(
+        "media_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        F.greatest(out_w, F.lit(1)).alias("out_w"),
+        F.greatest(out_h, F.lit(1)).alias("out_h"),
+        "payload",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                hashlib.md5(
+                    bytes(p) + f"|resize|{ow}x{oh}".encode()
+                ).digest()
+                for p, ow, oh in zip(
+                    pdf["payload"], pdf["out_w"], pdf["out_h"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_w": pdf["src_w"],
+                    "src_h": pdf["src_h"],
+                    "out_w": pdf["out_w"],
+                    "out_h": pdf["out_h"],
+                    "resized": resized,
+                    "out_md5": [r.hex() for r in resized],
+                }
+            )
+
+    return flat.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

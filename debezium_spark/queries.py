@@ -2780,6 +2780,53 @@ def multimodal_decode_features(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS nb
+      FROM documents
+    ), d AS (
+      SELECT media_id, text,
+             (16 + nb % 497)::INT AS src_w,
+             (16 + (nb * 31) % 359)::INT AS src_h
+      FROM m
+    ), o AS (
+      SELECT media_id, text, src_w, src_h,
+        CASE WHEN src_w <= 256 AND src_h <= 256 THEN src_w
+             WHEN src_w >= src_h THEN 256
+             ELSE floor(src_w * 256.0 / src_h)::INT END AS out_w,
+        CASE WHEN src_w <= 256 AND src_h <= 256 THEN src_h
+             WHEN src_w >= src_h THEN floor(src_h * 256.0 / src_w)::INT
+             ELSE 256 END AS out_h
+      FROM d
+    )
+    SELECT media_id, src_w, src_h, out_w, out_h,
+           16::BIGINT AS out_bytes,
+           md5(text || '|resize|' || out_w || 'x' || out_h) AS out_md5
+    FROM o
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plumbing (thumbnail-fit into 256×256, never upscale) via
+    mapInPandas: target dims are exact integer math computed JVM-side;
+    only the codec slot (md5 stand-in for ``Image.resize``) runs in
+    Python per element. The oracle recomputes both the dims and the
+    resized payload's digest in SQL, value-checking the Arrow pipeline
+    end-to-end (same pattern as ``multimodal_decode_features``)."""
+    media = M.to_media_table(_t_wide(spark, sf_dir, "documents"))
+    out = M.resize_stub(media, max_w=256, max_h=256)
+    return out.select(
+        "media_id",
+        "src_w",
+        "src_h",
+        "out_w",
+        "out_h",
+        F.length("resized").cast("long").alias("out_bytes"),
+        "out_md5",
+    )
+
+
 _SHINGLE_CTE = """
     WITH toks AS (
       SELECT doc_id,

@@ -467,6 +467,37 @@ def test_frame_sample_offsets(spark, docs):
     assert all(r["n_bytes"] == len(DOCS[0][1].encode()) for r in rows)
 
 
+def test_resize_stub_dims_and_digest(spark, docs):
+    """Thumbnail-fit rule: never upscale, aspect preserved, the long
+    side pinned to the box; the fake resized payload is the md5 of
+    (payload || '|resize|WxH') so digests are reproducible."""
+    import hashlib
+
+    media = M.to_media_table(docs)
+    out = {r["media_id"]: r for r in M.resize_stub(media).collect()}
+    for mid, text in DOCS:
+        r = out[mid]
+        nb = len(text.encode())
+        assert (r["src_w"], r["src_h"]) == (
+            16 + nb % 497,
+            16 + (nb * 31) % 359,
+        )
+        if r["src_w"] <= 256 and r["src_h"] <= 256:
+            assert (r["out_w"], r["out_h"]) == (r["src_w"], r["src_h"])
+        else:
+            assert max(r["out_w"], r["out_h"]) == 256
+            assert r["out_w"] <= r["src_w"] and r["out_h"] <= r["src_h"]
+            # aspect preserved up to integer floor
+            assert abs(
+                r["out_w"] * r["src_h"] - r["out_h"] * r["src_w"]
+            ) <= max(r["src_w"], r["src_h"])
+        want = hashlib.md5(
+            text.encode() + f"|resize|{r['out_w']}x{r['out_h']}".encode()
+        )
+        assert r["out_md5"] == want.hexdigest()
+        assert bytes(r["resized"]) == want.digest()
+
+
 # --- round-3 pipeline ops: PII, repetition, quota sample, shard pack ---
 
 SF_DIR = "/root/testdata/sf0.001"
