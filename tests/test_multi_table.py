@@ -1,0 +1,237 @@
+"""Multi-table capture: N tables in one log → one lake table each.
+
+Reference behavior mirrored: a single connector task captures every
+include-listed table and dispatches each event to a per-table topic
+(EventDispatcher.java:481 dataChangeTopic); consumers replay topics
+independently. Oracle: per-table final state must equal a single-table
+Engine run over that table's slice of the log, and equal the Python
+LWW oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.generator import (
+    TABLE_NAME,
+    gen_change_log,
+    gen_source_table,
+)
+from debezium_spark.streaming.engine import Engine, EngineConfig
+from debezium_spark.streaming.multi_table import (
+    MultiTableEngine,
+    TableSpec,
+    route_changelog_by_table,
+    with_table_name,
+)
+
+T2 = "repo_files_archive"
+T3 = "audit.events-v2"  # needs sanitizing for a path
+
+
+def _mixed_log(spark, tmp_root, tables, n_events=3000):
+    """Interleaved multi-table log: independently generated per-table
+    streams (different seeds ⇒ different content), retagged and
+    unioned. Per-topic LSN order is what the consumer model guarantees
+    — cross-table interleave order is deliberately arbitrary."""
+    parts = []
+    for i, t in enumerate(tables):
+        log = gen_change_log(
+            spark,
+            n_repos=4,
+            paths_per_repo=25,
+            n_events=n_events,
+            seed=42 + i,
+            partitions=4,
+        )
+        parts.append(with_table_name(log, t))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = f"{tmp_root}/mixed_log"
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _single_table_final(spark, tmp_root, log_path, table, tag):
+    """Oracle engine: one Engine over just this table's events."""
+    one = (
+        spark.read.parquet(log_path)
+        .where(F.col("source.table") == table)
+    )
+    p = f"{tmp_root}/oracle_log_{tag}"
+    one.write.mode("overwrite").parquet(p)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=p,
+            lake_root=f"{tmp_root}/oracle_lake_{tag}",
+            snapshot_mode="never",
+            n_buckets=4,
+            partitions=4,
+        ),
+    )
+    eng.run()
+    return eng.final_state()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.parametrize("route", ["partition", "filter"])
+def test_multi_table_replay_matches_per_table_engines(
+    spark, tmp_root, route
+):
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables)
+    mt = MultiTableEngine(
+        spark,
+        log_path,
+        f"{tmp_root}/lake_{route}",
+        route=route,
+        snapshot_mode="never",
+        n_buckets=4,
+        partitions=4,
+    )
+    assert mt.discover_tables() == sorted(tables)
+    mt.run()
+    for i, t in enumerate(tables):
+        got = _rows(mt.final_state(t))
+        want = _rows(
+            _single_table_final(
+                spark, tmp_root, log_path, t, f"{route}{i}"
+            )
+        )
+        assert got == want, f"table {t} final state diverged"
+        assert len(got) > 0
+    # the two tables genuinely differ (different seeds)
+    assert _rows(mt.final_state(tables[0])) != _rows(
+        mt.final_state(tables[1])
+    )
+
+
+def test_concurrent_table_replay_matches_serial(spark, tmp_root):
+    """max_concurrent_tables=2: overlapped per-table replays produce
+    the same final states as serial (engines share only the session)."""
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=1200)
+    serial = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_ser",
+        snapshot_mode="never", n_buckets=4, partitions=4,
+    )
+    serial.run()
+    conc = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_conc",
+        snapshot_mode="never", n_buckets=4, partitions=4,
+    )
+    conc.run(max_concurrent_tables=2)
+    for t in tables:
+        assert _rows(conc.final_state(t)) == _rows(serial.final_state(t))
+
+
+def test_route_changelog_partitions_and_sanitized_dirs(spark, tmp_root):
+    tables = [TABLE_NAME, T3]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=800)
+    topics = route_changelog_by_table(
+        spark, log_path, f"{tmp_root}/topics"
+    )
+    assert sorted(topics) == sorted(tables)
+    total = spark.read.parquet(log_path).count()
+    per = {
+        t: spark.read.parquet(p).count() for t, p in topics.items()
+    }
+    assert sum(per.values()) == total
+    # routing is idempotent: a second call re-lists, no rewrite
+    again = route_changelog_by_table(
+        spark, log_path, f"{tmp_root}/topics"
+    )
+    assert again == topics
+    # topic files carry full event schema (routing key restored on read)
+    cols = set(spark.read.parquet(topics[T3]).columns)
+    assert {"lsn", "op", "key", "before", "after", "source"} <= cols
+    # per-topic slice is pure: only its own table
+    vals = (
+        spark.read.parquet(topics[T3])
+        .select(F.col("source.table").alias("t"))
+        .distinct()
+        .collect()
+    )
+    assert [r["t"] for r in vals] == [T3]
+
+
+def test_include_exclude_capture_set(spark, tmp_root):
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=600)
+    mt = MultiTableEngine(
+        spark,
+        log_path,
+        f"{tmp_root}/lake_inc",
+        include_regex="archive",
+        snapshot_mode="never",
+        n_buckets=4,
+        partitions=4,
+    )
+    assert mt.discover_tables() == [T2]
+    res = mt.run()
+    assert set(res) == {T2}
+    assert mt.final_state(T2).count() > 0
+
+
+def test_per_table_snapshot_and_independence(spark, tmp_root):
+    """Per-table sources: one table snapshots, the other streams from
+    nothing; re-running one table's engine alone is fenced (offsets)
+    and leaves the other untouched."""
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=1500)
+    src = gen_source_table(spark, n_repos=4, paths_per_repo=25)
+    src_path = f"{tmp_root}/src_main"
+    src.write.mode("overwrite").parquet(src_path)
+    mt = MultiTableEngine(
+        spark,
+        log_path,
+        f"{tmp_root}/lake_mix",
+        tables=[
+            TableSpec(
+                TABLE_NAME,
+                source_table_path=src_path,
+                overrides={"snapshot_mode": "initial"},
+            ),
+            TableSpec(T2, overrides={"snapshot_mode": "never"}),
+        ],
+        n_buckets=4,
+        partitions=4,
+    )
+    mt.run()
+    a1 = _rows(mt.final_state(TABLE_NAME))
+    b1 = _rows(mt.final_state(T2))
+    # snapshot-backed table == single-table oracle engine with the same
+    # snapshot (stream deletes remove snapshot keys, so no keyspace count)
+    one = (
+        spark.read.parquet(log_path)
+        .where(F.col("source.table") == TABLE_NAME)
+    )
+    p = f"{tmp_root}/oracle_log_snap"
+    one.write.mode("overwrite").parquet(p)
+    oracle = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=p,
+            lake_root=f"{tmp_root}/oracle_lake_snap",
+            source_table_path=src_path,
+            snapshot_mode="initial",
+            n_buckets=4,
+            partitions=4,
+        ),
+    )
+    oracle.run()
+    assert a1 == _rows(oracle.final_state())
+    assert len(b1) > 0
+    # re-run ONE table: fenced no-op, sibling untouched
+    mt.engines()[T2].run()
+    assert _rows(mt.final_state(T2)) == b1
+    assert _rows(mt.final_state(TABLE_NAME)) == a1
