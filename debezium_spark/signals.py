@@ -50,9 +50,16 @@ KNOWN_TYPES = (
 
 
 class SignalChannel:
-    def __init__(self, path: str):
+    def __init__(self, path: str, processed_path: str | None = None):
+        # ``processed_path``: consumer-scoped ack ledger. The signal
+        # file is a shared channel (any writer appends); WHICH signals
+        # a consumer has handled is that consumer's own state — with
+        # several engines tailing one channel (multi-table capture),
+        # each keeps its ledger under its own lake root so one
+        # engine's ack never hides a signal from another (the
+        # consumer-group-offsets shape).
         self.path = path
-        self._done_path = path + ".processed"
+        self._done_path = processed_path or (path + ".processed")
 
     def _processed(self) -> set[str]:
         if not os.path.exists(self._done_path):

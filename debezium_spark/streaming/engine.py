@@ -85,6 +85,14 @@ class EngineConfig:
     error_mode: str = "fail"
     # JSON-lines control file polled between batches (SignalProcessor)
     signal_path: str | None = None
+    # consumer-scoped ack ledger for a SHARED signal channel (several
+    # engines tailing one file under multi-table capture); None keeps
+    # the channel-local default sidecar
+    signal_ack_path: str | None = None
+    # this engine's captured collection id (source.table value) —
+    # data-collection-addressed signals and snapshot overrides match
+    # against it; None = the generator's default table
+    collection_name: str | None = None
     incremental_chunk_size: int = 1024  # CommonConnectorConfig.java:553-560
     # incremental.snapshot.watermarking.strategy analogue
     # (CommonConnectorConfig.java:787-795): how per-chunk window
@@ -258,6 +266,17 @@ class Engine:
         # SourceSignalChannel.java) — processed-id ledger survives
         # restarts so full-log replay never re-fires completed actions
         self._source_ledger = SourceSignalLedger(cfg.lake_root)
+
+    @property
+    def _collection(self) -> str:
+        """This engine's captured collection id (``source.table``) —
+        what data-collection-addressed signals, per-table snapshot
+        overrides, and DLQ context match against."""
+        if self.cfg.collection_name:
+            return self.cfg.collection_name
+        from debezium_spark.generator import TABLE_NAME
+
+        return TABLE_NAME
 
     def _schema_changes_from_log(self) -> list[dict]:
         """Rebuild the schema history from in-stream schema-change
@@ -496,9 +515,7 @@ class Engine:
         source scan as a pushed filter; the projection restricts the
         captured columns (key columns always kept — dropped columns are
         never captured, like an overridden ``SELECT col, ...``)."""
-        from debezium_spark.generator import TABLE_NAME
-
-        ov = (self.cfg.snapshot_overrides or {}).get(TABLE_NAME)
+        ov = (self.cfg.snapshot_overrides or {}).get(self._collection)
         if not ov:
             return source
         if ov.get("filter"):
@@ -885,7 +902,9 @@ class Engine:
             return
         from debezium_spark.signals import SignalChannel
 
-        channel = SignalChannel(self.cfg.signal_path)
+        channel = SignalChannel(
+            self.cfg.signal_path, processed_path=self.cfg.signal_ack_path
+        )
         if side == "open":
             channel.send(f"{chunk_id}-open", "snapshot-window-open")
             channel.ack(f"{chunk_id}-open")
@@ -969,7 +988,9 @@ class Engine:
             return []
         from debezium_spark.signals import SignalChannel
 
-        channel = SignalChannel(self.cfg.signal_path)
+        channel = SignalChannel(
+            self.cfg.signal_path, processed_path=self.cfg.signal_ack_path
+        )
         handled = []
         for sig in channel.poll():
             if not self._apply_signal_action(sig, during_snapshot):
@@ -1024,10 +1045,8 @@ class Engine:
         tables to snapshot (signals for other tables are no-ops) and
         ``additional-conditions`` carries per-table predicates pushed
         into the chunked re-read's pruned scans."""
-        from debezium_spark.generator import TABLE_NAME
-
         tables = data.get("data-collections") or data.get("data_collections")
-        if tables and TABLE_NAME not in tables:
+        if tables and self._collection not in tables:
             return
         src = None
         if data.get("source_path"):
@@ -1039,7 +1058,8 @@ class Engine:
             c["filter"]
             for c in (conds or [])
             if c.get("filter")
-            and c.get("data-collection", TABLE_NAME) == TABLE_NAME
+            and c.get("data-collection", self._collection)
+            == self._collection
         ]
         if preds:
             src = src if src is not None else self.live_source()
@@ -1558,13 +1578,12 @@ class Engine:
         redelivered batch idempotent on the DLQ side; like the
         reference the DLQ itself is at-least-once (a crash AFTER this
         write but BEFORE the merge commit re-runs both)."""
-        from debezium_spark.generator import TABLE_NAME
         from debezium_spark.operators.transforms import dead_letter_records
 
         out = os.path.join(
             self.cfg.lake_root, "_dlq", f"{phase}_b{batch_id}"
         )
-        dead_letter_records(ev, source_topic=TABLE_NAME).write.mode(
+        dead_letter_records(ev, source_topic=self._collection).write.mode(
             "overwrite"
         ).parquet(out)
 

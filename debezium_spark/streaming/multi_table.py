@@ -85,11 +85,14 @@ def route_changelog_by_table(
     partition column is dropped on read and restored from the
     directory, so topic files carry the full event schema minus the
     redundant routing key. Idempotent per (changelog, topics_root):
-    an existing non-empty topics_root is trusted and re-listed.
+    an existing COMPLETED routing (the writer's _SUCCESS marker) is
+    trusted and re-listed; a partial one (crash mid-write) is redone,
+    and mode("overwrite") makes the redo safe.
     """
-    existing = _list_topics(spark, topics_root)
-    if existing:
-        return existing
+    if _hadoop_exists(spark, f"{topics_root}/_SUCCESS"):
+        existing = _list_topics(spark, topics_root)
+        if existing:
+            return existing
     df = spark.read.parquet(changelog_path)
     (
         df.withColumn(_TOPIC_COL, F.col("source.table"))
@@ -98,6 +101,13 @@ def route_changelog_by_table(
         .parquet(topics_root)
     )
     return _list_topics(spark, topics_root)
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def _list_topics(spark: SparkSession, topics_root: str) -> dict[str, str]:
@@ -218,9 +228,19 @@ class MultiTableEngine:
                 cfg_kwargs.setdefault(
                     "table_include_regex", f"^{re.escape(name)}$"
                 )
+            table_root = f"{self.lake_root}/{sanitize_table_dir(name)}"
+            # shared signal channel ⇒ per-consumer ack ledger, so one
+            # table's ack never hides the signal from its siblings;
+            # data-collection addressing matches this engine's name
+            if cfg_kwargs.get("signal_path"):
+                cfg_kwargs.setdefault(
+                    "signal_ack_path",
+                    f"{table_root}/_signals.processed",
+                )
+            cfg_kwargs.setdefault("collection_name", name)
             cfg = EngineConfig(
                 changelog_path=log_path,
-                lake_root=f"{self.lake_root}/{sanitize_table_dir(name)}",
+                lake_root=table_root,
                 source_table_path=spec.source_table_path,
                 key_columns=tuple(spec.key_columns),
                 **cfg_kwargs,
@@ -260,8 +280,38 @@ class MultiTableEngine:
             }
             return {name: f.result() for name, f in futs.items()}
 
+    def process_signals(self) -> dict[str, list[dict]]:
+        """Fan one poll over every captured table's engine. With a
+        shared ``signal_path``, a signal addressed via
+        ``data-collections`` fires only on the engines whose
+        collection it names (others ack it as a no-op into their own
+        ledgers) — the signal-table semantics of ExecuteSnapshot."""
+        return {
+            name: eng.process_signals()
+            for name, eng in self.engines().items()
+        }
+
     def final_state(self, table: str) -> DataFrame:
         return self.engines()[table].final_state()
 
     def metrics(self, table: str) -> list[dict]:
         return self.engines()[table].metrics()
+
+    def metrics_summary(self) -> dict:
+        """Task-level rollup across captured tables (the connector-task
+        MBean view over per-table streaming metrics): per-table event
+        totals + last batch id, plus the task-wide event sum."""
+        out: dict = {"tables": {}, "total_events": 0}
+        for name, eng in self.engines().items():
+            rows = eng.metrics()
+            ev = sum(int(m.get("events", 0) or 0) for m in rows)
+            out["tables"][name] = {
+                "events": ev,
+                "batches": len(rows),
+                "last_batch_id": max(
+                    (int(m["batch_id"]) for m in rows if "batch_id" in m),
+                    default=None,
+                ),
+            }
+            out["total_events"] += ev
+        return out

@@ -134,6 +134,66 @@ def test_concurrent_table_replay_matches_serial(spark, tmp_root):
         assert _rows(conc.final_state(t)) == _rows(serial.final_state(t))
 
 
+def test_shared_signal_channel_data_collection_addressing(
+    spark, tmp_root
+):
+    """One shared signal file, per-consumer ack ledgers: an
+    execute-snapshot addressed to one data-collection fires only that
+    table's engine; siblings see the signal and no-op it. Both acks
+    land in per-table ledgers, so neither consumer hides the signal
+    from the other (ExecuteSnapshot.java data-collections +
+    consumer-group-offset-style acks)."""
+    from debezium_spark.signals import SignalChannel
+
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=800)
+    sig = f"{tmp_root}/signals.jsonl"
+    mt = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_sig",
+        snapshot_mode="never", n_buckets=4, partitions=4,
+        signal_path=sig,
+    )
+    mt.run()
+    before = {
+        t: v["batches"] for t, v in mt.metrics_summary()["tables"].items()
+    }
+    SignalChannel(sig).send(
+        "sig-1",
+        "execute-snapshot",
+        {"data-collections": [T2], "chunk_size": 50},
+    )
+    handled = mt.process_signals()
+    # both consumers handled (acked) it...
+    assert [s["id"] for s in handled[TABLE_NAME]] == ["sig-1"]
+    assert [s["id"] for s in handled[T2]] == ["sig-1"]
+    after = {
+        t: v["batches"] for t, v in mt.metrics_summary()["tables"].items()
+    }
+    # ...but only the addressed table ran a snapshot
+    assert after[T2] > before[T2]
+    assert after[TABLE_NAME] == before[TABLE_NAME]
+    # acks are consumer-scoped files under each table's lake root,
+    # never the channel-local default sidecar
+    import os
+
+    for t in tables:
+        assert os.path.exists(
+            f"{mt.lake_root}/{t}/_signals.processed"
+        )
+    assert not os.path.exists(sig + ".processed")
+    # re-poll: the only pending rows are T2's snapshot window
+    # bookkeeping (the snapshot WRITES -open/-close rows into the
+    # shared signal collection, insert_insert strategy); siblings ack
+    # them as no-ops, and the poll after that is empty
+    again = mt.process_signals()
+    for t, sigs in again.items():
+        assert {
+            s["type"] for s in sigs
+        } <= {"snapshot-window-open", "snapshot-window-close"}, (t, sigs)
+    third = mt.process_signals()
+    assert all(v == [] for v in third.values())
+
+
 def test_route_changelog_partitions_and_sanitized_dirs(spark, tmp_root):
     tables = [TABLE_NAME, T3]
     log_path = _mixed_log(spark, tmp_root, tables, n_events=800)
