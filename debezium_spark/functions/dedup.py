@@ -296,7 +296,6 @@ def probe_lsh_index(
             ),
             ["band", "bkey"],
         )
-        .dropDuplicates(["new_id", "idx_id"])
     )
     matches = F.size(
         F.filter(
@@ -307,19 +306,24 @@ def probe_lsh_index(
     scored = cand.withColumn(
         "est_jaccard", F.round(matches / F.size("new_sig"), 6)
     ).filter(F.col("est_jaccard") >= threshold)
-    # best-match election in two map-side-combinable aggs, id-type
-    # agnostic (a negated-id struct trick would silently break on
-    # string ids): max est per arrival, then min idx_id among the
-    # candidates achieving it (exact equality is safe — both sides are
-    # the same computed value). scored is batch-bounded, so the
-    # back-join broadcasts.
-    best_est = scored.groupBy("new_id").agg(
-        F.max("est_jaccard").alias("est_jaccard")
-    )
+    # best-match election (max est, ties toward min idx_id) as TWO
+    # stacked map-side-combinable aggs over ONE lineage — no
+    # dropDuplicates (a pair colliding in several bands scores the
+    # same est every time, and max/min are duplicate-insensitive, so
+    # the dedup shuffle bought nothing) and no self-back-join (which
+    # put `scored` — and the whole index signature build under it —
+    # into the DAG twice). Level 1 collapses to one row per
+    # (arrival, est) with the min id at that est; level 2's max_by is
+    # deterministic because est values are now distinct per arrival.
+    # Id-type agnostic: no negated-id struct trick, so string ids work.
     best = (
-        scored.join(F.broadcast(best_est), ["new_id", "est_jaccard"])
-        .groupBy("new_id", "est_jaccard")
+        scored.groupBy("new_id", "est_jaccard")
         .agg(F.min("idx_id").alias("matched_id"))
+        .groupBy("new_id")
+        .agg(
+            F.max_by("matched_id", "est_jaccard").alias("matched_id"),
+            F.max("est_jaccard").alias("est_jaccard"),
+        )
     )
     # best has at most one row per arrival — always batch-sized
     return (
