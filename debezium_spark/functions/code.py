@@ -447,9 +447,12 @@ def chunk_share_stats(df, text_col: str = "t", id_col: str = "doc_id"):
     docs, and the shared character-mass fraction (micro-units) — the
     block-grain analogue of file-level exact dedup.
 
-    Plan: narrow chunking + explode, ONE map-side-combined groupBy on
-    the md5 chunk key (countDistinct doc), ONE equi-join back, one
-    final per-doc groupBy. No self-join, no skew (md5 keys).
+    Plan: narrow chunking + explode, then ONE map-side-combined
+    groupBy to (chunk-key, doc) grain — the per-char hash scan runs
+    ONCE (a freq-table-and-join-back shape puts the scan in the DAG
+    twice and reshuffles every raw chunk instance). Cross-doc sharing
+    is a count window over the already-collapsed (ck, doc) rows, then
+    the final per-doc groupBy. No self-join, no skew (md5 keys).
 
     Parallelism guard: the raw (id, text) rows go through
     :func:`~debezium_spark.functions.util.ensure_parallelism` before
@@ -468,26 +471,31 @@ def chunk_share_stats(df, text_col: str = "t", id_col: str = "doc_id"):
         F.length("chunk").cast("long").alias("clen"),
         F.md5(F.col("chunk")).alias("ck"),
     )
-    freq = ch.groupBy("ck").agg(
-        F.countDistinct(id_col).alias("n_docs")
+    # collapse raw chunk instances to (ck, doc) grain first: cnt =
+    # instances of this chunk in this doc, mass = their total chars.
+    # After this, one row per (ck, doc) means count(*) over ck IS the
+    # distinct-doc count — no countDistinct, no join back.
+    per = ch.groupBy("ck", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("clen").cast("long").alias("mass"),
     )
-    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
-    return (
-        ch.join(freq, "ck")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
-            F.sum(shared).cast("long").alias("shared_chunks"),
-            F.floor(
-                F.sum(
-                    F.when(F.col("n_docs") >= 2, F.col("clen")).otherwise(
-                        0
-                    )
-                ).cast("double")
-                * 1e6
-                / F.greatest(F.sum("clen"), F.lit(1))
-            )
-            .cast("long")
-            .alias("shared_char_micro"),
+    from pyspark.sql import Window
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("ck"))
+    per = per.withColumn("n_docs", n_docs)
+    shared_mass = F.when(F.col("n_docs") >= 2, F.col("mass")).otherwise(0)
+    return per.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(0)
         )
+        .cast("long")
+        .alias("shared_chunks"),
+        F.floor(
+            F.sum(shared_mass).cast("double")
+            * 1e6
+            / F.greatest(F.sum("mass"), F.lit(1))
+        )
+        .cast("long")
+        .alias("shared_char_micro"),
     )
