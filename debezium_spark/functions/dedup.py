@@ -726,3 +726,64 @@ def connected_components(
         )
         .distinct()
     )
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    threshold: int = 10,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """Line-level boilerplate dedup stats (the CCNet pre-dedup pass,
+    Wenzek et al. 2020 §2: drop lines repeated across many documents —
+    headers, navigation, license banners — before any doc-level
+    dedup). Per doc: line count, lines shared by ≥ ``threshold``
+    distinct docs, boilerplate character mass (micro-units), and the
+    md5 fingerprint of the doc with boilerplate lines REMOVED (what a
+    downstream exact-dedup would key on).
+
+    Plan: explode lines with position, ONE partial-agg groupBy on the
+    line hash for the distinct-doc frequency, equi-join back on the
+    hash, one per-doc rollup. The frequency subtree shares the
+    exploded-lines exchange with the join's probe side, so AQE's
+    exchange reuse runs the explode once. Hot boilerplate lines skew
+    only the probe side's partition sizes (the frequency side is one
+    row per distinct line) — AQE skew-split territory, never a pair
+    explosion.
+    """
+    L = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    ).select(
+        id_col,
+        "pos",
+        "line",
+        F.length("line").cast("long").alias("llen"),
+        F.md5(F.col("line")).alias("lh"),
+    )
+    freq = L.groupBy("lh").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    j = L.join(freq, "lh")
+    bp = F.col("n_docs") >= threshold
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~bp, F.struct(F.col("pos"), F.col("line")))
+        )
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(bp.cast("int")).cast("long").alias("bp_lines"),
+        F.floor(
+            F.sum(F.when(bp, F.col("llen")).otherwise(0)).cast("double")
+            * 1e6
+            / F.greatest(F.sum("llen"), F.lit(1))
+        )
+        .cast("long")
+        .alias("bp_char_micro"),
+        F.md5(
+            F.array_join(
+                F.transform(kept, lambda s: s["line"]), " "
+            )
+        ).alias("kept_fp"),
+    )

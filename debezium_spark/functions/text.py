@@ -241,3 +241,77 @@ def bitlen(col: Column) -> Column:
     integer-portable log2 the oracles need (libm log() rounding
     differs between JVMs and DuckDB, bin() cannot)."""
     return F.length(F.bin(col)).cast("long")
+
+
+# Gopher quality-filter stop words (Rae et al. 2021, Appendix A1.1 —
+# the published rule is "contains at least 2 of these 8").
+GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """The word-level Gopher quality-filter signals (Rae et al. 2021,
+    Appendix A1.1 published rules), exact integer micro-units:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio ('#' and '...') <= 0.1
+    - >= 80% of words contain an alphabetic character
+    - >= 2 of the 8 Gopher stop words present
+
+    The two line-shape rules (bullet-start / ellipsis-end line
+    fractions) need a line-structured input and are covered by the
+    line-grain operators instead. Pure codegen projection — no
+    shuffle, pipelines into the parquet scan.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+    denom = F.greatest(n_words, F.lit(1))
+    char_mass = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_word_len_micro = (
+        F.floor(char_mass.cast("double") * 1e6 / denom).cast("long")
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.floor(
+        (
+            F.length(text)
+            - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))
+        )
+        / 3
+    ).cast("long")
+    symbol_word_micro = (
+        F.floor((n_hash + n_ellipsis).cast("double") * 1e6 / denom)
+        .cast("long")
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_word_micro = (
+        F.floor(alpha_words.cast("double") * 1e6 / denom).cast("long")
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda m: F.array_contains(toks, m),
+        )
+    ).cast("long")
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len_micro >= 3_000_000)
+        & (mean_word_len_micro <= 10_000_000)
+        & (symbol_word_micro <= 100_000)
+        & (alpha_word_micro >= 800_000)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len_micro": mean_word_len_micro,
+        "symbol_word_micro": symbol_word_micro,
+        "alpha_word_micro": alpha_word_micro,
+        "n_stop_gopher": n_stop,
+        "keep": keep,
+    }

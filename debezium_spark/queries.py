@@ -3016,10 +3016,11 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     )
 
 
-def _cluster_oracle(num_hashes: int = 8, bands: int = 4) -> str:
-    """Ground-truth connected components over the minhash-LSH pairs:
+def _cluster_label_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """Ground-truth near-dup cluster labels: minhash-LSH pair CTEs +
     min-reachable-id per node via a recursive CTE (symmetric closure).
-    Verifies the star-contraction fixpoint against true reachability."""
+    Ends with ``labels(doc_id, cluster_id)`` — shared by the cluster
+    and leakage-safe-split oracles."""
     ctes = _minhash_pairs_ctes(num_hashes, bands).replace(
         "WITH", "WITH RECURSIVE", 1
     )
@@ -3037,6 +3038,16 @@ def _cluster_oracle(num_hashes: int = 8, bands: int = 4) -> str:
       SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
     ),
     labels AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    """
+    )
+
+
+def _cluster_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """Verifies the star-contraction fixpoint against true
+    reachability (see :func:`_cluster_label_ctes`)."""
+    return (
+        _cluster_label_ctes(num_hashes, bands)
+        + """
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            doc_id = cluster_id AS is_keeper
@@ -5777,6 +5788,170 @@ def events_value_percentiles(spark, sf_dir):
         pick(50).alias("p50"),
         pick(95).alias("p95"),
         pick(99).alias("p99"),
+    )
+
+
+
+_LINE_BP_T = 10
+
+
+@_q(
+    "text_line_dedup",
+    f"""
+    WITH {_CODE_MET_CTES}, L AS (
+      SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS pos
+      FROM ln
+    ), fr AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs FROM L GROUP BY 1
+    )
+    SELECT doc_id,
+      count(*)::BIGINT AS n_lines,
+      sum(CASE WHEN n_docs >= {_LINE_BP_T} THEN 1 ELSE 0 END)::BIGINT
+        AS bp_lines,
+      floor(sum(CASE WHEN n_docs >= {_LINE_BP_T} THEN strlen(line)
+                ELSE 0 END)::DOUBLE * 1e6
+            / greatest(sum(strlen(line)), 1))::BIGINT AS bp_char_micro,
+      md5(COALESCE(string_agg(CASE WHEN n_docs < {_LINE_BP_T} THEN line
+                              END, ' ' ORDER BY pos), ''))
+        AS kept_fp
+    FROM L JOIN fr USING (line)
+    GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2020
+    §2): lines repeated across >= {T} distinct documents — headers,
+    banners, navigation — are flagged per doc, with the boilerplate
+    character mass and the fingerprint of the doc AFTER removal (what a
+    downstream exact-dedup keys on). Runs over the same deterministic
+    code-shaped line synthesis as ``code_quality_metrics`` (real
+    deployments feed content lines of the (repo, path, content) table
+    directly).
+
+    Scale shape: explode + ONE partial-agg groupBy on the line hash +
+    equi-join back (AQE reuses the exploded exchange) + per-doc
+    rollup — no self-join; hot boilerplate lines only imbalance probe
+    partitions (AQE skew-split), never a pair explosion."""
+    d = _t_wide(spark, sf_dir, "documents")
+    lines = CQ.synth_code_lines(
+        F.col("text"), F.col("doc_id"), F.col("lang")
+    )
+    return D.line_dedup_stats(
+        d.select("doc_id", lines.alias("lines")),
+        threshold=_LINE_BP_T,
+        lines_col="lines",
+    )
+
+
+@_q(
+    "text_gopher_quality",
+    """
+    WITH tk AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_words,
+        floor(COALESCE(list_sum(list_transform(toks, t -> strlen(t))),
+              0)::DOUBLE * 1e6 / greatest(len(toks), 1))::BIGINT
+          AS mean_word_len_micro,
+        floor(((strlen(text) - strlen(replace(text, '#', '')))
+               + (strlen(text) - strlen(regexp_replace(text,
+                   '\\.\\.\\.', '', 'g'))) // 3)::DOUBLE * 1e6
+              / greatest(len(toks), 1))::BIGINT AS symbol_word_micro,
+        floor(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              ::DOUBLE * 1e6 / greatest(len(toks), 1))::BIGINT
+          AS alpha_word_micro,
+        len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                         'have', 'with'],
+                        m -> list_contains(toks, m)))::BIGINT
+          AS n_stop_gopher
+      FROM tk
+    )
+    SELECT doc_id, n_words, mean_word_len_micro, symbol_word_micro,
+           alpha_word_micro, n_stop_gopher,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len_micro BETWEEN 3000000 AND 10000000
+            AND symbol_word_micro <= 100000
+            AND alpha_word_micro >= 800000
+            AND n_stop_gopher >= 2) AS keep
+    FROM g
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """The Gopher word-level quality filter (Rae et al. 2021, Appendix
+    A1.1 published rules): word count, mean word length, symbol-to-word
+    ratio, alphabetic-word fraction, stop-word presence, and the
+    composed keep flag — exact integer micro-units.
+
+    Scale shape: pure codegen projection, ZERO exchanges — pipelines
+    straight out of the parquet scan at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    g = X.gopher_stats(F.col("text"))
+    return d.select("doc_id", *[v.alias(k) for k, v in g.items()])
+
+
+@_q(
+    "corpus_split_leakage_safe",
+    _cluster_label_ctes()
+    + """
+    SELECT d.doc_id,
+      COALESCE(l.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+      (CAST(concat('0x', substr(md5('cls|' ||
+          COALESCE(l.cluster_id, d.doc_id)::VARCHAR), 1, 6)) AS INTEGER)
+        % 1000)::BIGINT AS split_bucket,
+      CASE WHEN (CAST(concat('0x', substr(md5('cls|' ||
+               COALESCE(l.cluster_id, d.doc_id)::VARCHAR), 1, 6))
+               AS INTEGER) % 1000) < 980 THEN 'train'
+           WHEN (CAST(concat('0x', substr(md5('cls|' ||
+               COALESCE(l.cluster_id, d.doc_id)::VARCHAR), 1, 6))
+               AS INTEGER) % 1000) < 990 THEN 'valid'
+           ELSE 'test' END AS split
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    """,
+)
+def corpus_split_leakage_safe(spark, sf_dir):
+    """Train/valid/test split keyed by NEAR-DUP CLUSTER, not document:
+    every doc in a connected component of the minhash-LSH near-dup
+    graph hashes on the component's canonical id, so near-duplicates
+    (not just byte-identical ones — ``corpus_split`` handles those) can
+    never straddle train/test. The standard decontamination-by-
+    construction split for LLM corpora.
+
+    Scale shape: pairs (banded equi-join) -> star-contraction
+    components (O(log n) bounded rounds) -> one left join of labels
+    onto the corpus (labels side is only docs IN near-dup pairs — a
+    small fraction of the corpus) -> pure codegen hash bucketing."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8, bands=4, n=3, threshold=0.5,
+    )
+    labels = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    d = docs.join(labels, "doc_id", "left")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cls|"), cid.cast("string"))), 1, 6
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(1000),
+    )
+    return d.select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        bucket.alias("split_bucket"),
+        F.when(bucket < 980, "train")
+        .when(bucket < 990, "valid")
+        .otherwise("test")
+        .alias("split"),
     )
 
 
