@@ -1186,3 +1186,58 @@ def ssl_prototype_prune(
             .alias("pruned"),
         )
     )
+
+
+def d4_prune(
+    corpus: DataFrame,
+    tau6: int = 350000,
+    max_cell: int = 128,
+    drop_num: int = 1,
+    drop_den: int = 4,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell: int = 32,
+    ladder: tuple[int, ...] = IVF_LADDER,
+    route_threshold: int = 1024,
+) -> DataFrame:
+    """The full D4 pipeline (Tirumala et al. 2023, arXiv:2308.12284):
+    SemDeDup first, then SSL-prototype pruning over the SURVIVORS —
+    per-example verdict ``decision ∈ {drop_dup, prune_proto, keep}``.
+
+    Composition is one pass over :func:`semdedup`'s output: rank-
+    among-survivors is a running ``sum(kept)`` window and the survivor
+    count a plain cell window, so both stages share the one IVF
+    assignment and the cid exchange — no second embedding scan, no
+    union of branches (which would put the SemDeDup subtree in the DAG
+    twice). The prune rule is the same exact-integer
+    ``rank·den <= count·num`` as :func:`ssl_prototype_prune`, applied
+    to survivor rank/count only.
+    """
+    from pyspark.sql import Window
+
+    sd = semdedup(
+        corpus,
+        tau6=tau6,
+        n_centroids=n_centroids,
+        max_cell=max_cell,
+        id_col=id_col,
+        vec_col=vec_col,
+        target_cell=target_cell,
+        ladder=ladder,
+        route_threshold=route_threshold,
+    )
+    w_ord = Window.partitionBy("cid").orderBy(
+        F.desc("cent_sim6"), F.col(id_col)
+    )
+    w_cell = Window.partitionBy("cid")
+    rk = F.sum("kept").over(w_ord)
+    cnt = F.sum("kept").over(w_cell)
+    decision = (
+        F.when(F.col("kept") == 0, F.lit("drop_dup"))
+        .when(rk * drop_den <= cnt * drop_num, F.lit("prune_proto"))
+        .otherwise(F.lit("keep"))
+    )
+    return sd.select(
+        id_col, "cid", "cent_sim6", decision.alias("decision")
+    )

@@ -3859,7 +3859,10 @@ def _ivf_asg_cte() -> str:
     )"""
 
 
-def _semdedup_oracle(tau6: int = 350000, max_cell: int = 128) -> str:
+def _semdedup_base_ctes(tau6: int = 350000, max_cell: int = 128) -> str:
+    """IVF assignment + SemDeDup removal, ending with
+    ``sdbase(vec_id, cid, cent_sim6, kept)`` — shared by the SemDeDup
+    and composed-D4 oracles."""
     pair_cos6 = """floor(
           list_sum(list_transform(range(1, len(a.v) + 1),
             i -> a.v[i] * b.v[i]))
@@ -3876,12 +3879,43 @@ def _semdedup_oracle(tau6: int = 350000, max_cell: int = 128) -> str:
       JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
       JOIN cellsz s ON s.cid = a.cid
       WHERE s.cnt <= {max_cell} AND {pair_cos6} >= {tau6}
-    )
-    SELECT a.vec_id, a.cid, a.cs6 AS cent_sim6,
-           CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END
-                AS BIGINT) AS kept
-    FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    ),
+    sdbase AS (
+      SELECT a.vec_id, a.cid, a.cs6 AS cent_sim6,
+             CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+      FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id
+    )"""
+
+
+def _semdedup_oracle(tau6: int = 350000, max_cell: int = 128) -> str:
+    return (
+        _semdedup_base_ctes(tau6, max_cell)
+        + """
+    SELECT vec_id, cid, cent_sim6, CAST(kept AS BIGINT) AS kept
+    FROM sdbase
     """
+    )
+
+
+def _d4_oracle(
+    tau6: int = 350000,
+    max_cell: int = 128,
+    drop_num: int = 1,
+    drop_den: int = 4,
+) -> str:
+    return (
+        _semdedup_base_ctes(tau6, max_cell)
+        + f"""
+    SELECT vec_id, cid, cent_sim6,
+      CASE WHEN kept = 0 THEN 'drop_dup'
+           WHEN SUM(kept) OVER (PARTITION BY cid
+                  ORDER BY cent_sim6 DESC, vec_id) * {drop_den}
+                <= SUM(kept) OVER (PARTITION BY cid) * {drop_num}
+           THEN 'prune_proto'
+           ELSE 'keep' END AS decision
+    FROM sdbase
+    """
+    )
 
 
 @_q("semantic_dedup", _semdedup_oracle())
@@ -5953,6 +5987,23 @@ def corpus_split_leakage_safe(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+
+@_q("corpus_d4_prune", _d4_oracle())
+def corpus_d4_prune(spark, sf_dir):
+    """The composed D4 curation pipeline (Tirumala et al. 2023): run
+    SemDeDup, then SSL-prototype-prune the most-prototypical quarter
+    of the SURVIVORS — the published order (dedup first, so prune
+    ranks are not distorted by duplicate mass). One verdict per
+    embedding: drop_dup / prune_proto / keep.
+
+    Scale shape: both stages ride ONE IVF assignment and one cid
+    exchange — survivor rank is a running sum(kept) window over
+    SemDeDup's own output, so composition adds zero embedding scans
+    and zero joins beyond semantic_dedup itself."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.d4_prune(e, tau6=350000, max_cell=128, drop_num=1, drop_den=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -117,3 +117,54 @@ def test_ssl_prune_window_single_exchange_after_assignment(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(cid") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_d4_prune_composes_dedup_then_survivor_rank(spark):
+    from debezium_spark.functions.similarity import d4_prune
+
+    # cell of 4 near-identical vectors: semdedup keeps the most
+    # prototypical one of each tau-similar pair chain; the prune stage
+    # then ranks ONLY survivors. With drop 1/2 over the survivors, the
+    # top-ranked survivor is pruned, the rest kept.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1 -> drop_dup
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    out = {
+        r["vec_id"]: r["decision"]
+        for r in d4_prune(
+            _corpus(spark, rows), tau6=990000, n_centroids=1,
+            drop_num=1, drop_den=2,
+        ).collect()
+    }
+    assert out[2] == "drop_dup"
+    assert sorted(out.values()).count("drop_dup") == 1
+    # one shared cell -> 3 survivors; drop 1/2 prunes survivor rank 1
+    # only (rank*2 <= 3), so exactly one prune_proto and two keeps —
+    # and the dup does NOT occupy a survivor rank
+    survivors = [v for k, v in out.items() if k != 2]
+    assert survivors.count("prune_proto") == 1
+    assert survivors.count("keep") == 2
+
+
+def test_d4_prune_verdict_is_total_and_consistent_with_parts(spark):
+    from debezium_spark.functions.similarity import (
+        d4_prune,
+        semdedup,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 5), 1.0, float(j)])
+            for i in range(1, 13) for j in (0,)]
+    corpus = _corpus(spark, rows)
+    d4 = {r["vec_id"]: r for r in d4_prune(
+        corpus, tau6=990000, n_centroids=4).collect()}
+    sd = {r["vec_id"]: r for r in semdedup(
+        corpus, tau6=990000, n_centroids=4).collect()}
+    assert set(d4) == set(sd)  # one verdict per corpus vector
+    for vid, row in d4.items():
+        if sd[vid]["kept"] == 0:
+            assert row["decision"] == "drop_dup"
+        else:
+            assert row["decision"] in ("prune_proto", "keep")
