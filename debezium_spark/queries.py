@@ -4959,10 +4959,17 @@ def cdc_ddl_parse(spark, sf_dir):
         .otherwise(F.concat(F.lit("drop table "), tbl))
     )
     ddl = F.when(k % 2 == 0, lo).otherwise(F.upper(lo))
-    parsed = parse_ddl_cols(ddl)
+    # materialize the generated statement in its own projection: the
+    # parser references its input ~15 times (rlike + extracts), and
+    # inlining the whole generator when-chain into each reference
+    # multiplies the expression tree ~15x — correctness unchanged, but
+    # the generated code blows up (9.9 s of Janino compile for a 0.3 s
+    # query at sf0.1). A named column keeps the tree linear.
+    gen = p.select(k.alias("stmt_id"), ddl.alias("ddl"))
+    parsed = parse_ddl_cols(F.col("ddl"))
     names = ["change_type", "table_name", "column_name", "new_type", "prev_name"]
-    out = p.select(
-        k.alias("stmt_id"), *[c.alias(n) for c, n in zip(parsed, names)]
+    out = gen.select(
+        "stmt_id", *[c.alias(n) for c, n in zip(parsed, names)]
     )
     # uppercase rows uppercase the identifiers too — normalize the
     # extracted identifier fields back for key-derived comparison
