@@ -80,8 +80,14 @@ def stream_changelog(
 
     Files are picked up in modification-time order; the engine's writer
     (:func:`write_changelog_ordered`) stamps mtimes in LSN order so
-    micro-batches roughly follow the log. Correctness does NOT depend on
-    this — the LSN-guarded merge tolerates any batch order.
+    micro-batches follow the log — the same per-partition-order
+    contract the reference inherits from Kafka. The LSN-guarded merge
+    tolerates reordering of updates/inserts across batches (per-row
+    guard) and ANY order within a batch (in-batch LWW), but a DELETE
+    applied in an earlier batch than a lower-LSN event of the same key
+    would be resurrected by it (deletes remove state, so there is no
+    row left to guard) — hence ordered pickup is part of the source
+    contract, exactly as it is for a binlog segment directory.
     """
     return (
         spark.readStream.schema(EVENT_SCHEMA)

@@ -280,6 +280,78 @@ class MultiTableEngine:
             }
             return {name: f.result() for name, f in futs.items()}
 
+    def run_streaming(
+        self,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        crash_point: tuple[int, int] | None = None,
+    ) -> None:
+        """Drive ALL captured tables through ONE Structured Streaming
+        query over the mixed log — the single-source-task shape of the
+        reference (one connector task reads the WAL once and
+        dispatches per-table, EventDispatcher.java:481): each
+        micro-batch is split by ``source.table`` in-batch and applied
+        through that table's engine with the epoch as the shared
+        fencing batch id.
+
+        Exactly-once under partial fan failure: engines fence
+        independently, so a crash after table A's merge but before
+        table B's leaves A committed at epoch N and B not; Structured
+        Streaming re-delivers epoch N on restart and A's fence skips
+        while B applies — no double-apply, no gap. ``crash_point``
+        = (epoch_ordinal, tables_applied_first) injects exactly that
+        failure for tests.
+
+        Requires ``route='filter'``: the streaming source tails the
+        mixed log directly; the routed-topics copy is a bulk-replay
+        layout that would go stale under a growing log.
+        """
+        if self.route != "filter":
+            raise ValueError(
+                "run_streaming tails the mixed log; construct "
+                "MultiTableEngine(route='filter')"
+            )
+        from debezium_spark.sources.changelog import stream_changelog
+
+        engines = self.engines()
+        for eng in engines.values():
+            eng._recover_source_signals()
+        seen = {"epochs": 0}
+
+        def apply(batch_df: DataFrame, epoch_id: int) -> None:
+            bid = int(epoch_id) + 1
+            seen["epochs"] += 1
+            done = 0
+            for name, eng in engines.items():
+                if (
+                    crash_point is not None
+                    and seen["epochs"] == crash_point[0]
+                    and done == crash_point[1]
+                ):
+                    raise RuntimeError(
+                        "injected crash mid-fan: earlier tables"
+                        " committed this epoch, later ones not"
+                    )
+                eng._apply_batch(
+                    batch_df.filter(
+                        F.col("source.table") == F.lit(name)
+                    ),
+                    bid,
+                    phase="stream",
+                )
+                done += 1
+
+        q = (
+            stream_changelog(
+                self.spark, self.changelog_path, max_files_per_trigger
+            )
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     def process_signals(self) -> dict[str, list[dict]]:
         """Fan one poll over every captured table's engine. With a
         shared ``signal_path``, a signal addressed via

@@ -50,7 +50,13 @@ def _mixed_log(spark, tmp_root, tables, n_events=3000):
     for p in parts[1:]:
         df = df.unionByName(p)
     path = f"{tmp_root}/mixed_log"
-    df.write.mode("overwrite").parquet(path)
+    # LSN-range files with monotone mtimes: the streaming file source's
+    # ordered-pickup contract (stream_changelog docstring). Both
+    # tables' LSN sequences share the generator's numeric range, so
+    # global LSN-range files are per-table monotone too.
+    from debezium_spark.sources.changelog import write_changelog_ordered
+
+    write_changelog_ordered(df, path)
     return path
 
 
@@ -295,3 +301,70 @@ def test_per_table_snapshot_and_independence(spark, tmp_root):
     mt.engines()[T2].run()
     assert _rows(mt.final_state(T2)) == b1
     assert _rows(mt.final_state(TABLE_NAME)) == a1
+
+
+def test_streaming_multi_table_matches_batch_replay(spark, tmp_root):
+    """One streaming query over the mixed log == per-table batch
+    replay: same final state per captured table."""
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=900)
+    mt = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_stream", route="filter",
+        snapshot_mode="never", n_buckets=4, partitions=4,
+    )
+    mt.run_streaming(
+        f"{tmp_root}/ckpt_stream", max_files_per_trigger=4
+    )
+    batch = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_batch", route="filter",
+        snapshot_mode="never", n_buckets=4, partitions=4,
+    )
+    batch.run()
+    for t in tables:
+        assert _rows(mt.final_state(t)) == _rows(batch.final_state(t))
+
+
+def test_streaming_multi_table_crash_mid_fan_recovers(spark, tmp_root):
+    """Crash after table A's merge but before table B's in one epoch:
+    restart re-delivers the epoch, A's fence skips, B applies —
+    exactly-once per table with no gap and no double-apply."""
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=900)
+
+    def make():
+        return MultiTableEngine(
+            spark, log_path, f"{tmp_root}/lake_crash", route="filter",
+            snapshot_mode="never", n_buckets=4, partitions=4,
+        )
+
+    ckpt = f"{tmp_root}/ckpt_crash"
+    with pytest.raises(Exception, match="injected crash mid-fan"):
+        make().run_streaming(
+            ckpt, max_files_per_trigger=4, crash_point=(2, 1)
+        )
+    # fresh coordinator, same checkpoint: resumes and completes
+    mt = make()
+    mt.run_streaming(ckpt, max_files_per_trigger=4)
+    batch = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_crash_oracle",
+        route="filter", snapshot_mode="never", n_buckets=4,
+        partitions=4,
+    )
+    batch.run()
+    for t in tables:
+        assert _rows(mt.final_state(t)) == _rows(batch.final_state(t))
+    # both tables' lakes fenced up to the same final stream batch id
+    summary = mt.metrics_summary()["tables"]
+    ids = {v["last_batch_id"] for v in summary.values()}
+    assert len(ids) == 1 and None not in ids
+
+
+def test_streaming_multi_table_requires_filter_route(spark, tmp_root):
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=400)
+    mt = MultiTableEngine(
+        spark, log_path, f"{tmp_root}/lake_badroute",
+        snapshot_mode="never", n_buckets=4, partitions=4,
+    )
+    with pytest.raises(ValueError, match="route='filter'"):
+        mt.run_streaming(f"{tmp_root}/ckpt_badroute")
