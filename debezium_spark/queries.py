@@ -6013,6 +6013,80 @@ def corpus_d4_prune(spark, sf_dir):
     return S.d4_prune(e, tau6=350000, max_cell=128, drop_num=1, drop_den=4)
 
 
+
+@_q(
+    "events_pattern_match",
+    """
+    WITH nxt AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS np_ts
+      FROM events
+    ), trig AS (
+      SELECT user_id,
+             CASE WHEN np_ts IS NOT NULL
+                   AND date_diff('second', ts, np_ts) <= 600
+                  THEN date_diff('second', ts, np_ts) END AS lat_s
+      FROM nxt WHERE event_type = 'error'
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_trigger,
+           COUNT(lat_s)::BIGINT AS n_matched,
+           MIN(lat_s)::BIGINT AS min_latency_s,
+           COALESCE(SUM(lat_s), 0)::BIGINT AS sum_latency_s
+    FROM trig GROUP BY user_id
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """CEP-style sequence detection — the MATCH_RECOGNIZE / Flink-CEP
+    "A followed by B within T" pattern (here: an 'error' followed by a
+    'purchase' within 600 s, per user): per-user trigger count, match
+    count, and min/total match latency in exact integer seconds.
+
+    Scale shape: "next matching event" is a REVERSE running min over
+    the per-user ordered window (ROWS 1 FOLLOWING → UNBOUNDED), so the
+    whole pattern costs ONE user-partitioned exchange — never the
+    textbook self-join of triggers against candidates, which goes
+    quadratic per hot user at 10^10 events. The same window kernel
+    extends to longer A→B→C chains by stacking (the funnel operator's
+    running-flag trick)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    np_ts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    # reference the MATERIALIZED column, not the window expression: a
+    # window expr re-used after the trigger filter would re-evaluate
+    # over the filtered (errors-only) frame and never find a purchase
+    lat = (
+        F.unix_timestamp(F.col("np_ts")) - F.unix_timestamp(F.col("ts"))
+    ).cast("long")
+    trig = (
+        ev.withColumn("np_ts", np_ts)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.when(
+                F.col("np_ts").isNotNull() & (lat <= 600), lat
+            ).alias("lat_s"),
+        )
+    )
+    return trig.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigger"),
+        F.count("lat_s").cast("long").alias("n_matched"),
+        F.min("lat_s").cast("long").alias("min_latency_s"),
+        F.coalesce(F.sum("lat_s"), F.lit(0))
+        .cast("long")
+        .alias("sum_latency_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
