@@ -47,10 +47,21 @@ class LakeTable:
         broadcast_merge_threshold: int = 50_000,
         broadcast_merge_max_bytes: int = 256 * 1024 * 1024,
         lww_light_threshold: int = 0,
+        retain_tombstones: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        # retain_tombstones=True keeps deletes as hidden tombstone rows
+        # (key + _lsn + _deleted=true, values NULL) instead of removing
+        # state — the Kafka-log-compaction design. With tombstones a
+        # late LOWER-LSN event of a deleted key still has a row to lose
+        # the LSN-guard against, so the merge becomes order-tolerant
+        # across batches for deletes too (without them, a delete
+        # consumed before a lower-LSN event of the same key is
+        # resurrected by it). Consumer reads filter tombstones; only
+        # with_sys readers (the merge itself) see them.
+        self.retain_tombstones = retain_tombstones
         # compacted change sets at or under BOTH bounds merge via the
         # broadcast plan (state side exchange-free); larger ones fall
         # back to the shuffled full-outer join. The byte bound matters:
@@ -167,6 +178,8 @@ class LakeTable:
             if buckets is None or int(b) in buckets
         ]
         sys_cols = [("_lsn", "bigint")] if with_sys else []
+        if with_sys and self.retain_tombstones:
+            sys_cols.append(("_deleted", "boolean"))
         if not entries:
             ddl = ", ".join(
                 [
@@ -198,7 +211,22 @@ class LakeTable:
                 else:
                     cols.append(F.lit(None).cast(c["type"]).alias(name))
             for n, t in sys_cols:
-                cols.append(F.col(n).cast(t).alias(n))
+                # `_deleted` may predate retention being switched on
+                # (or the file was written by a non-retaining merge) —
+                # absent means "live row"
+                src = (
+                    F.col(n)
+                    if n != "_deleted" or "_deleted" in df.columns
+                    else F.lit(False)
+                )
+                cols.append(src.cast(t).alias(n))
+            if "_deleted" in df.columns and (
+                not with_sys or not self.retain_tombstones
+            ):
+                # consumer-facing reads never see tombstones; a
+                # NON-retaining lake drops them even from merge reads
+                # (retention switched off ⇒ they are just garbage)
+                df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -286,6 +314,65 @@ class LakeTable:
             "removed_data_dirs": removed_dirs,
             "removed_manifests": removed_manifests,
         }
+
+    def purge_tombstones(self, below_lsn: int) -> dict:
+        """Drop retained delete tombstones with ``_lsn < below_lsn`` —
+        Kafka's ``delete.retention.ms`` compaction analogue. Safe once
+        every consumer/redelivery frontier has passed ``below_lsn``:
+        an event older than that can no longer arrive, so the
+        tombstone has nothing left to guard. One COW commit rewriting
+        only the buckets that actually hold purgeable tombstones.
+        """
+        if not self.retain_tombstones:
+            raise ValueError("lake does not retain tombstones")
+        man = self.manifest()
+        state = self.read_state(logical=False, with_sys=True)
+        dead = F.col("_deleted") & (F.col("_lsn") < F.lit(below_lsn))
+        touched = [
+            r["bucket"]
+            for r in state.filter(dead)
+            .withColumn("bucket", self._bucket_col())
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return {"purged_buckets": [], "version": man["version"]}
+        new_version = man["version"] + 1
+        keep = self.read_state(
+            buckets=touched, logical=False, with_sys=True
+        ).filter(~dead)
+        out_dir = os.path.join(self.root, f"data/v{new_version}")
+        (
+            keep.withColumn("bucket", self._bucket_col())
+            .repartition(max(len(touched), 1), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written = {
+            int(n.split("=")[1])
+            for n in os.listdir(out_dir)
+            if n.startswith("bucket=")
+        }
+        files = dict(man["files"])
+        for b in touched:
+            if b in written:
+                files[str(b)] = {
+                    "path": f"data/v{new_version}/bucket={b}",
+                    "version": new_version,
+                }
+            else:
+                files.pop(str(b), None)
+        manifest = {
+            **man,
+            "version": new_version,
+            "files": files,
+            "metrics": {"tombstone_purge_below": below_lsn},
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        return {"purged_buckets": sorted(touched), "version": new_version}
 
     # -- merge (the MERGE INTO analogue) --------------------------------
     def merge(
@@ -469,11 +556,17 @@ class LakeTable:
         phys = [c["physical"] for c in schema.columns]
         types = {c["physical"]: c["type"] for c in schema.columns}
         non_key = [p for p in phys if p not in ("repo", "path")]
+        retain = self.retain_tombstones
         o = old.select(
             "repo",
             "path",
             F.col("_lsn").alias("__o_lsn"),
             *[F.col(p).alias(f"__o_{p}") for p in non_key],
+            *(
+                [F.coalesce(F.col("_deleted"), F.lit(False)).alias("__o_del")]
+                if retain
+                else []
+            ),
         )
         c = changes.select(
             "repo",
@@ -490,22 +583,38 @@ class LakeTable:
             "repo",
             "path",
             *[
-                F.when(take, F.col(f"__c_{p}"))
-                .otherwise(F.col(f"__o_{p}"))
-                .alias(p)
+                # a winning delete tombstones the row: values NULL so a
+                # retained tombstone never leaks stale content
+                (
+                    F.when(deleted, F.lit(None).cast(types[p]))
+                    .when(take, F.col(f"__c_{p}"))
+                    .otherwise(F.col(f"__o_{p}"))
+                    if retain
+                    else F.when(take, F.col(f"__c_{p}")).otherwise(
+                        F.col(f"__o_{p}")
+                    )
+                ).alias(p)
                 for p in non_key
             ],
             F.when(take, F.col("__c_lsn"))
             .otherwise(F.col("__o_lsn"))
             .cast("bigint")
             .alias("_lsn"),
+            *(
+                [
+                    F.when(take, F.col("__c_op") == "d")
+                    .otherwise(F.coalesce(F.col("__o_del"), F.lit(False)))
+                    .alias("_deleted")
+                ]
+                if retain
+                else []
+            ),
         ]
         if broadcast:
-            upd = (
-                o.join(F.broadcast(c), ["repo", "path"], "left_outer")
-                .filter(~deleted)
-                .select(*picked)
-            )
+            upd = o.join(F.broadcast(c), ["repo", "path"], "left_outer")
+            if not retain:
+                upd = upd.filter(~deleted)
+            upd = upd.select(*picked)
             # matched keys are ≤ |changes| rows — broadcastable for the
             # anti join, so insert detection costs only a key-pruned
             # scan of old, never a state-side shuffle
@@ -514,19 +623,36 @@ class LakeTable:
                 ["repo", "path"],
                 "left_semi",
             )
-            inserts = (
-                c.join(F.broadcast(matched), ["repo", "path"], "left_anti")
-                .filter(F.col("__c_op") != "d")
-                .select(
-                    "repo",
-                    "path",
-                    *[F.col(f"__c_{p}").alias(p) for p in non_key],
-                    F.col("__c_lsn").cast("bigint").alias("_lsn"),
-                )
+            inserts = c.join(
+                F.broadcast(matched), ["repo", "path"], "left_anti"
+            )
+            if not retain:
+                # delete of a never-seen key is a no-op without
+                # retention; WITH retention it must land as a tombstone
+                # or a late lower-LSN insert would resurrect the key
+                inserts = inserts.filter(F.col("__c_op") != "d")
+            ins_del = F.col("__c_op") == "d"
+            inserts = inserts.select(
+                "repo",
+                "path",
+                *[
+                    (
+                        F.when(ins_del, F.lit(None).cast(types[p])).otherwise(
+                            F.col(f"__c_{p}")
+                        )
+                        if retain
+                        else F.col(f"__c_{p}")
+                    ).alias(p)
+                    for p in non_key
+                ],
+                F.col("__c_lsn").cast("bigint").alias("_lsn"),
+                *([ins_del.alias("_deleted")] if retain else []),
             )
             return upd.unionByName(inserts)
         j = o.join(c, ["repo", "path"], "full_outer")
-        survives = ~deleted & (F.col("__o_lsn").isNotNull() | take)
+        survives = F.col("__o_lsn").isNotNull() | take
+        if not retain:
+            survives = ~deleted & survives
         return j.filter(survives).select(*picked)
 
     def merge_full(
@@ -579,8 +705,17 @@ class LakeTable:
         old = self.read_state(logical=False, with_sys=True)
         if truncate_lsn is not None:
             old = old.filter(F.col("_lsn") > truncate_lsn)
+        retain = self.retain_tombstones
+        # a retained state tombstone re-enters the election as the
+        # delete event it came from, so it keeps guarding its key
+        state_op = (
+            F.when(F.coalesce(F.col("_deleted"), F.lit(False)), "d")
+            .otherwise("u")
+            if retain
+            else F.lit("u")
+        )
         o = old.select(
-            F.lit("u").alias("op"),
+            state_op.alias("op"),
             F.col("_lsn").alias("lsn"),
             F.lit(1).alias("__src"),  # state wins lsn ties (strict guard)
             *[F.col(p) for p in phys],
@@ -624,21 +759,30 @@ class LakeTable:
                 win.unpersist()
                 win = None
         if win is not None:
-            new_state = (
-                merged.join(
-                    F.broadcast(win),
-                    ["repo", "path", "lsn", "__src"],
-                    "inner",
-                )
-                .filter(F.col("op") != "d")
-                .select(
-                    "repo",
-                    "path",
-                    *[F.col(p) for p in non_key],
-                    F.col("lsn").cast("bigint").alias("_lsn"),
-                )
-                .withColumn("bucket", self._bucket_col())
+            new_state = merged.join(
+                F.broadcast(win),
+                ["repo", "path", "lsn", "__src"],
+                "inner",
             )
+            if not retain:
+                new_state = new_state.filter(F.col("op") != "d")
+            is_del = F.col("op") == "d"
+            new_state = new_state.select(
+                "repo",
+                "path",
+                *[
+                    (
+                        F.when(is_del, F.lit(None).cast(types[p])).otherwise(
+                            F.col(p)
+                        )
+                        if retain
+                        else F.col(p)
+                    ).alias(p)
+                    for p in non_key
+                ],
+                F.col("lsn").cast("bigint").alias("_lsn"),
+                *([is_del.alias("_deleted")] if retain else []),
+            ).withColumn("bucket", self._bucket_col())
         else:
             winner = F.max_by(
                 F.struct(
@@ -648,18 +792,26 @@ class LakeTable:
                 ),
                 F.struct(F.col("lsn"), F.col("__src")),
             ).alias("w")
-            new_state = (
-                merged.groupBy("repo", "path")
-                .agg(winner)
-                .filter(F.col("w.op") != "d")
-                .select(
-                    "repo",
-                    "path",
-                    *[F.col(f"w.{p}").alias(p) for p in non_key],
-                    F.col("w.lsn").cast("bigint").alias("_lsn"),
-                )
-                .withColumn("bucket", self._bucket_col())
-            )
+            new_state = merged.groupBy("repo", "path").agg(winner)
+            if not retain:
+                new_state = new_state.filter(F.col("w.op") != "d")
+            w_del = F.col("w.op") == "d"
+            new_state = new_state.select(
+                "repo",
+                "path",
+                *[
+                    (
+                        F.when(w_del, F.lit(None).cast(types[p])).otherwise(
+                            F.col(f"w.{p}")
+                        )
+                        if retain
+                        else F.col(f"w.{p}")
+                    ).alias(p)
+                    for p in non_key
+                ],
+                F.col("w.lsn").cast("bigint").alias("_lsn"),
+                *([w_del.alias("_deleted")] if retain else []),
+            ).withColumn("bucket", self._bucket_col())
         out_dir = os.path.join(self.root, f"data/v{new_version}")
         (
             new_state.repartition(self.n_buckets, "bucket")

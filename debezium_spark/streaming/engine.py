@@ -199,6 +199,14 @@ class EngineConfig:
     # 0 disables, the reference default.
     heartbeat_interval_batches: int = 0
     heartbeat_action: object | None = None
+    # Keep deletes as hidden tombstone rows in lake state (the Kafka
+    # log-compaction design) instead of removing rows: makes the merge
+    # order-tolerant for deletes across micro-batches (a delete
+    # consumed before a lower-LSN event of the same key would
+    # otherwise be resurrected — see stream_changelog's ordered-pickup
+    # contract, which this relaxes). Consumer reads (final_state,
+    # live_source, exports) never see tombstones.
+    retain_delete_tombstones: bool = False
 
 
 class Engine:
@@ -207,7 +215,12 @@ class Engine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig):
         self.spark = spark
         self.cfg = cfg
-        self.lake = LakeTable(spark, cfg.lake_root, n_buckets=cfg.n_buckets)
+        self.lake = LakeTable(
+            spark,
+            cfg.lake_root,
+            n_buckets=cfg.n_buckets,
+            retain_tombstones=cfg.retain_delete_tombstones,
+        )
         self.tracker = SchemaTracker(
             cfg.schema_changes or self._schema_changes_from_log()
         )
