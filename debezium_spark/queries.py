@@ -4593,6 +4593,106 @@ def cdc_replay_final_state(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_table_changes",
+    f"""
+    WITH ev AS (
+      SELECT 'r' || CAST(user_id % 8 AS VARCHAR) AS repo,
+             'p' || CAST(user_id AS VARCHAR) AS path,
+             {_OP_SQL} AS op,
+             event_id AS lsn,
+             event_type || ':' || CAST(event_id AS VARCHAR) AS content
+      FROM events
+    ),
+    bound AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS b FROM ev),
+    s1 AS (
+      SELECT repo, path, content, lsn FROM (
+        SELECT repo, path, content, lsn, op,
+               ROW_NUMBER() OVER (
+                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        FROM ev WHERE lsn <= (SELECT b FROM bound)
+      ) WHERE rn = 1 AND op <> 'd'
+    ),
+    s2 AS (
+      SELECT repo, path, content, lsn FROM (
+        SELECT repo, path, content, lsn, op,
+               ROW_NUMBER() OVER (
+                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1 AND op <> 'd'
+    )
+    SELECT COALESCE(s2.repo, s1.repo) AS repo,
+           COALESCE(s2.path, s1.path) AS path,
+           CASE WHEN s1.lsn IS NULL THEN 'c'
+                WHEN s2.lsn IS NULL THEN 'd'
+                ELSE 'u' END AS op,
+           s1.content AS before_content,
+           s2.content AS after_content,
+           s1.lsn AS lsn_pre,
+           s2.lsn AS lsn_post
+    FROM s1 FULL OUTER JOIN s2
+      ON s1.repo = s2.repo AND s1.path = s2.path
+    WHERE s1.lsn IS NULL OR s2.lsn IS NULL OR s1.lsn <> s2.lsn
+    """,
+)
+def cdc_table_changes(spark, sf_dir):
+    """Incremental read between two lake commits
+    (``LakeTable.table_changes`` — Delta-CDF / Iceberg
+    incremental-scan analogue of the topic Debezium publishes
+    onward, SURVEY §2.4): events are folded into the REAL bucket-COW
+    lake in two LSN-halved merges, then the feed between the two
+    committed versions is diffed from the manifests — metadata-pruned
+    to touched buckets, net semantics, carried-over bucket-mates
+    filtered by the ``_lsn`` guard. Oracle recomputes both endpoint
+    LWW folds and their keyed diff in one SQL statement."""
+    import tempfile
+
+    from debezium_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        ).alias("content"),
+        _op_col().alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+    )
+    mn, mx = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    bound = (int(mn) + int(mx)) // 2
+
+    def _compacted(batch):
+        # merge() takes a per-key compacted change set (the engine runs
+        # LWW compaction first) — one map-side-combined max_by shuffle
+        w = F.max_by(
+            F.struct(*[c for c in batch.columns if c not in ("repo", "path")]),
+            F.col("lsn"),
+        ).alias("w")
+        return batch.groupBy("repo", "path").agg(w).select("repo", "path", "w.*")
+
+    tmp = tempfile.mkdtemp(prefix="cdc_cdf_")
+    lt = LakeTable(spark, f"{tmp}/lake", n_buckets=8)
+    lt.create()
+    lt.merge(_compacted(ev.filter(F.col("lsn") <= bound)), 1)
+    v1 = lt.manifest()["version"]
+    lt.merge(_compacted(ev.filter(F.col("lsn") > bound)), 2)
+    return lt.table_changes(v1).select(
+        "repo",
+        "path",
+        "op",
+        F.col("before.content").alias("before_content"),
+        F.col("after.content").alias("after_content"),
+        "lsn_pre",
+        "lsn_post",
+    )
+
+
 # sized so the sf fixtures (docs up to ~600 chars) exercise the
 # multi-chunk branch; 20% overlap either way
 _CHUNK_SIZE, _CHUNK_STRIDE = 400, 320
