@@ -108,6 +108,7 @@ class LakeTable:
             "last_batch_id": -1,
             "last_batch_ids": {},
             "files": {},
+            "n_buckets": self.n_buckets,
             "schema": schema.columns,
             "schema_version": schema.version,
             "offsets": {},
@@ -131,7 +132,14 @@ class LakeTable:
         if v not in self._manifest_cache:
             with open(self._manifest_path(v)) as f:
                 self._manifest_cache[v] = json.load(f)
-        return self._manifest_cache[v]
+        man = self._manifest_cache[v]
+        if version is None and "n_buckets" in man:
+            # the LATEST manifest's bucket spec is authoritative — a
+            # client opening with a stale constructor width would
+            # misroute keys (missing-bucket reads → duplicate inserts).
+            # The constructor value only seeds create()/pre-spec lakes.
+            self.n_buckets = int(man["n_buckets"])
+        return man
 
     def _write_manifest(self, manifest: dict) -> None:
         v = manifest["version"]
@@ -373,6 +381,63 @@ class LakeTable:
         }
         self._write_manifest(manifest)
         return {"purged_buckets": sorted(touched), "version": new_version}
+
+    def rebucket(self, new_n_buckets: int) -> dict:
+        """Partition-spec evolution: rewrite the table under a new
+        bucket count — Iceberg's spec evolution + rewrite in one fenced
+        commit. A fixed bucket width cannot follow table growth (32
+        buckets at 100 TB is ~3 TB per bucket: COW rewrites and
+        in-bucket joins stop fitting an executor), so the width must
+        scale with the table; the new spec lands in the manifest and
+        every later open adopts it from there (the manifest, not the
+        client constructor, is authoritative — see :meth:`manifest`).
+
+        One full shuffle of the table by the new bucket key, written
+        bucket-partitioned; retained tombstones ride along. Crash-safe
+        like any commit: the manifest rename is the commit point, and
+        a half-written ``data/v{N}`` without its manifest is orphan
+        garbage the next :meth:`expire_snapshots` removes.
+        """
+        if new_n_buckets < 1:
+            raise ValueError(f"bad bucket count {new_n_buckets}")
+        man = self.manifest()
+        old_n = self.n_buckets
+        if new_n_buckets == old_n:
+            return {"version": man["version"], "n_buckets": old_n}
+        state = self.read_state(logical=False, with_sys=True)
+        new_version = man["version"] + 1
+        out_dir = os.path.join(self.root, f"data/v{new_version}")
+        self.n_buckets = new_n_buckets
+        try:
+            (
+                state.withColumn("bucket", self._bucket_col())
+                .repartition(new_n_buckets, "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        except Exception:
+            self.n_buckets = old_n
+            raise
+        files = {
+            str(int(n.split("=")[1])): {
+                "path": f"data/v{new_version}/bucket={int(n.split('=')[1])}",
+                "version": new_version,
+            }
+            for n in sorted(os.listdir(out_dir))
+            if n.startswith("bucket=")
+        }
+        manifest = {
+            **man,
+            "version": new_version,
+            "batch_id": None,
+            "files": files,
+            "n_buckets": new_n_buckets,
+            "metrics": {"rebucket_from": old_n, "rebucket_to": new_n_buckets},
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest)
+        return {"version": new_version, "n_buckets": new_n_buckets}
 
     def table_changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Incremental read of the committed NET changes between two
@@ -630,6 +695,7 @@ class LakeTable:
             "last_batch_id": max(int(man["last_batch_id"]), batch_id),
             "last_batch_ids": phase_ids,
             "files": files,
+            "n_buckets": self.n_buckets,
             "schema": schema.columns,
             "schema_version": schema.version,
             "offsets": new_offsets,
@@ -961,6 +1027,7 @@ class LakeTable:
             "last_batch_id": max(int(man["last_batch_id"]), batch_id),
             "last_batch_ids": phase_ids,
             "files": files,
+            "n_buckets": self.n_buckets,
             "schema": schema.columns,
             "schema_version": schema.version,
             "offsets": new_offsets,
