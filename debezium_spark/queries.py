@@ -4593,6 +4593,55 @@ def cdc_replay_final_state(spark, sf_dir):
     )
 
 
+def _events_two_merge_lake(spark, sf_dir):
+    """Shared fixture for the lake-driving catalog entries: fold the
+    ``events`` table (repo-shaped, LSN = event_id) into a real
+    bucket-COW lake in two LSN-halved merges; returns ``(lake, v1)``
+    with ``v1`` the version after the first merge. Each half is LWW
+    pre-compacted per key (merge()'s input contract — the engine runs
+    the same compaction) with one map-side-combined max_by shuffle."""
+    import tempfile
+
+    from debezium_spark.lake import LakeTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        ).alias("content"),
+        _op_col().alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+    )
+    mn, mx = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    bound = (int(mn) + int(mx)) // 2
+
+    def _compacted(batch):
+        w = F.max_by(
+            F.struct(
+                *[c for c in batch.columns if c not in ("repo", "path")]
+            ),
+            F.col("lsn"),
+        ).alias("w")
+        return (
+            batch.groupBy("repo", "path").agg(w).select("repo", "path", "w.*")
+        )
+
+    tmp = tempfile.mkdtemp(prefix="cdc_cdf_")
+    lt = LakeTable(spark, f"{tmp}/lake", n_buckets=8)
+    lt.create()
+    lt.merge(_compacted(ev.filter(F.col("lsn") <= bound)), 1)
+    v1 = lt.manifest()["version"]
+    lt.merge(_compacted(ev.filter(F.col("lsn") > bound)), 2)
+    return lt, v1
+
+
 @_q(
     "cdc_table_changes",
     f"""
@@ -4645,43 +4694,7 @@ def cdc_table_changes(spark, sf_dir):
     to touched buckets, net semantics, carried-over bucket-mates
     filtered by the ``_lsn`` guard. Oracle recomputes both endpoint
     LWW folds and their keyed diff in one SQL statement."""
-    import tempfile
-
-    from debezium_spark.lake import LakeTable
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string")).alias(
-            "repo"
-        ),
-        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
-        F.md5(F.col("event_id").cast("string")).alias("commit"),
-        F.lit("py").alias("lang"),
-        F.concat(
-            F.col("event_type"),
-            F.lit(":"),
-            F.col("event_id").cast("string"),
-        ).alias("content"),
-        _op_col().alias("op"),
-        F.col("event_id").cast("long").alias("lsn"),
-    )
-    mn, mx = ev.agg(F.min("lsn"), F.max("lsn")).first()
-    bound = (int(mn) + int(mx)) // 2
-
-    def _compacted(batch):
-        # merge() takes a per-key compacted change set (the engine runs
-        # LWW compaction first) — one map-side-combined max_by shuffle
-        w = F.max_by(
-            F.struct(*[c for c in batch.columns if c not in ("repo", "path")]),
-            F.col("lsn"),
-        ).alias("w")
-        return batch.groupBy("repo", "path").agg(w).select("repo", "path", "w.*")
-
-    tmp = tempfile.mkdtemp(prefix="cdc_cdf_")
-    lt = LakeTable(spark, f"{tmp}/lake", n_buckets=8)
-    lt.create()
-    lt.merge(_compacted(ev.filter(F.col("lsn") <= bound)), 1)
-    v1 = lt.manifest()["version"]
-    lt.merge(_compacted(ev.filter(F.col("lsn") > bound)), 2)
+    lt, v1 = _events_two_merge_lake(spark, sf_dir)
     return lt.table_changes(v1).select(
         "repo",
         "path",
@@ -4690,6 +4703,93 @@ def cdc_table_changes(spark, sf_dir):
         F.col("after.content").alias("after_content"),
         "lsn_pre",
         "lsn_post",
+    )
+
+
+@_q(
+    "cdc_publish_topic",
+    f"""
+    WITH ev AS (
+      SELECT 'r' || CAST(user_id % 8 AS VARCHAR) AS repo,
+             'p' || CAST(user_id AS VARCHAR) AS path,
+             {_OP_SQL} AS op,
+             event_id AS lsn,
+             event_type || ':' || CAST(event_id AS VARCHAR) AS content
+      FROM events
+    ),
+    bound AS (SELECT (MIN(lsn) + MAX(lsn)) // 2 AS b FROM ev),
+    s1 AS (
+      SELECT repo, path, content, lsn FROM (
+        SELECT repo, path, content, lsn, op,
+               ROW_NUMBER() OVER (
+                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        FROM ev WHERE lsn <= (SELECT b FROM bound)
+      ) WHERE rn = 1 AND op <> 'd'
+    ),
+    s2 AS (
+      SELECT repo, path, content, lsn FROM (
+        SELECT repo, path, content, lsn, op,
+               ROW_NUMBER() OVER (
+                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+        FROM ev
+      ) WHERE rn = 1 AND op <> 'd'
+    ),
+    d2 AS (
+      SELECT COALESCE(s2.repo, s1.repo) AS repo,
+             COALESCE(s2.path, s1.path) AS path,
+             CASE WHEN s1.lsn IS NULL THEN 'c'
+                  WHEN s2.lsn IS NULL THEN 'd'
+                  ELSE 'u' END AS op,
+             CASE WHEN s2.lsn IS NULL THEN NULL
+                  ELSE s2.content END AS after_content,
+             CASE WHEN s2.lsn IS NULL THEN s1.lsn
+                  ELSE s2.lsn END AS "offset",
+             s1.lsn AS pre_lsn
+      FROM s1 FULL OUTER JOIN s2
+        ON s1.repo = s2.repo AND s1.path = s2.path
+      WHERE s1.lsn IS NULL OR s2.lsn IS NULL OR s1.lsn <> s2.lsn
+    )
+    SELECT repo, path, 'c' AS op, content AS after_content,
+           lsn AS "offset", 1 AS version, 0 AS is_tombstone
+    FROM s1
+    UNION ALL
+    SELECT repo, path, op, after_content, "offset",
+           2 AS version, 0 AS is_tombstone
+    FROM d2
+    UNION ALL
+    SELECT repo, path, CAST(NULL AS VARCHAR) AS op,
+           CAST(NULL AS VARCHAR) AS after_content,
+           pre_lsn + 1 AS "offset", 2 AS version, 1 AS is_tombstone
+    FROM d2 WHERE op = 'd'
+    """,
+)
+def cdc_publish_topic(spark, sf_dir):
+    """Outbound Kafka-shaped topic (:mod:`debezium_spark.publisher`):
+    the two-merge lake's commits published as per-version wire-record
+    directories (delete followed by a tombstone companion —
+    ``tombstones.on.delete``, ``CommonConnectorConfig.java:479-486``;
+    ``EventDispatcher.java:496-508``), read back and flattened. The
+    oracle recomputes both commits' feeds from the endpoint LWW folds:
+    v1 = first-half fold as creates, v2 = keyed diff + one tombstone
+    per delete at ``pre_lsn + 1``."""
+    import tempfile
+
+    from debezium_spark.publisher import publish_changes, read_published
+
+    lt, _ = _events_two_merge_lake(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_topic_") + "/topic"
+    publish_changes(lt, out)
+    rec = read_published(spark, out)
+    return rec.select(
+        F.get_json_object("key_json", "$.repo").alias("repo"),
+        F.get_json_object("key_json", "$.path").alias("path"),
+        F.get_json_object("value_json", "$.op").alias("op"),
+        F.get_json_object("value_json", "$.after.content").alias(
+            "after_content"
+        ),
+        "offset",
+        "version",
+        F.col("is_tombstone").cast("int").alias("is_tombstone"),
     )
 
 

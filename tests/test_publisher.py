@@ -1,0 +1,151 @@
+"""Outbound change-topic publisher: per-commit wire records with
+atomic per-version directories, delete+tombstone pairs, idempotent
+re-publish, and crash-safe temp cleanup."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.lake import LakeTable
+from debezium_spark.publisher import publish_changes, read_published
+
+SCHEMA_DDL = (
+    "repo: string, path: string, commit: string, lang: string, "
+    "content: string, op: string, lsn: long"
+)
+
+
+def _ch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_DDL)
+
+
+def _row(k, op, lsn, tag):
+    return (f"r{k % 4}", f"p{k:03d}", f"c-{tag}", "py", f"{tag}", op, lsn)
+
+
+def _seed(spark, root):
+    lt = LakeTable(spark, root, n_buckets=4)
+    lt.create()
+    lt.merge(
+        _ch(spark, [_row(k, "c", 100 + k, f"base-{k}") for k in range(8)]), 1
+    )
+    lt.merge(_ch(spark, [_row(2, "u", 500, "upd")]), 2)
+    lt.merge(_ch(spark, [_row(3, "d", 600, "del")]), 3)
+    return lt
+
+
+def test_publish_per_commit_wire_records(spark, tmp_root):
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic"
+    res = publish_changes(lt, out)
+    assert res["published"] == [1, 2, 3]
+    assert sorted(os.listdir(out)) == ["v00000001", "v00000002", "v00000003"]
+    rec = read_published(spark, out)
+    by_v = {
+        v: [r for r in rec.collect() if r["version"] == v]
+        for v in (1, 2, 3)
+    }
+    assert len(by_v[1]) == 8  # 8 inserts
+    assert len(by_v[2]) == 1  # 1 update
+    assert len(by_v[3]) == 2  # delete + tombstone companion
+    u = by_v[2][0]
+    v = json.loads(u["value_json"])
+    assert v["op"] == "u" and v["after"]["content"] == "upd"
+    assert v["before"]["content"] == "base-2" and v["lsn"] == 500
+    assert json.loads(u["key_json"]) == {"repo": "r2", "path": "p002"}
+    d = sorted(by_v[3], key=lambda r: r["offset"])
+    dv = json.loads(d[0]["value_json"])
+    assert dv["op"] == "d" and dv["before"]["content"] == "base-3"
+    assert "after" not in dv  # null fields omitted, Connect-style
+    assert d[1]["is_tombstone"] and d[1]["value_json"] is None
+    assert d[1]["offset"] == d[0]["offset"] + 1
+    # partition = lake bucket of the key (per-key ordering domain)
+    assert d[0]["partition"] == d[1]["partition"]
+
+
+def test_idempotent_and_incremental(spark, tmp_root):
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic"
+    publish_changes(lt, out)
+    assert publish_changes(lt, out)["published"] == []
+    lt.merge(_ch(spark, [_row(5, "u", 900, "late")]), 4)
+    assert publish_changes(lt, out)["published"] == [4]
+    assert read_published(spark, out).filter("version = 4").count() == 1
+
+
+def test_crash_leftover_temp_is_rewritten(spark, tmp_root):
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic"
+    # simulate a crash: stale temp dir for v1 with garbage inside
+    os.makedirs(out + "/.tmp-v00000001")
+    with open(out + "/.tmp-v00000001/part-junk.json", "w") as f:
+        f.write("{broken")
+    res = publish_changes(lt, out)
+    assert res["published"] == [1, 2, 3]
+    assert not any(n.startswith(".tmp") for n in os.listdir(out))
+    assert read_published(spark, out).filter("version = 1").count() == 8
+
+
+def test_tombstones_off_and_schema_only_commits(spark, tmp_root):
+    lt = _seed(spark, tmp_root + "/lake")
+    lt.apply_schema_change(
+        {
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "stars",
+            "new_type": "bigint",
+            "schema_version": 1,
+            "lsn": 700,
+        }
+    )
+    out = tmp_root + "/topic"
+    publish_changes(lt, out, tombstones_on_delete=False)
+    rec = read_published(spark, out)
+    assert rec.filter("is_tombstone").count() == 0
+    assert rec.filter("version = 3").count() == 1  # delete only
+    # schema-only commit publishes an empty version dir (consumers see
+    # contiguous versions, no false gap)
+    assert os.path.isdir(out + "/v00000004")
+    assert rec.filter("version = 4").count() == 0
+
+
+def test_expired_unpublished_commit_raises(spark, tmp_root):
+    lt = _seed(spark, tmp_root + "/lake")
+    lt.expire_snapshots(keep_last=1)
+    with pytest.raises(RuntimeError, match="expired before publish"):
+        publish_changes(lt, tmp_root + "/topic")
+
+
+def test_feed_replay_from_topic_rebuilds_state(spark, tmp_root):
+    # consumer-side proof: folding the published topic (LWW by offset,
+    # tombstones/deletes removing keys) reproduces the lake state
+    lt = _seed(spark, tmp_root + "/lake")
+    lt.merge(_ch(spark, [_row(3, "c", 800, "revived")]), 4)
+    out = tmp_root + "/topic"
+    publish_changes(lt, out)
+    rec = read_published(spark, out).filter(~F.col("is_tombstone"))
+    parsed = rec.select(
+        F.get_json_object("key_json", "$.repo").alias("repo"),
+        F.get_json_object("key_json", "$.path").alias("path"),
+        F.get_json_object("value_json", "$.op").alias("op"),
+        F.get_json_object("value_json", "$.after.content").alias("content"),
+        F.col("offset"),
+    )
+    w = F.max_by(F.struct("op", "content"), F.col("offset")).alias("w")
+    final = (
+        parsed.groupBy("repo", "path")
+        .agg(w)
+        .filter(F.col("w.op") != "d")
+        .select("repo", "path", "w.content")
+    )
+    got = {
+        (r["repo"], r["path"]): r["content"] for r in final.collect()
+    }
+    want = {
+        (r["repo"], r["path"]): r["content"]
+        for r in lt.read_state().collect()
+    }
+    assert got == want
