@@ -207,6 +207,14 @@ class EngineConfig:
     # contract, which this relaxes). Consumer reads (final_state,
     # live_source, exports) never see tombstones.
     retain_delete_tombstones: bool = False
+    # Outbound topic: when set, every committed lake version's change
+    # feed is published as wire records under this directory (the
+    # reference's Kafka sink leg — see debezium_spark.publisher).
+    # Publishing runs AFTER each merge commit and is version-fenced +
+    # idempotent, so a crash between commit and publish just leaves a
+    # backlog the next batch (or restart) drains.
+    publish_topic_dir: str | None = None
+    publish_tombstones: bool = True
 
 
 class Engine:
@@ -1512,6 +1520,7 @@ class Engine:
                 truncate_lsn=truncate_lsn,
             )
             self._fire_deferred_signals(deferred_signals)
+            self._maybe_publish()
             return result
         compacted = compact(
             ev,
@@ -1529,7 +1538,23 @@ class Engine:
             truncate_lsn=truncate_lsn,
         )
         self._fire_deferred_signals(deferred_signals)
+        self._maybe_publish()
         return result
+
+    def _maybe_publish(self) -> None:
+        """Drain unpublished lake commits to the outbound topic (no-op
+        without ``publish_topic_dir``). Runs after the merge commit —
+        outside it, like the reference's offset flush relative to the
+        Kafka produce — so a crash here costs a re-publish attempt,
+        never a lost or doubled record (version dirs are atomic)."""
+        if self.cfg.publish_topic_dir:
+            from debezium_spark.publisher import publish_changes
+
+            publish_changes(
+                self.lake,
+                self.cfg.publish_topic_dir,
+                tombstones_on_delete=self.cfg.publish_tombstones,
+            )
 
     def _fire_deferred_signals(self, sigs: list[dict]) -> None:
         """After the batch's merge commit: run snapshot-triggering

@@ -149,3 +149,61 @@ def test_feed_replay_from_topic_rebuilds_state(spark, tmp_root):
         for r in lt.read_state().collect()
     }
     assert got == want
+
+
+def test_engine_publishes_topic_during_run(spark, tmp_root):
+    # full loop: changelog -> engine -> lake commits -> outbound topic;
+    # a mid-run kill leaves a backlog the restart drains (publish is
+    # version-fenced), and folding the topic reproduces final_state
+    from debezium_spark.generator import gen_change_log, gen_source_table
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    src, log, out = tmp_root + "/src", tmp_root + "/log", tmp_root + "/topic"
+    gen_source_table(spark, 4, 20).write.parquet(src)
+    gen_change_log(
+        spark, 4, 20, n_events=1200, snapshot_lsn_base=100
+    ).write.parquet(log)
+    cfg = dict(
+        changelog_path=log,
+        lake_root=tmp_root + "/lake",
+        source_table_path=src,
+        batch_lsn_span=600,
+        n_buckets=4,
+        publish_topic_dir=out,
+    )
+    e1 = Engine(spark, EngineConfig(**cfg))
+    e1.run(max_batches=1)
+    n_after_kill = len(
+        [n for n in os.listdir(out) if n.startswith("v")]
+    )
+    assert n_after_kill >= 1
+    e2 = Engine(spark, EngineConfig(**cfg))
+    e2.run()
+    versions = sorted(
+        int(n[1:]) for n in os.listdir(out) if n.startswith("v")
+    )
+    assert versions == list(range(1, e2.lake.current_version() + 1))
+    rec = read_published(spark, out).filter(~F.col("is_tombstone"))
+    parsed = rec.select(
+        F.get_json_object("key_json", "$.repo").alias("repo"),
+        F.get_json_object("key_json", "$.path").alias("path"),
+        F.get_json_object("value_json", "$.op").alias("op"),
+        F.get_json_object("value_json", "$.after.content").alias("content"),
+        F.col("version"),
+        F.col("offset"),
+    )
+    w = F.max_by(
+        F.struct("op", "content"), F.struct("version", "offset")
+    ).alias("w")
+    final = (
+        parsed.groupBy("repo", "path")
+        .agg(w)
+        .filter(F.col("w.op") != "d")
+        .select("repo", "path", "w.content")
+    )
+    got = {(r["repo"], r["path"]): r["content"] for r in final.collect()}
+    want = {
+        (r["repo"], r["path"]): r["content"]
+        for r in e2.final_state().collect()
+    }
+    assert got == want
