@@ -118,6 +118,31 @@ def publish_changes(
     return {"published": published, "up_to": current}
 
 
+def stream_published(spark, out_dir: str):
+    """Tail the published topic with Structured Streaming — the
+    consumer-group view (a Kafka consumer's poll loop): the file
+    source discovers each atomically-renamed ``v{N}/`` directory as
+    it appears, so records enter the stream exactly once per version
+    and never partially (the rename is the visibility barrier).
+    Checkpointed downstream queries get the same resume semantics a
+    committed consumer offset gives the reference's consumers."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("key_json", T.StringType()),
+            T.StructField("value_json", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    df = spark.readStream.schema(schema).json(f"{out_dir}/v*")
+    return df.withColumn(
+        "version",
+        F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
+    ).withColumn("is_tombstone", F.col("value_json").isNull())
+
+
 def read_published(spark, out_dir: str):
     """Read the full published topic back as typed records —
     ``is_tombstone ⇔ value_json IS NULL`` (the wire carries nothing

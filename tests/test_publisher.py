@@ -207,3 +207,36 @@ def test_engine_publishes_topic_during_run(spark, tmp_root):
         for r in e2.final_state().collect()
     }
     assert got == want
+
+
+def test_stream_published_tails_topic(spark, tmp_root):
+    # Structured Streaming consumer: availableNow pass over the topic,
+    # then a SECOND pass from the same checkpoint picks up ONLY the
+    # versions published in between (consumer-offset resume semantics)
+    from debezium_spark.publisher import stream_published
+
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic"
+    publish_changes(lt, out)
+    sink, ckpt = tmp_root + "/sink", tmp_root + "/ckpt"
+
+    def _drain():
+        q = (
+            stream_published(spark, out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _drain()
+    first = spark.read.parquet(sink).count()
+    assert first == 8 + 1 + 2  # creates + update + delete&tombstone
+    lt.merge(_ch(spark, [_row(6, "u", 900, "tail")]), 4)
+    publish_changes(lt, out)
+    _drain()
+    rows = spark.read.parquet(sink)
+    assert rows.count() == first + 1
+    assert rows.filter("version = 4").count() == 1
