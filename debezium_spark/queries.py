@@ -4562,7 +4562,11 @@ def cdc_replay_final_state(spark, sf_dir):
     from debezium_spark.generator import gen_change_log, gen_source_table
     from debezium_spark.streaming.engine import Engine, EngineConfig
 
+    import atexit
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="cdc_entry_")
+    atexit.register(shutil.rmtree, tmp, True)
     src = gen_source_table(spark, n_repos=4, paths_per_repo=25)
     log = gen_change_log(
         spark, n_repos=4, paths_per_repo=25, n_events=2000, partitions=4
@@ -4633,7 +4637,11 @@ def _events_two_merge_lake(spark, sf_dir):
             batch.groupBy("repo", "path").agg(w).select("repo", "path", "w.*")
         )
 
+    import atexit
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="cdc_cdf_")
+    atexit.register(shutil.rmtree, tmp, True)
     lt = LakeTable(spark, f"{tmp}/lake", n_buckets=8)
     lt.create()
     lt.merge(_compacted(ev.filter(F.col("lsn") <= bound)), 1)
@@ -4777,7 +4785,12 @@ def cdc_publish_topic(spark, sf_dir):
     from debezium_spark.publisher import publish_changes, read_published
 
     lt, _ = _events_two_merge_lake(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="cdc_topic_") + "/topic"
+    import atexit
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="cdc_topic_")
+    atexit.register(shutil.rmtree, base, True)
+    out = base + "/topic"
     publish_changes(lt, out)
     rec = read_published(spark, out)
     return rec.select(
