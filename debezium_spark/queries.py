@@ -4623,19 +4623,32 @@ def _events_two_merge_lake(spark, sf_dir):
         _op_col().alias("op"),
         F.col("event_id").cast("long").alias("lsn"),
     )
+    # bound scan prunes to event_id only; then BOTH halves' LWW folds
+    # come out of ONE map-side-combined shuffle via conditional max_by
+    # (a null ordering key is skipped, so w1/w2 are null exactly when
+    # the key has no events in that half) — not one scan+shuffle per
+    # half. The tiny per-key result is cached so the two merges never
+    # rescan the events table.
     mn, mx = ev.agg(F.min("lsn"), F.max("lsn")).first()
     bound = (int(mn) + int(mx)) // 2
-
-    def _compacted(batch):
-        w = F.max_by(
-            F.struct(
-                *[c for c in batch.columns if c not in ("repo", "path")]
-            ),
-            F.col("lsn"),
-        ).alias("w")
-        return (
-            batch.groupBy("repo", "path").agg(w).select("repo", "path", "w.*")
+    img = F.struct(*[c for c in ev.columns if c not in ("repo", "path")])
+    folds = (
+        ev.groupBy("repo", "path")
+        .agg(
+            F.max_by(
+                img, F.when(F.col("lsn") <= bound, F.col("lsn"))
+            ).alias("w1"),
+            F.max_by(
+                img, F.when(F.col("lsn") > bound, F.col("lsn"))
+            ).alias("w2"),
         )
+        # the fold output is O(keys) tiny — coalesce so every
+        # downstream merge job schedules a handful of tasks, not
+        # shuffle_partitions of them (pure fixture-scale hygiene; at
+        # corpus scale the agg width IS the right task count)
+        .coalesce(8)
+        .persist()
+    )
 
     import atexit
     import shutil
@@ -4644,9 +4657,16 @@ def _events_two_merge_lake(spark, sf_dir):
     atexit.register(shutil.rmtree, tmp, True)
     lt = LakeTable(spark, f"{tmp}/lake", n_buckets=8)
     lt.create()
-    lt.merge(_compacted(ev.filter(F.col("lsn") <= bound)), 1)
+    lt.merge(
+        folds.filter(F.col("w1").isNotNull()).select("repo", "path", "w1.*"),
+        1,
+    )
     v1 = lt.manifest()["version"]
-    lt.merge(_compacted(ev.filter(F.col("lsn") > bound)), 2)
+    lt.merge(
+        folds.filter(F.col("w2").isNotNull()).select("repo", "path", "w2.*"),
+        2,
+    )
+    folds.unpersist()
     return lt, v1
 
 
