@@ -36,6 +36,38 @@ from pyspark.sql import functions as F
 from debezium_spark.lake import LakeTable
 
 
+def _wire_read_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("key_json", T.StringType()),
+            T.StructField("value_json", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            # only compacted-snapshot records carry version inline
+            # (their path no longer encodes it); plain v-dir files
+            # read NULL here and take it from the path instead
+            T.StructField("version", T.IntegerType()),
+        ]
+    )
+
+
+_WIRE_READ_SCHEMA = _wire_read_schema()
+
+
+def _with_version(df):
+    return df.withColumn(
+        "version",
+        F.coalesce(
+            F.col("version"),
+            F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast(
+                "int"
+            ),
+        ),
+    ).withColumn("is_tombstone", F.col("value_json").isNull())
+
+
 def _published_versions(out_dir: str) -> set[int]:
     if not os.path.isdir(out_dir):
         return set()
@@ -44,6 +76,22 @@ def _published_versions(out_dir: str) -> set[int]:
         for n in os.listdir(out_dir)
         if n.startswith("v") and n[1:].isdigit()
     }
+
+
+def _compacted_through(out_dir: str) -> int:
+    """Highest version folded into a compacted snapshot (0 if none) —
+    those versions COUNT as published even though their directories
+    are gone."""
+    if not os.path.isdir(out_dir):
+        return 0
+    return max(
+        (
+            int(n.split("-")[1])
+            for n in os.listdir(out_dir)
+            if n.startswith("compacted-") and n.split("-")[-1].isdigit()
+        ),
+        default=0,
+    )
 
 
 def publish_changes(
@@ -69,11 +117,12 @@ def publish_changes(
         lake.current_version() if up_to_version is None else up_to_version
     )
     done = _published_versions(out_dir)
+    compacted = _compacted_through(out_dir)
     on_disk = set(lake.versions())
     os.makedirs(out_dir, exist_ok=True)
     published = []
     for v in range(1, current + 1):
-        if v in done:
+        if v in done or v <= compacted:
             continue
         if v not in on_disk or (v - 1) not in on_disk:
             # expired before it was ever published — the feed for this
@@ -118,6 +167,76 @@ def publish_changes(
     return {"published": published, "up_to": current}
 
 
+def compact_published(
+    spark,
+    out_dir: str,
+    through_version: int,
+    keep_tombstones: bool = False,
+) -> dict:
+    """Log-compact the published topic through ``through_version`` —
+    Kafka's compacted-topic retention: all version directories ≤ V are
+    replaced by ONE snapshot directory holding the latest record per
+    key (a key whose latest record is a delete/tombstone is dropped,
+    or kept as a tombstone with ``keep_tombstones=True`` — the
+    ``delete.retention.ms`` window for consumers that still need the
+    delete marker). Versions > V are untouched, so a new consumer
+    bootstraps in O(live keys) + the tail instead of O(history).
+
+    Records in the snapshot carry their original ``version`` inline
+    (the path no longer encodes it); readers coalesce path-derived and
+    stored versions, so folds by ``(version, offset)`` are unchanged.
+
+    Crash-safe: snapshot written to a temp dir and renamed before any
+    old directory is removed — a crash mid-removal leaves duplicate
+    history, which per-key LWW folding (how every consumer of a
+    compacted topic must read anyway, Kafka semantics) makes
+    harmless; re-running the compaction finishes the removal.
+
+    NOTE (Kafka-faithful): an EXISTING checkpointed streaming consumer
+    that has not passed V will see the snapshot as new files —
+    re-delivery, not loss; its per-key fold converges identically.
+    """
+    done = sorted(_published_versions(out_dir))
+    target = [v for v in done if v <= through_version]
+    if not target:
+        return {"compacted_through": None, "records": 0}
+    rec = read_published(spark, out_dir).filter(
+        F.col("version") <= through_version
+    )
+    w = F.max_by(
+        F.struct("value_json", "partition", "offset", "version"),
+        F.struct("version", "offset"),
+    ).alias("w")
+    latest = rec.groupBy("key_json").agg(w).select(
+        "key_json",
+        F.col("w.value_json").alias("value_json"),
+        F.col("w.partition").alias("partition"),
+        F.col("w.offset").alias("offset"),
+        F.col("w.version").alias("version"),
+    )
+    if not keep_tombstones:
+        latest = latest.filter(F.col("value_json").isNotNull())
+    final = os.path.join(out_dir, f"compacted-{through_version:08d}")
+    tmp = os.path.join(out_dir, f".tmp-compacted-{through_version:08d}")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    n = latest.count()
+    latest.write.mode("overwrite").json(tmp)
+    if os.path.isdir(final):
+        # re-run after a crash between rename and old-dir removal: the
+        # fold above already read snapshot ∪ leftovers (duplicates are
+        # max_by-identical), so replacing the snapshot is sound
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    for v in target:
+        shutil.rmtree(os.path.join(out_dir, f"v{v:08d}"), ignore_errors=True)
+    # an older snapshot is fully superseded by the new one
+    for name in os.listdir(out_dir):
+        if name.startswith("compacted-") and name != os.path.basename(final):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    return {"compacted_through": through_version, "records": int(n)}
+
+
 def stream_published(spark, out_dir: str):
     """Tail the published topic with Structured Streaming — the
     consumer-group view (a Kafka consumer's poll loop): the file
@@ -126,21 +245,10 @@ def stream_published(spark, out_dir: str):
     and never partially (the rename is the visibility barrier).
     Checkpointed downstream queries get the same resume semantics a
     committed consumer offset gives the reference's consumers."""
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("key_json", T.StringType()),
-            T.StructField("value_json", T.StringType()),
-            T.StructField("partition", T.IntegerType()),
-            T.StructField("offset", T.LongType()),
-        ]
+    df = spark.readStream.schema(_WIRE_READ_SCHEMA).json(
+        f"{out_dir}/{{v,compacted-}}*"
     )
-    df = spark.readStream.schema(schema).json(f"{out_dir}/v*")
-    return df.withColumn(
-        "version",
-        F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
-    ).withColumn("is_tombstone", F.col("value_json").isNull())
+    return _with_version(df)
 
 
 def read_published(spark, out_dir: str):
@@ -148,18 +256,7 @@ def read_published(spark, out_dir: str):
     ``is_tombstone ⇔ value_json IS NULL`` (the wire carries nothing
     else for a tombstone by definition). Versions ride the directory
     name so consumers can resume from any commit."""
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("key_json", T.StringType()),
-            T.StructField("value_json", T.StringType()),
-            T.StructField("partition", T.IntegerType()),
-            T.StructField("offset", T.LongType()),
-        ]
+    df = spark.read.schema(_WIRE_READ_SCHEMA).json(
+        f"{out_dir}/{{v,compacted-}}*"
     )
-    df = spark.read.schema(schema).json(f"{out_dir}/v*")
-    return df.withColumn(
-        "version",
-        F.regexp_extract(F.input_file_name(), r"/v(\d+)/", 1).cast("int"),
-    ).withColumn("is_tombstone", F.col("value_json").isNull())
+    return _with_version(df)

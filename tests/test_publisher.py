@@ -240,3 +240,88 @@ def test_stream_published_tails_topic(spark, tmp_root):
     rows = spark.read.parquet(sink)
     assert rows.count() == first + 1
     assert rows.filter("version = 4").count() == 1
+
+
+def test_compact_published_topic(spark, tmp_root):
+    from debezium_spark.publisher import compact_published
+
+    lt = _seed(spark, tmp_root + "/lake")  # v1..v3 incl delete of p003
+    lt.merge(_ch(spark, [_row(6, "u", 900, "tail")]), 4)
+    out = tmp_root + "/topic"
+    publish_changes(lt, out)
+    res = compact_published(spark, out, through_version=3)
+    # v1..v3 replaced by one snapshot; v4 untouched
+    names = sorted(os.listdir(out))
+    assert names == ["compacted-00000003", "v00000004"]
+    assert res["compacted_through"] == 3
+    # snapshot = latest record per key through v3; deleted key GONE
+    rec = read_published(spark, out)
+    snap = rec.filter("version <= 3")
+    assert snap.filter("is_tombstone").count() == 0
+    keys = {
+        r["key_json"] for r in snap.select("key_json").collect()
+    }
+    assert '{"repo":"r3","path":"p003"}' not in keys
+    assert len(keys) == 7  # 8 creates - 1 deleted
+    # stored versions survive the path change (update of p002 was v2)
+    upd = [
+        r
+        for r in snap.collect()
+        if json.loads(r["key_json"])["path"] == "p002"
+    ]
+    assert upd[0]["version"] == 2
+    # tail still reads, and a new consumer's fold == lake state
+    parsed = rec.filter(~F.col("is_tombstone")).select(
+        F.get_json_object("key_json", "$.repo").alias("repo"),
+        F.get_json_object("key_json", "$.path").alias("path"),
+        F.get_json_object("value_json", "$.op").alias("op"),
+        F.get_json_object("value_json", "$.after.content").alias("content"),
+        "version",
+        "offset",
+    )
+    w = F.max_by(
+        F.struct("op", "content"), F.struct("version", "offset")
+    ).alias("w")
+    final = (
+        parsed.groupBy("repo", "path")
+        .agg(w)
+        .filter(F.col("w.op") != "d")
+        .select("repo", "path", "w.content")
+    )
+    got = {(r["repo"], r["path"]): r["content"] for r in final.collect()}
+    want = {
+        (r["repo"], r["path"]): r["content"]
+        for r in lt.read_state().collect()
+    }
+    assert got == want
+    # publish after compaction does NOT re-publish folded versions
+    lt.merge(_ch(spark, [_row(7, "u", 950, "post")]), 5)
+    assert publish_changes(lt, out)["published"] == [5]
+
+
+def test_compact_keep_tombstones_and_recompact(spark, tmp_root):
+    from debezium_spark.publisher import compact_published
+
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic"
+    publish_changes(lt, out)
+    compact_published(spark, out, through_version=3, keep_tombstones=True)
+    rec = read_published(spark, out)
+    # delete.retention window: the tombstone marker survives compaction
+    tombs = rec.filter("is_tombstone").collect()
+    assert len(tombs) == 1
+    assert json.loads(tombs[0]["key_json"])["path"] == "p003"
+    # later commits + RE-compaction supersede the old snapshot
+    lt.merge(_ch(spark, [_row(3, "c", 990, "revive")]), 4)
+    publish_changes(lt, out)
+    compact_published(spark, out, through_version=4)
+    names = sorted(os.listdir(out))
+    assert names == ["compacted-00000004"]
+    rec2 = read_published(spark, out)
+    assert rec2.filter("is_tombstone").count() == 0
+    revived = [
+        r
+        for r in rec2.collect()
+        if json.loads(r["key_json"])["path"] == "p003"
+    ]
+    assert len(revived) == 1 and revived[0]["version"] == 4
