@@ -74,11 +74,26 @@ def bench_cdc_replay(
         eng.run()
         final_rows = eng.final_state().count()
         wall = time.time() - t0
+        # end-to-end apply latency (BASELINE.md planned measurement):
+        # wall-clock between consecutive merge-commit manifests = time
+        # from a batch's ingest start to its MERGE being committed
+        commit_ts = [
+            eng.lake.manifest(v)["ts"]
+            for v in eng.lake.versions()
+            if eng.lake.manifest(v)["batch_id"] is not None
+        ]
+        gaps = [b - a for a, b in zip(commit_ts, commit_ts[1:])]
+        latency = {
+            "mean_s": round(sum(gaps) / len(gaps), 2) if gaps else None,
+            "max_s": round(max(gaps), 2) if gaps else None,
+            "n_commits": len(commit_ts),
+        }
         return {
             "events": total_events + snapshot_rows,
             "wall_s": round(wall, 2),
             "events_per_sec": round((total_events + snapshot_rows) / wall, 1),
             "final_rows": final_rows,
+            "batch_apply_latency": latency,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -249,6 +249,24 @@ class LakeTable:
             if n.endswith(".json")
         )
 
+    def version_as_of(self, ts: float) -> int:
+        """``TIMESTAMP AS OF``: the latest commit whose manifest
+        timestamp is at or before ``ts`` (every commit records its
+        wall-clock ``ts`` at manifest write). O(retained versions)
+        cached metadata reads, no data access. Raises ``ValueError``
+        when ``ts`` predates the earliest retained commit (earlier
+        history may have been expired)."""
+        best = None
+        for v in self.versions():
+            if self.manifest(v)["ts"] <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no retained commit at or before ts={ts} "
+                f"(earliest retained: {self.versions()[:1]})"
+            )
+        return best
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg-style snapshot expiry (``expireSnapshots`` +
         orphan-file removal): retain the newest ``keep_last`` commits,

@@ -1599,12 +1599,19 @@ class Engine:
     def final_state(self) -> DataFrame:
         return self.lake.read_state(logical=True)
 
-    def state_as_of(self, version: int) -> DataFrame:
+    def state_as_of(
+        self, version: int | None = None, ts: float | None = None
+    ) -> DataFrame:
         """Time-travel read: the table exactly as of commit
         ``version`` (Iceberg ``VERSION AS OF``; every fenced merge is
-        one commit). Raises ``FileNotFoundError`` once the version has
-        been expired by :meth:`debezium_spark.lake.LakeTable.
-        expire_snapshots`."""
+        one commit) or as of wall-clock ``ts`` (``TIMESTAMP AS OF``,
+        resolved against the manifests' commit timestamps). Raises
+        ``FileNotFoundError`` once the version has been expired by
+        :meth:`debezium_spark.lake.LakeTable.expire_snapshots`."""
+        if (version is None) == (ts is None):
+            raise ValueError("pass exactly one of version / ts")
+        if version is None:
+            version = self.lake.version_as_of(ts)
         return self.lake.read_state(logical=True, version=version)
 
     def _write_dead_letters(

@@ -115,3 +115,51 @@ def test_expire_noop_when_few_versions(spark, tmp_root):
     res = eng.lake.expire_snapshots(keep_last=10)
     assert res["removed_manifests"] == 0
     assert _rows(eng.final_state()) == before
+
+
+def test_timestamp_as_of(spark, tmp_root):
+    import time as _t
+
+    from debezium_spark.lake import LakeTable
+
+    lt = LakeTable(spark, tmp_root + "/ts_lake", n_buckets=2)
+    lt.create()
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lt.merge(
+        spark.createDataFrame(
+            [("r0", "p0", "c1", "py", "one", "c", 100)], ddl
+        ),
+        1,
+    )
+    between = _t.time()
+    _t.sleep(0.05)
+    lt.merge(
+        spark.createDataFrame(
+            [("r0", "p0", "c2", "py", "two", "u", 200)], ddl
+        ),
+        2,
+    )
+    v = lt.version_as_of(between)
+    assert v == 1
+    rows = lt.read_state(version=v).collect()
+    assert rows[0]["content"] == "one"
+    assert lt.version_as_of(_t.time()) == lt.current_version()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lt.version_as_of(between - 10_000)
+    # engine surface: exactly one selector
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    eng = Engine.__new__(Engine)
+    eng.lake = lt
+    assert (
+        Engine.state_as_of(eng, ts=between).collect()[0]["content"] == "one"
+    )
+    with _pytest.raises(ValueError):
+        Engine.state_as_of(eng)
+    with _pytest.raises(ValueError):
+        Engine.state_as_of(eng, version=1, ts=between)
