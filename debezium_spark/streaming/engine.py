@@ -1599,6 +1599,19 @@ class Engine:
     def final_state(self) -> DataFrame:
         return self.lake.read_state(logical=True)
 
+    def applied_frontier(self) -> int | None:
+        """The exact applied stream prefix: every event with
+        ``lsn < frontier`` is in the lake, none at or above it is.
+        Exact because stream windows are deterministic — batch ids
+        1..B cover ``[origin, origin + B*span)`` — so the frontier is
+        pure metadata (origin file + committed batch id), no log scan.
+        ``None`` before streaming first pins the origin."""
+        origin = self._load_stream_origin()
+        if origin is None:
+            return None
+        b = max(self.lake.last_batch_id("stream"), 0)
+        return origin + b * self.cfg.batch_lsn_span
+
     def state_as_of(
         self, version: int | None = None, ts: float | None = None
     ) -> DataFrame:

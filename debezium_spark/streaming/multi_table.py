@@ -366,6 +366,72 @@ class MultiTableEngine:
     def final_state(self, table: str) -> DataFrame:
         return self.engines()[table].final_state()
 
+    # -- transactionally consistent cross-table reads -----------------
+
+    def consistency_violations(self) -> DataFrame:
+        """Transactions SPLIT by the current per-table applied
+        frontiers: a tx with at least one event already applied to
+        some table's lake AND at least one not yet applied (to the
+        same or another table). The reference's transaction topic
+        exists precisely so consumers can detect/buffer these
+        (``TransactionMonitor`` BEGIN/END + per-collection event
+        counts); here the check is ONE pruned scan of the mixed log —
+        ``groupBy(txId)`` partial-agg over two boolean flags, no
+        per-table pass, events without transaction metadata ignored.
+
+        Returns (txId, applied_events, pending_events, tables) for
+        each split transaction — empty ⇔ the per-table states form a
+        transaction-consistent cross-table snapshot.
+        """
+        frontiers = {
+            name: eng.applied_frontier() or 0
+            for name, eng in self.engines().items()
+        }
+        log = self.spark.read.parquet(self.changelog_path)
+        tbl = F.col("source.table")
+        frontier = F.lit(None).cast("long")
+        for name, L in frontiers.items():
+            frontier = F.when(tbl == name, F.lit(L)).otherwise(frontier)
+        applied = F.col("lsn") < frontier
+        return (
+            log.where(
+                tbl.isin(*frontiers) & F.col("source.txId").isNotNull()
+            )
+            .groupBy(F.col("source.txId").alias("txId"))
+            .agg(
+                F.count(F.when(applied, True)).alias("applied_events"),
+                F.count(F.when(~applied, True)).alias("pending_events"),
+                F.sort_array(F.collect_set(tbl)).alias("tables"),
+            )
+            .where(
+                (F.col("applied_events") > 0) & (F.col("pending_events") > 0)
+            )
+        )
+
+    def consistent_state(self) -> dict[str, DataFrame]:
+        """All captured tables' states, verified to be a
+        TRANSACTION-CONSISTENT cross-table snapshot: no transaction is
+        split by the current frontiers (some events applied, some
+        pending). Raises with the violating transaction ids otherwise
+        — run the lagging engines forward and retry (each engine's
+        fenced replay is independently resumable, so converging the
+        frontiers is always possible). Ordinary prefix consistency per
+        table is already guaranteed by the deterministic LSN windows;
+        this adds the cross-table guarantee the reference's
+        transaction topic gives its consumers."""
+        viol = self.consistency_violations().limit(20).collect()
+        if viol:
+            ids = [r["txId"] for r in viol]
+            raise RuntimeError(
+                f"{len(viol)}+ transactions split across the current "
+                f"per-table frontiers (e.g. txId={ids[:5]}); advance "
+                "the lagging engines (run()) and retry"
+            )
+        return {
+            name: eng.final_state()
+            for name, eng in self.engines().items()
+        }
+
     def metrics(self, table: str) -> list[dict]:
         return self.engines()[table].metrics()
 
