@@ -191,3 +191,76 @@ def test_streaming_scrambled_segment_order_converges(spark, tmp_root):
     assert set(got) == set(want)
     for k, w in want.items():
         assert got[k]["content"] == w["content"], k
+
+
+# -- property: ANY batch order converges (hypothesis) -----------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_prop_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key index (4 keys, heavy collision)
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(0, 99),  # content token
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_prop_events, st.randoms(use_true_random=False))
+def test_any_batch_partition_and_order_converges(spark, evs, rnd):
+    """Partition an arbitrary event sequence into arbitrary batches and
+    apply them in an arbitrary order: with retained tombstones the
+    final live state must equal the LSN-ordered fold, ALWAYS."""
+    import tempfile
+
+    # python-fold expectation over LSN order
+    expected = {}
+    tagged = [(lsn, k, op, tok) for lsn, (k, op, tok) in enumerate(evs, 1)]
+    for lsn, k, op, tok in tagged:
+        if op == "d":
+            expected.pop(k, None)
+        else:
+            expected[k] = f"v{tok}:{lsn}"
+    # arbitrary partition into 1-4 batches, arbitrary application order
+    n_batches = rnd.randint(1, 4)
+    batches = [[] for _ in range(n_batches)]
+    for t in tagged:
+        batches[rnd.randrange(n_batches)].append(t)
+    rnd.shuffle(batches)
+    lt = LakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="prop_tomb_"),
+        n_buckets=2,
+        retain_tombstones=True,
+    )
+    lt.create()
+    bid = 0
+    for b in batches:
+        # per-batch LWW pre-compaction (merge()'s input contract)
+        winners = {}
+        for lsn, k, op, tok in b:
+            if k not in winners or winners[k][0] < lsn:
+                winners[k] = (lsn, op, tok)
+        if not winners:
+            continue
+        bid += 1
+        rows = [
+            (f"r{k % 2}", f"p{k}", f"c{lsn}", "py",
+             None if op == "d" else f"v{tok}:{lsn}", op, lsn)
+            for k, (lsn, op, tok) in winners.items()
+        ]
+        lt.merge(_ch(spark, rows), bid)
+    got = {
+        int(r["path"][1:]): r["content"]
+        for r in lt.read_state(logical=False).collect()
+    }
+    want = {k: v for k, v in expected.items()}
+    assert got == want
