@@ -527,3 +527,69 @@ def test_percentiles_histogram_grain_two_exchanges(spark):
     got = {r["event_type"]: r for r in df.collect()}["click"]
     for p in (50, 95, 99):
         assert got[f"p{p}"] == vals[math.ceil(p * len(vals) / 100) - 1]
+
+
+def test_table_changes_feed_plan_shape(spark, tmp_path_factory):
+    # the change feed must stay a keyed equi-join over the two pinned
+    # reads — never a nested-loop/cartesian — and fully JVM-side (pure
+    # column expressions, no Python in the diff path)
+    from debezium_spark.lake import LakeTable
+
+    root = str(tmp_path_factory.mktemp("cdfplan") / "lake")
+    lt = LakeTable(spark, root, n_buckets=2)
+    lt.create()
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lt.merge(
+        spark.createDataFrame(
+            [(f"r{i%2}", f"p{i}", "c", "py", f"x{i}", "c", 100 + i)
+             for i in range(12)],
+            ddl,
+        ),
+        1,
+    )
+    v1 = lt.manifest()["version"]
+    lt.merge(
+        spark.createDataFrame(
+            [("r1", "p1", "c", "py", "upd", "u", 900)], ddl
+        ),
+        2,
+    )
+    plan = plan_of(lt.table_changes(v1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FullOuter" in plan  # the keyed diff join, on the key columns
+
+
+def test_publisher_records_stay_jvm_side(spark, tmp_path_factory):
+    # wire-record serialization is to_json over dynamic structs —
+    # codegen, zero Python, and no extra exchange beyond the feed's own
+    from debezium_spark.lake import LakeTable
+    from pyspark.sql import functions as F2
+
+    root = str(tmp_path_factory.mktemp("pubplan") / "lake")
+    lt = LakeTable(spark, root, n_buckets=2)
+    lt.create()
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lt.merge(
+        spark.createDataFrame(
+            [("r0", "p0", "c", "py", "x", "c", 100)], ddl
+        ),
+        1,
+    )
+    feed = lt.table_changes(0)
+    records = feed.select(
+        F2.to_json(F2.struct("repo", "path")).alias("key_json"),
+        F2.to_json(
+            F2.struct("before", "after", "op", "lsn_post")
+        ).alias("value_json"),
+    )
+    plan = plan_of(records)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_exchanges(plan) <= n_exchanges(plan_of(feed))
