@@ -215,6 +215,23 @@ class EngineConfig:
     # backlog the next batch (or restart) drains.
     publish_topic_dir: str | None = None
     publish_tombstones: bool = True
+    # Per-batch consumer hook — the DebeziumEngine handleBatch analogue
+    # (debezium-api .../DebeziumEngine.java:106-167): called AFTER each
+    # committed stream batch with (engine, batch_result). Raising
+    # StopEngine from it stops the engine gracefully (commit stands,
+    # offsets flush, CompletionCallback reports success) — the
+    # StopEngineException contract (StopEngineException.java:17).
+    batch_callback: object | None = None
+
+
+class StopEngine(Exception):
+    """Raise from a user callback (``batch_callback`` /
+    ``heartbeat_action``) to stop the engine gracefully: the current
+    batch's commit stands, offsets flush like any graceful exit, and
+    the CompletionCallback reports success — the reference's
+    ``StopEngineException`` contract (``debezium-api
+    .../engine/StopEngineException.java:17``: stop processing but keep
+    everything already marked processed)."""
 
 
 class Engine:
@@ -615,11 +632,19 @@ class Engine:
             )
             k += 1
             n_done += 1
-            if (
-                self.cfg.heartbeat_interval_batches
-                and n_done % self.cfg.heartbeat_interval_batches == 0
-            ):
-                self._emit_heartbeat(k)
+            try:
+                if (
+                    self.cfg.heartbeat_interval_batches
+                    and n_done % self.cfg.heartbeat_interval_batches == 0
+                ):
+                    self._emit_heartbeat(k)
+                if self.cfg.batch_callback is not None:
+                    self.cfg.batch_callback(self, results[-1])
+            except StopEngine:
+                # graceful: this batch's commit stands, the loop exit
+                # below flushes offsets, run() reports success
+                self._stopped = True
+                break
             if crash_after_batches is not None and n_done >= crash_after_batches:
                 raise RuntimeError(
                     "injected crash: merge committed, offsets not flushed"

@@ -542,3 +542,76 @@ def test_engine_heartbeats(spark, tmp_root):
     assert not os.path.exists(
         os.path.join(tmp_root, "lake_hb2", "_heartbeats")
     )
+
+
+def test_stop_engine_from_batch_callback_is_graceful(spark, tmp_root):
+    """StopEngineException contract: raising StopEngine from the
+    per-batch consumer hook stops after the current COMMITTED batch,
+    reports success, and a later run resumes exactly there."""
+    import hashlib
+
+    from debezium_spark.generator import gen_change_log, gen_source_table
+    from debezium_spark.oracle import fold_final_state
+    from debezium_spark.streaming.engine import Engine, EngineConfig, StopEngine
+
+    src, log = tmp_root + "/src", tmp_root + "/log"
+    gen_source_table(spark, 4, 20).write.parquet(src)
+    gen_change_log(
+        spark, 4, 20, n_events=1500, snapshot_lsn_base=100
+    ).write.parquet(log)
+    seen: list[dict] = []
+    outcomes: list[tuple] = []
+
+    def on_batch(engine, result):
+        seen.append(result)
+        if len(seen) >= 2:
+            raise StopEngine("enough for now")
+
+    base = dict(
+        changelog_path=log,
+        lake_root=tmp_root + "/lake",
+        source_table_path=src,
+        batch_lsn_span=700,
+        n_buckets=4,
+    )
+    e1 = Engine(
+        spark,
+        EngineConfig(
+            **base,
+            batch_callback=on_batch,
+            completion_callback=lambda ok, msg, err: outcomes.append(
+                (ok, msg, err)
+            ),
+        ),
+    )
+    res1 = e1.run()
+    assert len(seen) == 2
+    assert outcomes and outcomes[0][0] is True  # success, not abort
+    assert "stopped" in outcomes[0][1]
+    stream1 = [r for r in res1 if not r.get("skipped")]
+    # resume: a fresh engine continues at the next batch and converges
+    e2 = Engine(spark, EngineConfig(**base))
+    res2 = e2.run()
+    new_ids = [
+        r["batch_id"] for r in res2 if not r.get("skipped")
+    ]
+    assert new_ids and min(new_ids) == max(
+        r["batch_id"] for r in stream1
+    ) + 1
+    src_pdf = spark.read.parquet(src).toPandas()
+    log_pdf = spark.read.parquet(log).toPandas()
+    for c in ("source", "transaction"):
+        if c in log_pdf.columns:
+            log_pdf[c] = log_pdf[c].map(
+                lambda r: r.asDict() if hasattr(r, "asDict") else r
+            )
+    want = fold_final_state(src_pdf, log_pdf)
+    got = {
+        (r["repo"], r["path"]): r for r in e2.final_state().collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert (
+            hashlib.sha256((got[k]["content"] or "").encode()).hexdigest()
+            == hashlib.sha256((w["content"] or "").encode()).hexdigest()
+        )
