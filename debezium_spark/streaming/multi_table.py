@@ -237,6 +237,16 @@ class MultiTableEngine:
                     "signal_ack_path",
                     f"{table_root}/_signals.processed",
                 )
+            # a SHARED outbound topic dir would collide version dirs
+            # across different tables' lakes (the second table's v1
+            # reads as already published and is silently skipped) —
+            # route each table to its own topic subdir, the per-table
+            # Kafka topic the reference gives every collection
+            if cfg_kwargs.get("publish_topic_dir"):
+                cfg_kwargs["publish_topic_dir"] = (
+                    f"{cfg_kwargs['publish_topic_dir']}/"
+                    f"{sanitize_table_dir(name)}"
+                )
             cfg_kwargs.setdefault("collection_name", name)
             cfg = EngineConfig(
                 changelog_path=log_path,

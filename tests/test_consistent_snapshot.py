@@ -95,3 +95,33 @@ def test_events_without_tx_metadata_never_block(spark, tmp_root):
     assert mte.consistency_violations().count() == 0
     states = mte.consistent_state()
     assert sorted(states) == ["A", "B"]
+
+
+def test_multi_table_publish_routes_per_table_topics(spark, tmp_root):
+    # a shared publish dir must fan out to one topic subdir per table
+    # (shared versions would collide across different lakes)
+    import os
+
+    from debezium_spark.publisher import read_published
+
+    log_path = tmp_root + "/mixed_log2"
+    _mixed_log(spark, log_path)
+    topics = tmp_root + "/topics"
+    mte = MultiTableEngine(
+        spark,
+        log_path,
+        tmp_root + "/lakes",
+        route="filter",
+        snapshot_mode="never",
+        n_buckets=4,
+        batch_lsn_span=1024,
+        publish_topic_dir=topics,
+    )
+    mte.run()
+    assert sorted(os.listdir(topics)) == ["A", "B"]
+    for t in ("A", "B"):
+        eng = mte.engines()[t]
+        rec = read_published(spark, f"{topics}/{t}")
+        n_versions = rec.select("version").distinct().count()
+        assert n_versions == eng.lake.current_version()
+        assert rec.count() > 0
