@@ -378,16 +378,27 @@ class MultiTableEngine:
 
     # -- transactionally consistent cross-table reads -----------------
 
-    def consistency_violations(self) -> DataFrame:
+    def consistency_violations(
+        self, max_tx_lsn_span: int | None = None
+    ) -> DataFrame:
         """Transactions SPLIT by the current per-table applied
         frontiers: a tx with at least one event already applied to
         some table's lake AND at least one not yet applied (to the
         same or another table). The reference's transaction topic
         exists precisely so consumers can detect/buffer these
         (``TransactionMonitor`` BEGIN/END + per-collection event
-        counts); here the check is ONE pruned scan of the mixed log —
+        counts); here the check is ONE scan of the mixed log —
         ``groupBy(txId)`` partial-agg over two boolean flags, no
         per-table pass, events without transaction metadata ignored.
+
+        ``max_tx_lsn_span`` is the 100 TB lever: a split tx must have
+        a pending event (``lsn ≥ min(frontiers)``), and WAL/binlog
+        transactions emit contiguously between BEGIN and END, so when
+        the caller bounds a transaction's LSN extent the whole check
+        prunes to ``lsn ≥ min(frontiers) − span`` — a bounded tail
+        window pushed to the parquet reader, never a full-log scan.
+        Left ``None`` the scan is exact for arbitrarily long
+        transactions (and reads the whole log).
 
         Returns (txId, applied_events, pending_events, tables) for
         each split transaction — empty ⇔ the per-table states form a
@@ -398,6 +409,9 @@ class MultiTableEngine:
             for name, eng in self.engines().items()
         }
         log = self.spark.read.parquet(self.changelog_path)
+        if max_tx_lsn_span is not None:
+            lo = min(frontiers.values()) - int(max_tx_lsn_span)
+            log = log.where(F.col("lsn") >= lo)
         tbl = F.col("source.table")
         frontier = F.lit(None).cast("long")
         for name, L in frontiers.items():

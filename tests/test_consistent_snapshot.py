@@ -125,3 +125,34 @@ def test_multi_table_publish_routes_per_table_topics(spark, tmp_root):
         n_versions = rec.select("version").distinct().count()
         assert n_versions == eng.lake.current_version()
         assert rec.count() > 0
+
+
+def test_violation_scan_prunes_with_bounded_tx_span(spark, tmp_root):
+    # with a bounded tx LSN extent, the check reads only the tail
+    # window behind min(frontier) — filter pushed to the parquet scan —
+    # and still finds exactly the same split transactions
+    log_path = tmp_root + "/mixed_log3"
+    _mixed_log(spark, log_path)
+    mte = MultiTableEngine(
+        spark,
+        log_path,
+        tmp_root + "/lakes",
+        route="filter",
+        snapshot_mode="never",
+        n_buckets=4,
+        batch_lsn_span=512,
+    )
+    eng = mte.engines()
+    eng["A"].run()
+    eng["B"].run(max_batches=1)
+    exact = {
+        r["txId"] for r in mte.consistency_violations().collect()
+    }
+    # every tx spans 8 consecutive LSNs by construction
+    pruned_df = mte.consistency_violations(max_tx_lsn_span=8)
+    pruned = {r["txId"] for r in pruned_df.collect()}
+    assert pruned == exact and exact
+    plan = pruned_df._sc._jvm.PythonSQLUtils.explainString(
+        pruned_df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(lsn," in plan
