@@ -132,6 +132,17 @@ def main(argv: list[str] | None = None) -> int:
         help="schema.history.internal.store.only.captured.tables.ddl "
         "analogue (needs --table-include to define the captured set)",
     )
+    p.add_argument(
+        "--publish-topic-dir",
+        help="outbound wire-record topic: every committed lake version's "
+        "change feed is published here (Kafka sink analogue)",
+    )
+    p.add_argument(
+        "--retain-tombstones",
+        action="store_true",
+        help="keep deletes as hidden tombstone rows in lake state "
+        "(log-compaction semantics; order-tolerant merges)",
+    )
     p.add_argument("--cores", type=int, help="local[N] when not on a cluster")
     p.add_argument(
         "--streaming",
@@ -178,6 +189,8 @@ def main(argv: list[str] | None = None) -> int:
         schema_history_ddl_filter=args.ddl_filter,
         schema_history_store_only_captured=args.store_only_captured,
         heartbeat_interval_batches=args.heartbeat_interval_batches,
+        publish_topic_dir=args.publish_topic_dir,
+        retain_delete_tombstones=args.retain_tombstones,
     )
     if args.streaming:
         if not args.checkpoint:
