@@ -215,6 +215,10 @@ class EngineConfig:
     # backlog the next batch (or restart) drains.
     publish_topic_dir: str | None = None
     publish_tombstones: bool = True
+    # wire container for the topic: None = adopt the topic's existing
+    # format (default json); "parquet" = columnar+compressed, the
+    # 100 TB choice (see publisher._topic_format)
+    publish_format: str | None = None
     # Per-batch consumer hook — the DebeziumEngine handleBatch analogue
     # (debezium-api .../DebeziumEngine.java:106-167): called AFTER each
     # committed stream batch with (engine, batch_result). Raising
@@ -1579,6 +1583,7 @@ class Engine:
                 self.lake,
                 self.cfg.publish_topic_dir,
                 tombstones_on_delete=self.cfg.publish_tombstones,
+                file_format=self.cfg.publish_format,
             )
 
     def _fire_deferred_signals(self, sigs: list[dict]) -> None:

@@ -325,3 +325,50 @@ def test_compact_keep_tombstones_and_recompact(spark, tmp_root):
         if json.loads(r["key_json"])["path"] == "p003"
     ]
     assert len(revived) == 1 and revived[0]["version"] == 4
+
+
+def test_parquet_wire_format_round_trip(spark, tmp_root):
+    # columnar topic: same records, same folds, 100TB-friendly bytes
+    from debezium_spark.publisher import compact_published
+
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic_pq"
+    res = publish_changes(lt, out, file_format="parquet")
+    assert res["published"] == [1, 2, 3]
+    with open(out + "/_format") as f:
+        assert f.read() == "parquet"
+    # format is sticky: switching raises, omitting adopts
+    with pytest.raises(ValueError, match="cannot switch"):
+        publish_changes(lt, out, file_format="json")
+    lt.merge(_ch(spark, [_row(5, "u", 900, "tail")]), 4)
+    assert publish_changes(lt, out)["published"] == [4]
+    rec = read_published(spark, out)
+    assert rec.count() == 8 + 1 + 2 + 1
+    d = rec.filter("is_tombstone").collect()
+    assert len(d) == 1 and d[0]["version"] == 3
+    # compaction preserves the container
+    compact_published(spark, out, through_version=3)
+    rec2 = read_published(spark, out)
+    assert rec2.filter("version <= 3").count() == 7
+    assert rec2.filter("version = 4").count() == 1
+    import glob as _g
+
+    assert _g.glob(out + "/compacted-00000003/*.parquet")
+
+
+def test_streaming_tail_reads_parquet_topic(spark, tmp_root):
+    from debezium_spark.publisher import stream_published
+
+    lt = _seed(spark, tmp_root + "/lake")
+    out = tmp_root + "/topic_pq2"
+    publish_changes(lt, out, file_format="parquet")
+    q = (
+        stream_published(spark, out)
+        .writeStream.format("parquet")
+        .option("path", tmp_root + "/sink")
+        .option("checkpointLocation", tmp_root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(tmp_root + "/sink").count() == 11
