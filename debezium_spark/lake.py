@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 from debezium_spark.schema_evolution import TableSchema
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this manifest version first (optimistic
+    concurrency, Iceberg ``CommitFailedException`` analogue)."""
+
+
 class LakeTable:
     def __init__(
         self,
@@ -142,11 +147,27 @@ class LakeTable:
         return man
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Atomic EXCLUSIVE commit — Iceberg's optimistic concurrency:
+        ``link(tmp, final)`` both publishes atomically and fails with
+        ``FileExistsError`` if another writer committed this version
+        first (plain ``rename`` overwrites silently — a split-brain
+        second driver would erase a committed merge). The loser must
+        re-read the table and retry its commit against the new head;
+        the single-writer engine never hits this."""
         v = manifest["version"]
         tmp = os.path.join(self._commits_dir, f".tmp.{v}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.rename(tmp, self._manifest_path(v))  # atomic commit
+        final = self._manifest_path(v)
+        try:
+            os.link(tmp, final)  # atomic + exclusive
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(
+                f"version {v} was committed by another writer; re-read "
+                "the table head and retry"
+            ) from None
+        os.unlink(tmp)
         self._manifest_cache[v] = manifest
 
     def table_schema(self, version: int | None = None) -> TableSchema:

@@ -163,3 +163,49 @@ def test_timestamp_as_of(spark, tmp_root):
         Engine.state_as_of(eng)
     with _pytest.raises(ValueError):
         Engine.state_as_of(eng, version=1, ts=between)
+
+
+def test_concurrent_commit_is_exclusive_not_lost(spark, tmp_root):
+    """Optimistic concurrency: a second writer racing to the same
+    manifest version must FAIL (CommitFailedException analogue), never
+    silently overwrite the committed merge."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from debezium_spark.lake import ConcurrentCommitError, LakeTable
+
+    lt = LakeTable(spark, tmp_root + "/cc_lake", n_buckets=2)
+    lt.create()
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lt.merge(
+        spark.createDataFrame([("r0", "p0", "c", "py", "x", "c", 100)], ddl),
+        1,
+    )
+    # another writer wins the race to version 2 between this writer's
+    # head read and its manifest publish
+    winner = dict(lt.manifest(), version=2, metrics={"winner": True})
+    with open(lt._manifest_path(2), "w") as f:
+        _json.dump(winner, f)
+    loser = dict(lt.manifest(1), version=2, metrics={"loser": True})
+    with _pytest.raises(ConcurrentCommitError, match="another writer"):
+        lt._write_manifest(loser)
+    # the winner's manifest is intact and no temp junk remains
+    with open(lt._manifest_path(2)) as f:
+        assert _json.load(f)["metrics"] == {"winner": True}
+    assert not [
+        n for n in _os.listdir(lt._commits_dir) if n.startswith(".tmp")
+    ]
+    # the loser recovers by re-reading the head and retrying: its merge
+    # now targets version 3 and commits cleanly
+    res = lt.merge(
+        spark.createDataFrame(
+            [("r0", "p0", "c", "py", "y", "u", 200)], ddl
+        ),
+        2,
+    )
+    assert res["version"] == 3
