@@ -5,9 +5,12 @@ record per change, delete followed by a tombstone —
 ``EventDispatcher.java:496-508``); our engine lands them in the lake
 instead. This module closes the loop downstream: every lake commit's
 per-commit change feed (:meth:`LakeTable.table_changes` chained
-``(v-1, v)``) is serialized to Debezium-JSON wire records under one
+``(v-1, v)``) is serialized to Debezium wire records under one
 directory per version, so any consumer can tail the lake as if it
-were the reference's topic.
+were the reference's topic. The wire container is per-topic
+(``_topic_format``): ``json`` text by default, ``parquet`` columnar
+for scale; ``compact_published`` gives Kafka's compacted-topic
+retention.
 
 Delivery contract (the reference's offset-fenced semantics, applied
 outbound):
