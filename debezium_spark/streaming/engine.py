@@ -1226,15 +1226,31 @@ class Engine:
         # they still need the step-1 window gate and its frontier job.
         need_window = bool(self.cfg.schema_changes)
 
+        stop_requested = {"flag": False}
+
         def apply(batch_df: DataFrame, epoch_id: int) -> None:
             lsn_hi = None
             if need_window:
                 row = batch_df.agg(F.max("lsn").alias("m")).collect()[0]
                 lsn_hi = (row["m"] if row["m"] is not None else -1) + 1
-            self._apply_batch(
+            result = self._apply_batch(
                 batch_df, int(epoch_id) + 1, phase="stream", lsn_hi=lsn_hi
             )
             applied["n"] += 1
+            if self.cfg.batch_callback is not None:
+                try:
+                    self.cfg.batch_callback(self, result)
+                except StopEngine:
+                    # graceful per the StopEngineException contract:
+                    # the merge commit stands, but the query must die
+                    # BEFORE this epoch checkpoints (returning
+                    # normally would mark it processed and a later
+                    # engine-side gap could never replay). The next
+                    # start re-delivers the epoch and the fence skips
+                    # it — exactly the crash-replay path, minus the
+                    # crash.
+                    stop_requested["flag"] = True
+                    raise
             # same heartbeat cadence as the batch-replay loop — the
             # front-end must not silently disable a configured
             # heartbeat (HeartbeatImpl emits regardless of how the
@@ -1258,7 +1274,12 @@ class Engine:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except Exception:
+            if not stop_requested["flag"]:
+                raise
+            self._stopped = True
 
     # -- the per-batch pipeline -------------------------------------------
     def _apply_batch(

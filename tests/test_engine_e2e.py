@@ -615,3 +615,55 @@ def test_stop_engine_from_batch_callback_is_graceful(spark, tmp_root):
             hashlib.sha256((got[k]["content"] or "").encode()).hexdigest()
             == hashlib.sha256((w["content"] or "").encode()).hexdigest()
         )
+
+
+def test_stop_engine_from_streaming_batch_callback(spark, tmp_root):
+    """Streaming front-end StopEngine: the query dies gracefully with
+    committed batches intact, and a restart (no callback) finishes the
+    log and converges to the oracle."""
+    import hashlib
+
+    from debezium_spark.generator import gen_change_log
+    from debezium_spark.oracle import fold_final_state
+    from debezium_spark.sources.changelog import write_changelog_ordered
+    from debezium_spark.streaming.engine import Engine, EngineConfig, StopEngine
+
+    log = gen_change_log(spark, 4, 20, n_events=1200, partitions=4)
+    log_path = tmp_root + "/slog"
+    write_changelog_ordered(log, log_path, n_files=4)
+    base = dict(
+        changelog_path=log_path,
+        lake_root=tmp_root + "/lake",
+        snapshot_mode="never",
+        n_buckets=4,
+    )
+    calls = []
+
+    def on_batch(engine, result):
+        calls.append(result)
+        if len(calls) >= 2:
+            raise StopEngine("stop streaming")
+
+    e1 = Engine(spark, EngineConfig(**base, batch_callback=on_batch))
+    e1.run_streaming(tmp_root + "/ckpt", max_files_per_trigger=1)
+    assert e1._stopped and len(calls) == 2
+    committed_after_stop = e1.lake.last_batch_id("stream")
+    assert committed_after_stop >= 2
+    e2 = Engine(spark, EngineConfig(**base))
+    e2.run_streaming(tmp_root + "/ckpt", max_files_per_trigger=1)
+    log_pdf = log.toPandas()
+    for c in ("source", "transaction"):
+        if c in log_pdf.columns:
+            log_pdf[c] = log_pdf[c].map(
+                lambda r: r.asDict() if hasattr(r, "asDict") else r
+            )
+    want = fold_final_state(None, log_pdf)
+    got = {
+        (r["repo"], r["path"]): r for r in e2.final_state().collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert (
+            hashlib.sha256((got[k]["content"] or "").encode()).hexdigest()
+            == hashlib.sha256((w["content"] or "").encode()).hexdigest()
+        )
