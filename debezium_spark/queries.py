@@ -2094,6 +2094,193 @@ def cdc_reselect_columns(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_temporal_join",
+    f"""
+    WITH b AS (SELECT MAX(event_id) + 1 AS nl, MAX(user_id) + 1 AS nu
+               FROM events),
+    u AS (
+      SELECT user_id, event_id AS lsn, 0 AS src, {_OP_SQL} AS op,
+             event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(NULL AS BIGINT) AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey % b.nu AS user_id, o_orderkey % b.nl AS lsn,
+             1 AS src, NULL AS op, NULL AS event_type,
+             CAST(NULL AS BIGINT) AS cents, o_orderkey
+      FROM orders, b
+    ),
+    z AS (
+      SELECT *,
+        last_value(CASE WHEN src = 0 THEN op END IGNORE NULLS)
+          OVER w AS d_op,
+        last_value(CASE WHEN src = 0 THEN event_type END IGNORE NULLS)
+          OVER w AS d_et,
+        last_value(CASE WHEN src = 0 THEN cents END IGNORE NULLS)
+          OVER w AS d_cents,
+        last_value(CASE WHEN src = 0 THEN lsn END IGNORE NULLS)
+          OVER w AS d_lsn
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY lsn, src
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderkey, user_id, lsn AS fact_lsn,
+      CASE WHEN d_op IS NOT NULL AND d_op <> 'd' THEN d_et END
+        AS dim_event_type,
+      CASE WHEN d_op IS NOT NULL AND d_op <> 'd' THEN d_cents END
+        AS dim_value_cents,
+      CASE WHEN d_op IS NOT NULL AND d_op <> 'd' THEN d_lsn END
+        AS dim_lsn
+    FROM z WHERE src = 1
+    """,
+)
+def cdc_temporal_join(spark, sf_dir):
+    """Temporal table join (Flink ``FOR SYSTEM_TIME AS OF`` /
+    MATERIALIZE's CDC-fed lookup): enrich each fact row with the CDC
+    dimension's state AS OF the fact's log position. The dimension is
+    the ``events`` change feed keyed by ``user_id`` (lsn=event_id, op
+    codes per data/Envelope.java:34-78); facts are ``orders`` rows
+    mapped deterministically onto (dimension key, log position). A
+    fact whose as-of dimension version is a DELETE — or that precedes
+    the key's first event — enriches to NULL: the row did not exist at
+    that point, the retract visibility a plain as-of join lacks.
+
+    Scale shape: the naive formulation is a per-fact range theta-join
+    (nested loop at 10^10). This is ONE sort-window pass over the
+    unioned feed: a single exchange on the dimension key, no join
+    node; the (nl, nu) bounds ride a broadcast 1-row aggregate.
+    Dimension rows sort before same-lsn facts (src tiebreak) — a
+    version is visible at its own LSN, the commit-then-read order the
+    engine's merge gives a reader."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    bounds = ev.agg(
+        (F.max("event_id") + 1).alias("nl"),
+        (F.max("user_id") + 1).alias("nu"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    dim = ev.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.lit(0).alias("src"),
+        _op_col().alias("op"),
+        "event_type",
+        cents.alias("cents"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    fact = od.crossJoin(F.broadcast(bounds)).select(
+        (F.col("o_custkey") % F.col("nu")).alias("user_id"),
+        (F.col("o_orderkey") % F.col("nl")).alias("lsn"),
+        F.lit(1).alias("src"),
+        F.lit(None).cast("string").alias("op"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("lsn", "src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dimrow = F.when(
+        F.col("src") == 0,
+        F.struct("op", "event_type", "cents", F.col("lsn").alias("dlsn")),
+    )
+    live = F.col("d").isNotNull() & (F.col("d.op") != "d")
+    return (
+        dim.unionByName(fact)
+        .withColumn("d", F.last(dimrow, ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+        .select(
+            "o_orderkey",
+            "user_id",
+            F.col("lsn").alias("fact_lsn"),
+            F.when(live, F.col("d.event_type")).alias("dim_event_type"),
+            F.when(live, F.col("d.cents")).alias("dim_value_cents"),
+            F.when(live, F.col("d.dlsn")).alias("dim_lsn"),
+        )
+    )
+
+
+@_q(
+    "cdc_incremental_agg",
+    f"""
+    WITH fin AS (
+      SELECT user_id, cents, op FROM (
+        SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               {_OP_SQL} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT cents % 5 AS g, CAST(COUNT(*) AS BIGINT) AS live_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM fin WHERE op <> 'd'
+    GROUP BY 1
+    """,
+)
+def cdc_incremental_agg(spark, sf_dir):
+    """Incrementally-maintained grouped aggregate over the change feed
+    (Flink retract streams / Materialize view maintenance): per-group
+    COUNT + SUM computed purely from signed deltas — each event
+    contributes +after to its new group and, when the key's previous
+    version was live, −before to its old group (before image = the
+    lag row, the envelope's ``before``; a key whose previous op was
+    DELETE retracts nothing). Per-key histories telescope, so the
+    delta sum equals the aggregate over Debezium final-table state —
+    which is exactly what the ORACLE computes (LWW winner per key →
+    GROUP BY), proving incremental == recompute. Groups retracted to
+    zero live rows disappear, matching the recompute.
+
+    Scale shape: no per-key LWW compaction and no join — one key
+    exchange (lag window), a ×2 narrow delta fan-out, then one
+    map-side-combined groupBy on the group key. At 10^10 events this
+    is the view-maintenance plan: cost rides the feed, never the
+    accumulated table."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        _op_col().alias("op"),
+        cents.alias("cents"),
+    ).select(
+        "op",
+        "cents",
+        F.lag("op").over(w).alias("p_op"),
+        F.lag("cents").over(w).alias("p_cents"),
+    )
+    after = F.when(
+        F.col("op") != "d",
+        F.struct(
+            (F.col("cents") % 5).alias("g"),
+            F.lit(1).cast("long").alias("dc"),
+            F.col("cents").alias("dv"),
+        ),
+    )
+    before = F.when(
+        F.col("p_op").isNotNull() & (F.col("p_op") != "d"),
+        F.struct(
+            (F.col("p_cents") % 5).alias("g"),
+            F.lit(-1).cast("long").alias("dc"),
+            (-F.col("p_cents")).alias("dv"),
+        ),
+    )
+    return (
+        d.select(F.explode(F.array(after, before)).alias("x"))
+        .filter(F.col("x").isNotNull())
+        .select("x.*")
+        .groupBy("g")
+        .agg(
+            F.sum("dc").alias("live_rows"),
+            F.sum("dv").alias("sum_cents"),
+        )
+        .filter(F.col("live_rows") > 0)
+    )
+
+
 # ===========================================================================
 # Training-data ops — dedup / similarity / text / multimodal
 # ===========================================================================

@@ -593,3 +593,37 @@ def test_publisher_records_stay_jvm_side(spark, tmp_path_factory):
     plan = plan_of(records)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert n_exchanges(plan) <= n_exchanges(plan_of(feed))
+
+
+def test_temporal_join_is_union_window_not_theta_join(spark):
+    """The CDC temporal (FOR SYSTEM_TIME AS OF) join: one hash
+    exchange on the dimension key, no shuffled join — the only join
+    node is the broadcast of the 1-row (nl, nu) bounds aggregate. The
+    naive per-fact range lookup compiles to a nested loop that goes
+    quadratic at 10^10 facts."""
+    from debezium_spark.queries import cdc_temporal_join
+
+    plan = plan_of(cdc_temporal_join(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # one DATA exchange (hash on user_id); the other exchange in the
+    # plan is the SinglePartition collapse of the 1-row bounds
+    # aggregate feeding the broadcast — control-plane, not data
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_incremental_agg_is_delta_fanout_no_join(spark):
+    """Retract-stream view maintenance: lag window (one key exchange)
+    + narrow x2 delta fan-out + one map-side-combined groupBy on the
+    group key — no join against accumulated state, no third
+    exchange."""
+    from debezium_spark.queries import cdc_incremental_agg
+
+    plan = plan_of(cdc_incremental_agg(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert n_exchanges(plan) == 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
