@@ -1,0 +1,150 @@
+"""MaterializedAggView: retract-fold view maintenance over the lake's
+change feed — view == recompute after every refresh, exactly-once
+fencing, delete retraction, and O(groups) state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from debezium_spark.generator import gen_change_log, gen_source_table
+from debezium_spark.streaming.aggview import MaterializedAggView
+from debezium_spark.streaming.engine import Engine, EngineConfig
+
+
+def _rows(df):
+    return sorted(
+        (r["g"], r["live_rows"], r["agg_bytes"]) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def lake_world(spark, tmp_root):
+    src, log = f"{tmp_root}/src", f"{tmp_root}/log"
+    gen_source_table(spark, 4, 15).write.parquet(src)
+    gen_change_log(
+        spark, 4, 15, n_events=1200, snapshot_lsn_base=100
+    ).write.parquet(log)
+    cfg = EngineConfig(
+        changelog_path=log,
+        lake_root=f"{tmp_root}/lake",
+        source_table_path=src,
+        batch_lsn_span=600,
+        n_buckets=4,
+    )
+    return cfg
+
+
+def test_view_equals_recompute_after_full_replay(spark, tmp_root, lake_world):
+    eng = Engine(spark, lake_world)
+    eng.run()
+    view = MaterializedAggView(spark, eng.lake, f"{tmp_root}/view")
+    r = view.refresh()
+    assert r["skipped"] is False and r["from_version"] == 0
+    assert _rows(view.state()) == _rows(view.recompute())
+
+
+def test_incremental_refresh_across_engine_batches(
+    spark, tmp_root, lake_world
+):
+    eng = Engine(spark, lake_world)
+    eng.run(max_batches=2)
+    view = MaterializedAggView(spark, eng.lake, f"{tmp_root}/view")
+    view.refresh()
+    assert _rows(view.state()) == _rows(view.recompute())
+    v_mid = view.applied_version()
+
+    # more commits arrive; the next refresh folds ONLY the new feed
+    eng2 = Engine(spark, lake_world)
+    eng2.run()
+    r = view.refresh()
+    assert r["from_version"] == v_mid
+    assert view.applied_version() == eng2.lake.current_version()
+    assert _rows(view.state()) == _rows(view.recompute())
+
+
+def test_refresh_is_idempotent_and_fenced(spark, tmp_root, lake_world):
+    eng = Engine(spark, lake_world)
+    eng.run()
+    view = MaterializedAggView(spark, eng.lake, f"{tmp_root}/view")
+    view.refresh()
+    before = _rows(view.state())
+    assert view.refresh()["skipped"] is True  # already current
+    assert _rows(view.state()) == before
+
+
+def test_crashed_refresh_attempt_is_recovered(spark, tmp_root, lake_world):
+    """Crash between state write and pointer commit: the pointer still
+    holds the previous consistent (version, state) pair — the commit
+    is ONE atomic os.replace — so the next refresh re-folds the same
+    NET feed, overwriting the crashed attempt's partial state dir."""
+    eng = Engine(spark, lake_world)
+    eng.run(max_batches=2)
+    view = MaterializedAggView(spark, eng.lake, f"{tmp_root}/view")
+    view.refresh()
+
+    eng2 = Engine(spark, lake_world)
+    eng2.run()
+    cur = eng2.lake.current_version()
+    # the crashed attempt's half-written output for the target version
+    garbage = os.path.join(f"{tmp_root}/view", f"state_v{cur}")
+    os.makedirs(garbage, exist_ok=True)
+    with open(os.path.join(garbage, "part-corrupt.parquet"), "w") as f:
+        f.write("not parquet")
+
+    r = view.refresh()
+    assert r["skipped"] is False and r["applied_version"] == cur
+    assert _rows(view.state()) == _rows(view.recompute())
+
+
+def test_deletes_retract_groups(spark, tmp_root):
+    """A group whose every row is deleted leaves the view."""
+    from debezium_spark.lake import LakeTable
+
+    lake = LakeTable(spark, f"{tmp_root}/lake", n_buckets=2)
+    lake.create()
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lake.merge(
+        spark.createDataFrame(
+            [
+                ("r", "a", "c1", "py", "xxxx", "c", 1),
+                ("r", "b", "c1", "go", "yyyyyy", "c", 2),
+            ],
+            ddl,
+        ),
+        1,
+    )
+    view = MaterializedAggView(spark, lake, f"{tmp_root}/view")
+    view.refresh()
+    assert _rows(view.state()) == [("go", 1, 6), ("py", 1, 4)]
+
+    lake.merge(
+        spark.createDataFrame(
+            [("r", "b", None, None, None, "d", 3)], ddl
+        ),
+        2,
+    )
+    view.refresh()
+    assert _rows(view.state()) == [("py", 1, 4)]
+    assert _rows(view.state()) == _rows(view.recompute())
+
+
+def test_state_stays_group_sized(spark, tmp_root, lake_world):
+    eng = Engine(spark, lake_world)
+    eng.run()
+    view = MaterializedAggView(spark, eng.lake, f"{tmp_root}/view")
+    view.refresh()
+    n_groups = view.recompute().count()
+    assert view.state().count() == n_groups
+    # single state file: the view is a driver-scale artifact
+    ptr = view._pointer()
+    files = [
+        f
+        for f in os.listdir(os.path.join(f"{tmp_root}/view", ptr["state"]))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
