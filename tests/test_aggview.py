@@ -148,3 +148,31 @@ def test_state_stays_group_sized(spark, tmp_root, lake_world):
         if f.endswith(".parquet")
     ]
     assert len(files) == 1
+
+
+def test_view_rides_the_engine_batch_callback(spark, tmp_root, lake_world):
+    """The DebeziumEngine handleBatch composition: a consumer that
+    refreshes the view after every committed batch keeps it current
+    with zero lag — each refresh folds exactly that batch's commits."""
+    import dataclasses
+
+    views = []
+    freshness = []
+
+    def on_batch(engine, result):
+        if not views:
+            views.append(
+                MaterializedAggView(spark, engine.lake, f"{tmp_root}/view")
+            )
+        v = views[0]
+        v.refresh()
+        freshness.append(
+            v.applied_version() == engine.lake.current_version()
+        )
+
+    cfg = dataclasses.replace(lake_world, batch_callback=on_batch)
+    eng = Engine(spark, cfg)
+    eng.run()
+    assert freshness and all(freshness)
+    v = views[0]
+    assert _rows(v.state()) == _rows(v.recompute())
