@@ -48,10 +48,13 @@ class MaterializedAggView:
     (NULL groups as its own bucket); the measure is
     ``length(measure_col)`` in bytes (0 for NULL) — e.g. bytes of
     ``content`` per ``lang``, the corpus-composition view an ingest
-    operator watches. Both columns are resolved against the lake's
-    CURRENT logical schema at each refresh; ``table_changes`` emits
-    before/after in that same schema (field-id aligned), so a column
-    rename between refreshes keeps folding correctly.
+    operator watches. The configured names are resolved ONCE against
+    the lake schema and pinned by FIELD ID in the view pointer
+    (Iceberg column identity): a schema-change rename between
+    refreshes re-resolves to the column's current logical name —
+    which is the name ``table_changes`` emits — so the view keeps
+    folding the same column, not whatever now happens to wear the
+    old name.
     """
 
     def __init__(
@@ -91,10 +94,31 @@ class MaterializedAggView:
             return self.spark.createDataFrame([], _STATE_SCHEMA)
         return self.spark.read.parquet(os.path.join(self.root, p["state"]))
 
+    # -- column identity ------------------------------------------------
+
+    def _resolved_cols(self) -> tuple[str, str, list[int]]:
+        """(group_name, measure_name, [group_fid, measure_fid]) in the
+        lake's CURRENT schema. Field ids pinned at first refresh; a
+        fresh view resolves the configured names."""
+        schema = self.lake.table_schema()
+        fids = self._pointer().get("field_ids")
+        if fids:
+            by_id = {c["field_id"]: c["name"] for c in schema.columns}
+            try:
+                return by_id[fids[0]], by_id[fids[1]], fids
+            except KeyError as e:
+                raise ValueError(
+                    f"view column (field id {e}) dropped from the lake"
+                ) from None
+        fids = [
+            schema.col(self.group_col)["field_id"],
+            schema.col(self.measure_col)["field_id"],
+        ]
+        return self.group_col, self.measure_col, fids
+
     # -- the fold -------------------------------------------------------
 
-    def _deltas(self, feed: DataFrame) -> DataFrame:
-        g, m = self.group_col, self.measure_col
+    def _deltas(self, feed: DataFrame, g: str, m: str) -> DataFrame:
         size = lambda side: F.coalesce(  # noqa: E731
             F.length(F.col(f"{side}.{m}")).cast("long"), F.lit(0)
         )
@@ -138,10 +162,11 @@ class MaterializedAggView:
         if cur == applied:
             return {"skipped": True, "applied_version": applied}
 
+        g, m, fids = self._resolved_cols()
         feed = self.lake.table_changes(applied, cur)
         merged = (
             self.state()
-            .unionByName(self._deltas(feed))
+            .unionByName(self._deltas(feed, g, m))
             .groupBy("g")
             .agg(
                 F.sum("live_rows").alias("live_rows"),
@@ -159,7 +184,10 @@ class MaterializedAggView:
             "w", dir=self.root, suffix=".json.tmp", delete=False
         )
         with tmp as f:
-            json.dump({"applied_version": cur, "state": rel}, f)
+            json.dump(
+                {"applied_version": cur, "state": rel, "field_ids": fids},
+                f,
+            )
         prev = self._pointer()["state"]
         os.replace(tmp.name, self._pointer_path())  # the commit point
         if prev and prev != rel:
@@ -175,7 +203,7 @@ class MaterializedAggView:
     def recompute(self) -> DataFrame:
         """The full-scan answer the view must equal — tests/ops use
         this to audit a refresh; production never needs it."""
-        g, m = self.group_col, self.measure_col
+        g, m, _ = self._resolved_cols()
         return (
             self.lake.read_state()
             .groupBy(F.col(g).cast("string").alias("g"))

@@ -176,3 +176,41 @@ def test_view_rides_the_engine_batch_callback(spark, tmp_root, lake_world):
     assert freshness and all(freshness)
     v = views[0]
     assert _rows(v.state()) == _rows(v.recompute())
+
+
+def test_group_column_rename_between_refreshes(spark, tmp_root):
+    """The view pins its columns by FIELD ID: after the lake renames
+    lang -> language, the next refresh resolves the feed's new logical
+    name and keeps folding the same column."""
+    from debezium_spark.lake import LakeTable
+
+    lake = LakeTable(spark, f"{tmp_root}/lake", n_buckets=2)
+    lake.create()
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lake.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "xxxx", "c", 1)], ddl),
+        1,
+    )
+    view = MaterializedAggView(spark, lake, f"{tmp_root}/view")
+    view.refresh()
+
+    lake.apply_schema_change(
+        {
+            "change_type": "ALTER_RENAME_COLUMN",
+            "prev_name": "lang",
+            "column_name": "language",
+            "schema_version": 1,
+            "lsn": 2,
+        }
+    )
+    # physical column name is rename-stable -> writes still say `lang`
+    lake.merge(
+        spark.createDataFrame([("r", "b", "c2", "go", "yyyyyy", "c", 3)], ddl),
+        2,
+    )
+    view.refresh()
+    assert _rows(view.state()) == [("go", 1, 6), ("py", 1, 4)]
+    assert _rows(view.state()) == _rows(view.recompute())
