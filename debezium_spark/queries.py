@@ -4784,6 +4784,128 @@ def cdc_replay_final_state(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_engine_replay_events",
+    f"""
+    SELECT user_id, event_type AS lang,
+           md5(CAST(event_id AS VARCHAR)) AS commit,
+           event_type || ':' || CAST(event_id AS VARCHAR) AS content,
+           event_id + 1 AS last_lsn
+    FROM (
+      SELECT user_id, event_type, event_id, {_OP_SQL} AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_engine_replay_events(spark, sf_dir):
+    """The FULL engine — snapshot phase, LSN-ordered streamed replay,
+    LWW compaction, fenced bucket merges, final-state read — driven by
+    an envelope log derived deterministically from the ``events``
+    fixture, which makes the end state expressible as plain SQL: the
+    oracle is the LWW winner per key (keys whose last op is DELETE
+    absent; the lsn-0 snapshot rows always lose to any streamed
+    event). This upgrades the engine path from a rows-only check to a
+    value-hash-checked row: every stage the north rule names is inside
+    the measured, oracle-matched pipeline.
+
+    Mapping: key = (repo r<user%8>, path p<user>), lsn = event_id+1,
+    op per the catalog's event_type mapping, row image carries
+    commit = md5(event_id), lang = event_type,
+    content = event_type:event_id; deletes carry a before image (key
+    fields), per the envelope validators. Source table = one lsn-0
+    row per user ('init' content) so the snapshot phase runs for
+    real."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    ev = _t(spark, sf_dir, "events")
+    repo = F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string"))
+    path = F.concat(F.lit("p"), F.col("user_id").cast("string"))
+    key = F.struct(repo.alias("repo"), path.alias("path"))
+    img = F.struct(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")
+        ).alias("content"),
+        F.lit(None).cast("long").alias("size_bytes"),
+    )
+    before_img = F.struct(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("long").alias("size_bytes"),
+    )
+    is_del = _op_col() == "d"
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    log = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+        (F.col("event_id") + 1).alias("lsn"),
+        _op_col().alias("op"),
+        key.alias("key"),
+        F.when(is_del, before_img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            ts_ms.alias("ts_ms"),
+            F.lit("false").alias("snapshot"),
+            F.lit(-1).cast("long").alias("txId"),
+            F.lit("repo_files").alias("table"),
+        ).alias("source"),
+        ts_ms.alias("ts_ms"),
+        F.lit(0).alias("schema_version"),
+        F.lit(False).alias("is_tombstone"),
+        F.lit(None).cast("string").alias("message"),
+    )
+    src = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string")).alias(
+                "repo"
+            ),
+            F.concat(F.lit("p"), F.col("user_id").cast("string")).alias(
+                "path"
+            ),
+            F.lit("c0").alias("commit"),
+            F.lit("init").alias("lang"),
+            F.lit("init").alias("content"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_engine_ev_")
+    atexit.register(shutil.rmtree, tmp, True)
+    src.write.mode("overwrite").parquet(f"{tmp}/source")
+    log.write.mode("overwrite").parquet(f"{tmp}/changelog")
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=f"{tmp}/changelog",
+            lake_root=f"{tmp}/lake",
+            source_table_path=f"{tmp}/source",
+            batch_lsn_span=10_000_000,  # one dense stream batch
+            n_buckets=8,
+            merge_scope="full",
+        ),
+    )
+    eng.run()
+    state = eng.lake.read_state(with_sys=True)
+    return state.select(
+        F.expr("CAST(substring(path, 2) AS BIGINT)").alias("user_id"),
+        F.col("lang"),
+        F.col("commit"),
+        F.col("content"),
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def _events_two_merge_lake(spark, sf_dir):
     """Shared fixture for the lake-driving catalog entries: fold the
     ``events`` table (repo-shaped, LSN = event_id) into a real
