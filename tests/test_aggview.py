@@ -15,7 +15,8 @@ from debezium_spark.streaming.engine import Engine, EngineConfig
 
 def _rows(df):
     return sorted(
-        (r["g"], r["live_rows"], r["agg_bytes"]) for r in df.collect()
+        ((r["g"], r["live_rows"], r["agg_bytes"]) for r in df.collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1:]),
     )
 
 
@@ -213,4 +214,73 @@ def test_group_column_rename_between_refreshes(spark, tmp_root):
     )
     view.refresh()
     assert _rows(view.state()) == [("go", 1, 6), ("py", 1, 4)]
+    assert _rows(view.state()) == _rows(view.recompute())
+
+
+# ---------------------------------------------------------------------------
+# Property: view == recompute for ARBITRARY merge sequences (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DDL = (
+    "repo: string, path: string, commit: string, lang: string, "
+    "content: string, op: string, lsn: long"
+)
+
+# one merge batch = one change per key (merge()'s input contract):
+# {key_idx: (op, lang_idx|None, content_len|None)}
+_batch = st.dictionaries(
+    st.integers(0, 3),
+    st.tuples(
+        st.sampled_from(["c", "u", "d"]),
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 8)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+_batches = st.lists(
+    st.tuples(_batch, st.booleans()),  # (batch, refresh after it?)
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_batches)
+def test_view_matches_recompute_on_arbitrary_merge_sequences(
+    spark, tmp_path_factory, seq
+):
+    from debezium_spark.lake import LakeTable
+
+    root = str(tmp_path_factory.mktemp("prop_view"))
+    lake = LakeTable(spark, f"{root}/lake", n_buckets=2)
+    lake.create()
+    view = MaterializedAggView(spark, lake, f"{root}/view")
+
+    lsn = 0
+    for bi, (batch, do_refresh) in enumerate(seq, start=1):
+        rows = []
+        for ki, (op, li, cl) in sorted(batch.items()):
+            lsn += 1
+            lang = None if li is None else f"L{li}"
+            content = None if cl is None else "x" * cl
+            if op == "d":
+                rows.append((f"r{ki % 2}", f"p{ki}", None, None, None, "d", lsn))
+            else:
+                rows.append(
+                    (f"r{ki % 2}", f"p{ki}", f"c{lsn}", lang, content, op, lsn)
+                )
+        lake.merge(spark.createDataFrame(rows, _DDL), bi)
+        if do_refresh:
+            view.refresh()
+            assert _rows(view.state()) == _rows(view.recompute())
+
+    view.refresh()
     assert _rows(view.state()) == _rows(view.recompute())
