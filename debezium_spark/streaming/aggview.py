@@ -33,8 +33,9 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from debezium_spark.lake import LakeTable
 
@@ -213,4 +214,269 @@ class MaterializedAggView:
                     F.coalesce(F.length(F.col(m)).cast("long"), F.lit(0))
                 ).alias("agg_bytes"),
             )
+        )
+
+
+# internal stand-in for a NULL group value: joins and retraction
+# matching need a non-null key (SQL NULL never equals NULL). \x00
+# cannot appear in parquet string data written by this engine's
+# sources, so the sentinel cannot collide; it is mapped back to NULL
+# at every output surface.
+_NULLG = "\x00null"
+
+
+def _gcol(col: Column) -> Column:
+    return F.coalesce(col.cast("string"), F.lit(_NULLG))
+
+
+def _gout(col: Column) -> Column:
+    return F.when(col == _NULLG, F.lit(None)).otherwise(col)
+
+
+class MaterializedTopKView:
+    """Incrementally-maintained per-group TOP-K — the non-linear
+    sibling of :class:`MaterializedAggView`.
+
+    MIN/MAX/TOP-K cannot be folded from signed deltas alone: deleting
+    a group's current maximum needs the runner-up, which a scalar
+    state no longer holds. The scale-correct design (Materialize's
+    hierarchical-reduction idea collapsed to one tier) keeps a BOUNDED
+    per-group buffer of the top ``k + slack`` rows plus a
+    delta-maintained live count; a refresh folds additions and
+    retractions into the buffer, and only when deletions drain a
+    group's buffer below ``k`` while its live count says more rows
+    exist does it re-read that ONE group from the table — a targeted
+    filtered scan, amortized away by ``slack``. Maintenance cost rides
+    the change rate; the recompute path is the bounded exception,
+    never the rule.
+
+    Rows rank by ``(length(measure_col) DESC, repo, path)`` — e.g.
+    largest files per language, deterministic total order. State: one
+    row per group ``(g, live, topk: array<struct<v,repo,path>>)``,
+    array stored rank-ordered. Fencing/commit semantics are identical
+    to :class:`MaterializedAggView` (atomic pointer replace, NET-diff
+    idempotent re-fold).
+    """
+
+    _STATE = (
+        "g string, live bigint, "
+        "topk array<struct<v: bigint, repo: string, path: string>>"
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake: LakeTable,
+        root: str,
+        k: int = 3,
+        slack: int = 3,
+        group_col: str = "lang",
+        measure_col: str = "content",
+    ):
+        self.spark = spark
+        self.lake = lake
+        self.root = root
+        self.k = int(k)
+        self.slack = int(slack)
+        self.group_col = group_col
+        self.measure_col = measure_col
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "VIEW_POINTER.json")
+
+    def _pointer(self) -> dict:
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"applied_version": 0, "state": None}
+
+    def applied_version(self) -> int:
+        return self._pointer()["applied_version"]
+
+    def _buffer(self) -> DataFrame:
+        p = self._pointer()
+        if p["state"] is None:
+            return self.spark.createDataFrame([], self._STATE)
+        return self.spark.read.parquet(os.path.join(self.root, p["state"]))
+
+    def topk(self) -> DataFrame:
+        """Current answer: ``(g, rank, v, repo, path)``, rank 1..k."""
+        b = self._buffer().select(
+            "g", F.posexplode("topk").alias("i", "e")
+        )
+        return b.filter(F.col("i") < self.k).select(
+            _gout(F.col("g")).alias("g"),
+            (F.col("i") + 1).alias("rank"),
+            F.col("e.v").alias("v"),
+            F.col("e.repo").alias("repo"),
+            F.col("e.path").alias("path"),
+        )
+
+    # -- the fold -------------------------------------------------------
+
+    def _rank_window(self):
+        return Window.partitionBy("g").orderBy(
+            F.col("v").desc(), "repo", "path"
+        )
+
+    def _collect_ranked(self, df: DataFrame) -> DataFrame:
+        """(g, v, repo, path) rows -> (g, topk array) with the array
+        rank-ordered and capped at k + slack. The natural struct order
+        of (-v, repo, path) makes array_sort the ranking."""
+        return (
+            df.withColumn("__r", F.row_number().over(self._rank_window()))
+            .filter(F.col("__r") <= self.k + self.slack)
+            .groupBy("g")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("v")).alias("nv"),
+                                "repo",
+                                "path",
+                                "v",
+                            )
+                        )
+                    ),
+                    lambda x: F.struct(
+                        x["v"].alias("v"),
+                        x["repo"].alias("repo"),
+                        x["path"].alias("path"),
+                    ),
+                ).alias("topk")
+            )
+        )
+
+    def refresh(self) -> dict:
+        cur = self.lake.current_version()
+        applied = self.applied_version()
+        if cur == applied:
+            return {"skipped": True, "applied_version": applied}
+        g, m = self.group_col, self.measure_col
+        feed = self.lake.table_changes(applied, cur)
+        size = lambda side: F.coalesce(  # noqa: E731
+            F.length(F.col(f"{side}.{m}")).cast("long"), F.lit(0)
+        )
+        mk = lambda side, dc: F.when(  # noqa: E731
+            F.col(side).isNotNull(),
+            F.struct(
+                _gcol(F.col(f"{side}.{g}")).alias("g"),
+                size(side).alias("v"),
+                F.col("repo"),
+                F.col("path"),
+                F.lit(dc).cast("long").alias("dc"),
+            ),
+        )
+        deltas = (
+            feed.select(
+                F.explode(F.array(mk("after", 1), mk("before", -1))).alias(
+                    "x"
+                )
+            )
+            .filter(F.col("x").isNotNull())
+            .select("x.*")
+        )
+        deltas.persist()
+
+        live = (
+            self._buffer()
+            .select("g", "live")
+            .unionByName(deltas.groupBy("g").agg(F.sum("dc").alias("live")))
+            .groupBy("g")
+            .agg(F.sum("live").alias("live"))
+            .filter(F.col("live") > 0)
+        )
+        old = (
+            self._buffer()
+            .select("g", F.explode("topk").alias("e"))
+            .select("g", "e.v", "e.repo", "e.path")
+        )
+        adds = deltas.filter(F.col("dc") == 1).select(
+            "g", "v", "repo", "path"
+        )
+        # a retraction removes the key from the OLD buffer only; the
+        # paired addition of an update re-inserts it (possibly in the
+        # same group — pruning the union instead would delete the
+        # fresh row too). NET diff => at most one add per key, and a
+        # 'c' key cannot already sit in the buffer, so no dup risk.
+        rets = deltas.filter(F.col("dc") == -1).select("g", "repo", "path")
+        merged = self._collect_ranked(
+            old.join(rets, ["g", "repo", "path"], "left_anti").unionByName(
+                adds
+            )
+        )
+        state = live.join(merged, "g", "left").select("g", "live", "topk")
+        state.persist()
+
+        # underflow: the buffer holds fewer than min(k, live) rows ->
+        # deletions consumed the slack; re-read exactly those groups
+        under = [
+            r["g"]
+            for r in state.filter(
+                F.coalesce(F.size("topk"), F.lit(0))
+                < F.least(F.lit(self.k), F.col("live"))
+            ).collect()
+        ]
+        if under:
+            rebuilt = self._collect_ranked(
+                self.lake.read_state()
+                .withColumn("g", _gcol(F.col(g)))
+                .filter(F.col("g").isin(under))
+                .select(
+                    "g",
+                    F.coalesce(
+                        F.length(F.col(m)).cast("long"), F.lit(0)
+                    ).alias("v"),
+                    "repo",
+                    "path",
+                )
+            ).withColumnRenamed("topk", "topk2")
+            state = state.join(rebuilt, "g", "left").select(
+                "g",
+                "live",
+                F.when(F.col("g").isin(under), F.col("topk2"))
+                .otherwise(F.col("topk"))
+                .alias("topk"),
+            )
+
+        rel = f"state_v{cur}"
+        state.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, rel)
+        )
+        deltas.unpersist()
+        tmp = tempfile.NamedTemporaryFile(
+            "w", dir=self.root, suffix=".json.tmp", delete=False
+        )
+        with tmp as f:
+            json.dump({"applied_version": cur, "state": rel}, f)
+        prev = self._pointer()["state"]
+        os.replace(tmp.name, self._pointer_path())
+        if prev and prev != rel:
+            shutil.rmtree(os.path.join(self.root, prev), ignore_errors=True)
+        return {
+            "skipped": False,
+            "applied_version": cur,
+            "from_version": applied,
+            "underflow_groups": len(under),
+        }
+
+    def recompute(self) -> DataFrame:
+        """Full-scan top-k per group (audit twin of :meth:`topk`)."""
+        g, m = self.group_col, self.measure_col
+        return (
+            self.lake.read_state()
+            .select(
+                _gcol(F.col(g)).alias("g"),
+                F.coalesce(F.length(F.col(m)).cast("long"), F.lit(0)).alias(
+                    "v"
+                ),
+                "repo",
+                "path",
+            )
+            .withColumn("rank", F.row_number().over(self._rank_window()))
+            .filter(F.col("rank") <= self.k)
+            .select(_gout(F.col("g")).alias("g"), "rank", "v", "repo", "path")
         )

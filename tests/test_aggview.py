@@ -263,6 +263,9 @@ def test_view_matches_recompute_on_arbitrary_merge_sequences(
     lake = LakeTable(spark, f"{root}/lake", n_buckets=2)
     lake.create()
     view = MaterializedAggView(spark, lake, f"{root}/view")
+    tkview = MaterializedTopKView(
+        spark, lake, f"{root}/tkview", k=2, slack=1
+    )
 
     lsn = 0
     for bi, (batch, do_refresh) in enumerate(seq, start=1):
@@ -280,7 +283,138 @@ def test_view_matches_recompute_on_arbitrary_merge_sequences(
         lake.merge(spark.createDataFrame(rows, _DDL), bi)
         if do_refresh:
             view.refresh()
+            tkview.refresh()
             assert _rows(view.state()) == _rows(view.recompute())
+            assert _tk(tkview.topk()) == _tk(tkview.recompute())
 
     view.refresh()
+    tkview.refresh()
     assert _rows(view.state()) == _rows(view.recompute())
+    assert _tk(tkview.topk()) == _tk(tkview.recompute())
+
+
+# ---------------------------------------------------------------------------
+# MaterializedTopKView — bounded-buffer top-k maintenance
+# ---------------------------------------------------------------------------
+
+from debezium_spark.streaming.aggview import MaterializedTopKView  # noqa: E402
+
+_DDL2 = (
+    "repo: string, path: string, commit: string, lang: string, "
+    "content: string, op: string, lsn: long"
+)
+
+
+def _tk(df):
+    return sorted(
+        ((r["g"], r["rank"], r["v"], r["repo"], r["path"])
+         for r in df.collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1:]),
+    )
+
+
+def _mk_lake(spark, root):
+    from debezium_spark.lake import LakeTable
+
+    lake = LakeTable(spark, root, n_buckets=2)
+    lake.create()
+    return lake
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, _DDL2)
+
+
+def test_topk_matches_recompute_and_survives_update_moves(spark, tmp_root):
+    lake = _mk_lake(spark, f"{tmp_root}/lake")
+    lake.merge(
+        _batch(
+            spark,
+            [
+                ("r0", "a", "c1", "py", "x" * 30, "c", 1),
+                ("r0", "b", "c1", "py", "x" * 20, "c", 2),
+                ("r0", "c", "c1", "py", "x" * 10, "c", 3),
+                ("r1", "d", "c1", "go", "x" * 5, "c", 4),
+                ("r1", "e", "c1", None, "x" * 7, "c", 5),  # NULL group
+            ],
+        ),
+        1,
+    )
+    view = MaterializedTopKView(spark, lake, f"{tmp_root}/view", k=2, slack=1)
+    r = view.refresh()
+    assert r["underflow_groups"] == 0
+    assert _tk(view.topk()) == _tk(view.recompute())
+
+    # same-group update (the fold must keep the re-added row) + a
+    # cross-group move (py -> go)
+    lake.merge(
+        _batch(
+            spark,
+            [
+                ("r0", "a", "c2", "py", "x" * 35, "u", 6),
+                ("r0", "b", "c2", "go", "x" * 50, "u", 7),
+            ],
+        ),
+        2,
+    )
+    view.refresh()
+    got = _tk(view.topk())
+    assert got == _tk(view.recompute())
+    assert (None, 1, 7, "r1", "e") in got
+    assert ("go", 1, 50, "r0", "b") in got
+    assert ("py", 1, 35, "r0", "a") in got
+
+
+def test_topk_slack_absorbs_max_deletion(spark, tmp_root):
+    lake = _mk_lake(spark, f"{tmp_root}/lake")
+    lake.merge(
+        _batch(
+            spark,
+            [
+                ("r0", "a", "c1", "py", "x" * 40, "c", 1),
+                ("r0", "b", "c1", "py", "x" * 30, "c", 2),
+                ("r0", "c", "c1", "py", "x" * 20, "c", 3),
+                ("r0", "d", "c1", "py", "x" * 10, "c", 4),
+            ],
+        ),
+        1,
+    )
+    view = MaterializedTopKView(spark, lake, f"{tmp_root}/view", k=2, slack=1)
+    view.refresh()
+    # delete the current maximum: the runner-up must surface from the
+    # buffered slack WITHOUT touching the table
+    lake.merge(
+        _batch(spark, [("r0", "a", None, None, None, "d", 5)]), 2
+    )
+    r = view.refresh()
+    assert r["underflow_groups"] == 0
+    assert _tk(view.topk()) == _tk(view.recompute())
+    assert _tk(view.topk())[0][2] == 30  # new max
+
+
+def test_topk_underflow_triggers_targeted_rebuild(spark, tmp_root):
+    lake = _mk_lake(spark, f"{tmp_root}/lake")
+    rows = [
+        ("r0", f"p{i}", "c1", "py", "x" * (10 * (i + 1)), "c", i + 1)
+        for i in range(6)  # lengths 10..60
+    ]
+    lake.merge(_batch(spark, rows), 1)
+    view = MaterializedTopKView(spark, lake, f"{tmp_root}/view", k=2, slack=1)
+    view.refresh()
+    # buffer holds 60/50/40; delete all three -> drained below k while
+    # live=3 says rows remain -> targeted per-group rebuild
+    lake.merge(
+        _batch(
+            spark,
+            [
+                ("r0", "p5", None, None, None, "d", 7),
+                ("r0", "p4", None, None, None, "d", 8),
+                ("r0", "p3", None, None, None, "d", 9),
+            ],
+        ),
+        2,
+    )
+    r = view.refresh()
+    assert r["underflow_groups"] == 1
+    assert _tk(view.topk()) == _tk(view.recompute())
+    assert [t[2] for t in _tk(view.topk())] == [30, 20]
