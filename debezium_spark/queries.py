@@ -2112,24 +2112,22 @@ def cdc_reselect_columns(spark, sf_dir):
     ),
     z AS (
       SELECT *,
-        last_value(CASE WHEN src = 0 THEN op END IGNORE NULLS)
-          OVER w AS d_op,
-        last_value(CASE WHEN src = 0 THEN event_type END IGNORE NULLS)
-          OVER w AS d_et,
-        last_value(CASE WHEN src = 0 THEN cents END IGNORE NULLS)
-          OVER w AS d_cents,
-        last_value(CASE WHEN src = 0 THEN lsn END IGNORE NULLS)
-          OVER w AS d_lsn
+        -- ONE struct-valued window, mirroring the DF's single F.last
+        -- over a struct: every as-of field is drawn from the SAME
+        -- dimension version even if some dimension column were NULL
+        last_value(CASE WHEN src = 0 THEN
+            {{'op': op, 'et': event_type, 'cents': cents, 'lsn': lsn}}
+          END IGNORE NULLS) OVER w AS d
       FROM u
       WINDOW w AS (PARTITION BY user_id ORDER BY lsn, src
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT o_orderkey, user_id, lsn AS fact_lsn,
-      CASE WHEN d_op IS NOT NULL AND d_op <> 'd' THEN d_et END
+      CASE WHEN d IS NOT NULL AND d.op <> 'd' THEN d.et END
         AS dim_event_type,
-      CASE WHEN d_op IS NOT NULL AND d_op <> 'd' THEN d_cents END
+      CASE WHEN d IS NOT NULL AND d.op <> 'd' THEN d.cents END
         AS dim_value_cents,
-      CASE WHEN d_op IS NOT NULL AND d_op <> 'd' THEN d_lsn END
+      CASE WHEN d IS NOT NULL AND d.op <> 'd' THEN d.lsn END
         AS dim_lsn
     FROM z WHERE src = 1
     """,

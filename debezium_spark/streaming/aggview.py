@@ -220,13 +220,28 @@ class MaterializedAggView:
 # internal stand-in for a NULL group value: joins and retraction
 # matching need a non-null key (SQL NULL never equals NULL). \x00
 # cannot appear in parquet string data written by this engine's
-# sources, so the sentinel cannot collide; it is mapped back to NULL
-# at every output surface.
+# sources, so the sentinel cannot collide — and because that is a
+# claim about DATA, not code, _gcol enforces it: any group value
+# starting with \x00 fails the refresh loudly instead of silently
+# conflating with the NULL group.
 _NULLG = "\x00null"
 
 
 def _gcol(col: Column) -> Column:
-    return F.coalesce(col.cast("string"), F.lit(_NULLG))
+    s = col.cast("string")
+    return (
+        F.when(
+            s.startswith("\x00"),
+            F.raise_error(
+                F.lit(
+                    "group value starts with \\x00 and would collide "
+                    "with the NULL-group sentinel"
+                )
+            ),
+        )
+        .when(s.isNotNull(), s)
+        .otherwise(F.lit(_NULLG))
+    )
 
 
 def _gout(col: Column) -> Column:
@@ -252,15 +267,34 @@ class MaterializedTopKView:
 
     Rows rank by ``(length(measure_col) DESC, repo, path)`` — e.g.
     largest files per language, deterministic total order. State: one
-    row per group ``(g, live, topk: array<struct<v,repo,path>>)``,
+    row per group ``(g, live, topk: array<struct<v,repo,path>>, fr)``,
     array stored rank-ordered. Fencing/commit semantics are identical
     to :class:`MaterializedAggView` (atomic pointer replace, NET-diff
-    idempotent re-fold).
+    idempotent re-fold); columns are pinned by FIELD ID exactly like
+    the sibling view, so a schema rename between refreshes keeps
+    folding the same column.
+
+    ``fr`` is the group's COMPLETENESS FRONTIER: the rank key (stored
+    as ``(nv=-v, repo, path)`` so smaller = better) of the best row
+    ever truncated from the buffer. Invariant maintained by every
+    fold: *the buffer holds exactly the live rows strictly better
+    than fr* (``fr`` NULL = the buffer holds every live row). Adds
+    at-or-below the frontier are therefore REJECTED from the buffer —
+    counted in ``live`` only — because admitting them could not be
+    distinguished from the truncated rows between them and the
+    buffer's tail, and surfacing one later would poison the top-k
+    (a small add entering an unsaturated buffer while larger
+    truncated rows exist). Under the invariant the buffer is always
+    the group's true top-``|buffer|``, so ``size < min(k, live)`` is a
+    *sufficient* rebuild trigger, and a rebuild re-establishes the
+    frontier from the full scan.
     """
 
+    _FR_T = "struct<nv: bigint, repo: string, path: string>"
     _STATE = (
         "g string, live bigint, "
-        "topk array<struct<v: bigint, repo: string, path: string>>"
+        "topk array<struct<v: bigint, repo: string, path: string>>, "
+        f"fr {_FR_T}"
     )
 
     def __init__(
@@ -299,7 +333,30 @@ class MaterializedTopKView:
         p = self._pointer()
         if p["state"] is None:
             return self.spark.createDataFrame([], self._STATE)
-        return self.spark.read.parquet(os.path.join(self.root, p["state"]))
+        df = self.spark.read.parquet(os.path.join(self.root, p["state"]))
+        if "fr" not in df.columns:  # state written before frontiers
+            df = df.withColumn("fr", F.lit(None).cast(self._FR_T))
+        return df
+
+    def _resolved_cols(self) -> tuple[str, str, list[int]]:
+        """(group_name, measure_name, [group_fid, measure_fid]) in the
+        lake's CURRENT schema — field-id pinned like
+        :meth:`MaterializedAggView._resolved_cols`."""
+        schema = self.lake.table_schema()
+        fids = self._pointer().get("field_ids")
+        if fids:
+            by_id = {c["field_id"]: c["name"] for c in schema.columns}
+            try:
+                return by_id[fids[0]], by_id[fids[1]], fids
+            except KeyError as e:
+                raise ValueError(
+                    f"view column (field id {e}) dropped from the lake"
+                ) from None
+        fids = [
+            schema.col(self.group_col)["field_id"],
+            schema.col(self.measure_col)["field_id"],
+        ]
+        return self.group_col, self.measure_col, fids
 
     def topk(self) -> DataFrame:
         """Current answer: ``(g, rank, v, repo, path)``, rank 1..k."""
@@ -322,31 +379,43 @@ class MaterializedTopKView:
         )
 
     def _collect_ranked(self, df: DataFrame) -> DataFrame:
-        """(g, v, repo, path) rows -> (g, topk array) with the array
-        rank-ordered and capped at k + slack. The natural struct order
-        of (-v, repo, path) makes array_sort the ranking."""
+        """(g, v, repo, path) rows -> (g, topk array, fr_trunc) with
+        the array rank-ordered and capped at k + slack. The natural
+        struct order of (-v, repo, path) makes array_sort the ranking.
+        ``fr_trunc`` is the rank key of the BEST row truncated by the
+        cap (the (cap+1)-th row) or NULL when nothing was dropped —
+        the new completeness frontier when truncation occurs."""
+        cap = self.k + self.slack
+        ranked = df.withColumn(
+            "__r", F.row_number().over(self._rank_window())
+        ).filter(F.col("__r") <= cap + 1)
+        allc = F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("v")).alias("nv"), "repo", "path", "v")
+            )
+        )
+        spill = F.element_at(F.col("__all"), cap + 1)
         return (
-            df.withColumn("__r", F.row_number().over(self._rank_window()))
-            .filter(F.col("__r") <= self.k + self.slack)
-            .groupBy("g")
-            .agg(
+            ranked.groupBy("g")
+            .agg(allc.alias("__all"))
+            .select(
+                "g",
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("v")).alias("nv"),
-                                "repo",
-                                "path",
-                                "v",
-                            )
-                        )
-                    ),
+                    F.slice(F.col("__all"), 1, cap),
                     lambda x: F.struct(
                         x["v"].alias("v"),
                         x["repo"].alias("repo"),
                         x["path"].alias("path"),
                     ),
-                ).alias("topk")
+                ).alias("topk"),
+                F.when(
+                    F.size("__all") == cap + 1,
+                    F.struct(
+                        spill["nv"].alias("nv"),
+                        spill["repo"].alias("repo"),
+                        spill["path"].alias("path"),
+                    ),
+                ).alias("fr_trunc"),
             )
         )
 
@@ -355,7 +424,7 @@ class MaterializedTopKView:
         applied = self.applied_version()
         if cur == applied:
             return {"skipped": True, "applied_version": applied}
-        g, m = self.group_col, self.measure_col
+        g, m, fids = self._resolved_cols()
         feed = self.lake.table_changes(applied, cur)
         size = lambda side: F.coalesce(  # noqa: E731
             F.length(F.col(f"{side}.{m}")).cast("long"), F.lit(0)
@@ -381,21 +450,34 @@ class MaterializedTopKView:
         )
         deltas.persist()
 
+        buf = self._buffer()
         live = (
-            self._buffer()
-            .select("g", "live")
+            buf.select("g", "live")
             .unionByName(deltas.groupBy("g").agg(F.sum("dc").alias("live")))
             .groupBy("g")
             .agg(F.sum("live").alias("live"))
             .filter(F.col("live") > 0)
         )
-        old = (
-            self._buffer()
-            .select("g", F.explode("topk").alias("e"))
-            .select("g", "e.v", "e.repo", "e.path")
+        old = buf.select("g", F.explode("topk").alias("e")).select(
+            "g", "e.v", "e.repo", "e.path"
         )
-        adds = deltas.filter(F.col("dc") == 1).select(
-            "g", "v", "repo", "path"
+        frontiers = buf.select("g", "fr")
+        # frontier gate: an add at-or-below the group's frontier must
+        # NOT enter the buffer — truncated rows better than it are not
+        # buffered, so admitting it could later surface it as a false
+        # top-k member (the buffer-poisoning class). It still counts
+        # in `live` (the delta agg above saw every dc).
+        addkey = F.struct(
+            (-F.col("v")).alias("nv"),
+            F.col("repo").alias("repo"),
+            F.col("path").alias("path"),
+        )
+        adds = (
+            deltas.filter(F.col("dc") == 1)
+            .select("g", "v", "repo", "path")
+            .join(frontiers, "g", "left")
+            .filter(F.col("fr").isNull() | (addkey < F.col("fr")))
+            .select("g", "v", "repo", "path")
         )
         # a retraction removes the key from the OLD buffer only; the
         # paired addition of an update re-inserts it (possibly in the
@@ -408,11 +490,32 @@ class MaterializedTopKView:
                 adds
             )
         )
-        state = live.join(merged, "g", "left").select("g", "live", "topk")
+        # new frontier: the best row truncated THIS fold if any (it is
+        # always better than the old frontier — everything in the fold
+        # was), else the old one; reset to NULL (complete) when the
+        # buffer provably holds every live row again.
+        nsize = F.coalesce(F.size("topk"), F.lit(0))
+        state = (
+            live.join(merged, "g", "left")
+            .join(frontiers, "g", "left")
+            .select(
+                "g",
+                "live",
+                "topk",
+                F.when(
+                    nsize == F.col("live"),
+                    F.lit(None).cast(self._FR_T),
+                )
+                .otherwise(F.coalesce("fr_trunc", "fr"))
+                .alias("fr"),
+            )
+        )
         state.persist()
 
         # underflow: the buffer holds fewer than min(k, live) rows ->
-        # deletions consumed the slack; re-read exactly those groups
+        # deletions consumed the slack. Under the frontier invariant
+        # the buffer is always the group's true top-size(buffer), so
+        # this check is SUFFICIENT: re-read exactly those groups.
         under = [
             r["g"]
             for r in state.filter(
@@ -433,13 +536,16 @@ class MaterializedTopKView:
                     "repo",
                     "path",
                 )
-            ).withColumnRenamed("topk", "topk2")
+            ).withColumnsRenamed({"topk": "topk2", "fr_trunc": "fr2"})
             state = state.join(rebuilt, "g", "left").select(
                 "g",
                 "live",
                 F.when(F.col("g").isin(under), F.col("topk2"))
                 .otherwise(F.col("topk"))
                 .alias("topk"),
+                F.when(F.col("g").isin(under), F.col("fr2"))
+                .otherwise(F.col("fr"))
+                .alias("fr"),
             )
 
         rel = f"state_v{cur}"
@@ -451,7 +557,10 @@ class MaterializedTopKView:
             "w", dir=self.root, suffix=".json.tmp", delete=False
         )
         with tmp as f:
-            json.dump({"applied_version": cur, "state": rel}, f)
+            json.dump(
+                {"applied_version": cur, "state": rel, "field_ids": fids},
+                f,
+            )
         prev = self._pointer()["state"]
         os.replace(tmp.name, self._pointer_path())
         if prev and prev != rel:
@@ -465,7 +574,7 @@ class MaterializedTopKView:
 
     def recompute(self) -> DataFrame:
         """Full-scan top-k per group (audit twin of :meth:`topk`)."""
-        g, m = self.group_col, self.measure_col
+        g, m, _ = self._resolved_cols()
         return (
             self.lake.read_state()
             .select(

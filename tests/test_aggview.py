@@ -230,26 +230,29 @@ _DDL = (
 )
 
 # one merge batch = one change per key (merge()'s input contract):
-# {key_idx: (op, lang_idx|None, content_len|None)}
+# {key_idx: (op, lang_idx|None, content_len|None)}. Six keys over two
+# langs and 13 lengths so a single group can overfill the k+slack=3
+# top-k buffer, drain it, and re-add below the truncation frontier —
+# the class the r3 advisor's poisoning sequence lives in.
 _batch = st.dictionaries(
-    st.integers(0, 3),
+    st.integers(0, 5),
     st.tuples(
         st.sampled_from(["c", "u", "d"]),
-        st.one_of(st.none(), st.integers(0, 2)),
-        st.one_of(st.none(), st.integers(0, 8)),
+        st.one_of(st.none(), st.integers(0, 1)),
+        st.one_of(st.none(), st.integers(0, 12)),
     ),
     min_size=1,
-    max_size=4,
+    max_size=6,
 )
 _batches = st.lists(
     st.tuples(_batch, st.booleans()),  # (batch, refresh after it?)
     min_size=1,
-    max_size=3,
+    max_size=4,
 )
 
 
 @settings(
-    max_examples=6,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -390,6 +393,82 @@ def test_topk_slack_absorbs_max_deletion(spark, tmp_root):
     assert r["underflow_groups"] == 0
     assert _tk(view.topk()) == _tk(view.recompute())
     assert _tk(view.topk())[0][2] == 30  # new max
+
+
+def test_topk_frontier_blocks_buffer_poisoning(spark, tmp_root):
+    """ADVICE r3 (high): deletions leave the buffer below its k+slack
+    cap; an add SMALLER than previously-truncated live rows must not
+    enter the unsaturated buffer — otherwise a later deletion of a top
+    row surfaces it as a false top-k member with no rebuild. The
+    frontier gate rejects the add; the subsequent deletion underflows
+    and the targeted rebuild restores the true answer."""
+    lake = _mk_lake(spark, f"{tmp_root}/lake")
+    rows = [
+        ("r0", f"p{v}", "c1", "py", "x" * v, "c", i + 1)
+        for i, v in enumerate([100, 90, 80, 70, 60, 50])
+    ]
+    lake.merge(_batch(spark, rows), 1)
+    view = MaterializedTopKView(spark, lake, f"{tmp_root}/view", k=2, slack=1)
+    view.refresh()  # buffer [100,90,80], frontier = key(70)
+    lake.merge(_batch(spark, [("r0", "p100", None, None, None, "d", 7)]), 2)
+    view.refresh()  # buffer [90,80] — slack consumed, frontier holds
+    assert _tk(view.topk()) == _tk(view.recompute())
+
+    # the poisoning add: 20 < truncated-but-live 70/60
+    lake.merge(
+        _batch(spark, [("r0", "p50", "c2", "py", "x" * 20, "u", 8)]), 3
+    )
+    view.refresh()
+    assert _tk(view.topk()) == _tk(view.recompute())
+    assert all(t[2] != 20 for t in _tk(view.topk()))
+
+    lake.merge(_batch(spark, [("r0", "p90", None, None, None, "d", 9)]), 4)
+    r = view.refresh()
+    got = _tk(view.topk())
+    assert got == _tk(view.recompute())
+    assert [t[2] for t in got] == [80, 70]  # NOT [80, 20]
+    assert r["underflow_groups"] == 1
+
+
+def test_topk_group_column_rename_between_refreshes(spark, tmp_root):
+    """ADVICE r3 (low): the top-k view pins its columns by FIELD ID
+    like the agg view — a lang -> language rename between refreshes
+    keeps folding the same column under its new logical name."""
+    lake = _mk_lake(spark, f"{tmp_root}/lake")
+    lake.merge(
+        _batch(spark, [("r0", "a", "c1", "py", "x" * 4, "c", 1)]), 1
+    )
+    view = MaterializedTopKView(spark, lake, f"{tmp_root}/view", k=2, slack=1)
+    view.refresh()
+    lake.apply_schema_change(
+        {
+            "change_type": "ALTER_RENAME_COLUMN",
+            "prev_name": "lang",
+            "column_name": "language",
+            "schema_version": 1,
+            "lsn": 2,
+        }
+    )
+    lake.merge(
+        _batch(spark, [("r0", "b", "c2", "go", "x" * 6, "c", 3)]), 2
+    )
+    view.refresh()
+    got = _tk(view.topk())
+    assert got == _tk(view.recompute())
+    assert ("go", 1, 6, "r0", "b") in got and ("py", 1, 4, "r0", "a") in got
+
+
+def test_topk_null_sentinel_collision_fails_loudly(spark, tmp_root):
+    """ADVICE r3 (low): a group value starting with \\x00 would be
+    conflated with the NULL group by the in-band sentinel — the fold
+    now asserts the invariant and fails the refresh instead."""
+    lake = _mk_lake(spark, f"{tmp_root}/lake")
+    lake.merge(
+        _batch(spark, [("r0", "a", "c1", "\x00evil", "xx", "c", 1)]), 1
+    )
+    view = MaterializedTopKView(spark, lake, f"{tmp_root}/view", k=2, slack=1)
+    with pytest.raises(Exception, match="NULL-group sentinel"):
+        view.refresh()
 
 
 def test_topk_underflow_triggers_targeted_rebuild(spark, tmp_root):
