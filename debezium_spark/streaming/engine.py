@@ -273,6 +273,7 @@ class Engine:
             "custom",
             "when_needed",
             "schema_only",
+            "schema_only_recovery",
         ):
             raise ValueError(
                 f"unknown snapshot_mode {cfg.snapshot_mode!r}"
@@ -298,6 +299,13 @@ class Engine:
             )
         if not self.lake.exists():
             self.lake.create()
+        else:
+            # schema-history loss healing (see the method docstring):
+            # detected and repaired on every cold start, not only under
+            # the explicit recovery mode — silently running with a v0
+            # tracker while the lake is at v2 would wipe evolved
+            # columns back to NULL on the next mixed-schema batch.
+            self._recover_schema_history_from_lake()
         from debezium_spark.notifications import NotificationLog
         from debezium_spark.signals import SourceSignalLedger
 
@@ -319,6 +327,60 @@ class Engine:
         from debezium_spark.generator import TABLE_NAME
 
         return TABLE_NAME
+
+    def _recover_schema_history_from_lake(self) -> int:
+        """``schema_only_recovery`` analogue
+        (``connector/mysql/MySqlConnectorConfig.java:159``): when the
+        log's op='m' rows below the committed frontier were purged with
+        the log head — exactly the situation ``when_needed`` heals for
+        DATA — the tracker rebuilt from the log is missing schema
+        versions the lake has already committed. The reference recovers
+        by capturing current table structure instead of replaying
+        history; here the lake's own committed manifests ARE that
+        structure (field-ids make the recovery exact), so the missing
+        tracker versions are re-derived from them. Returns the number
+        of versions recovered; raises loudly when neither the log nor
+        any surviving manifest records a needed version (true history
+        corruption — running on would silently project evolved columns
+        to NULL)."""
+        import copy
+
+        from debezium_spark.schema_evolution import TableSchema
+
+        committed = self.lake.table_schema().version
+        have = self.tracker.latest_version
+        if committed <= have:
+            return 0
+        recovered: dict[int, TableSchema] = {}
+        # walk the SURVIVING manifests only — snapshot expiry may have
+        # pruned old ones; each first-seen schema_version wins
+        names = [
+            n
+            for n in os.listdir(self.lake._commits_dir)
+            if n.endswith(".json")
+        ]
+        for v in sorted(int(n.split(".")[0]) for n in names):
+            m = self.lake.manifest(v)
+            sv = int(m["schema_version"])
+            if sv > have and sv not in recovered:
+                recovered[sv] = TableSchema(
+                    copy.deepcopy(m["schema"]), sv
+                )
+        missing = [
+            sv
+            for sv in range(have + 1, committed + 1)
+            if sv not in recovered
+        ]
+        if missing:
+            raise ValueError(
+                "schema history unrecoverable: the changelog holds no "
+                f"schema-change rows for version(s) {missing} and no "
+                "surviving lake manifest records them (log head purged "
+                "past the schema events AND their snapshots expired)"
+            )
+        for sv in sorted(recovered):
+            self.tracker.schemas[sv] = recovered[sv]
+        return len(recovered)
 
     def _schema_changes_from_log(self) -> list[dict]:
         """Rebuild the schema history from in-stream schema-change
@@ -472,14 +534,17 @@ class Engine:
         skipped if already done (``initial``) or disabled (``never``)."""
         mode = self.cfg.snapshot_mode
         already = self.lake.last_batch_id("snapshot") >= self.SNAPSHOT_BATCH_ID
-        if mode in ("never", "schema_only") or (
+        if mode in ("never", "schema_only", "schema_only_recovery") or (
             mode in ("initial", "initial_only") and already
         ):
             # schema_only (MySqlConnectorConfig.java:151): structure
             # only, no data rows — schema history is already recovered
             # from the log's op='m' rows at init, and stream() pins the
             # origin at the current tail so historical data events are
-            # never captured
+            # never captured. schema_only_recovery
+            # (MySqlConnectorConfig.java:159) behaves the same here:
+            # the history repair itself runs unconditionally at init
+            # (_recover_schema_history_from_lake).
             return None
         if mode == "when_needed" and already:
             # WHEN_NEEDED (MySqlConnectorConfig.java:139): re-snapshot
@@ -602,7 +667,10 @@ class Engine:
         # historical rows are ever captured,
         # MySqlConnectorConfig.java:151 SCHEMA_ONLY).
         lo = self._pin_stream_origin(
-            hi + 1 if self.cfg.snapshot_mode == "schema_only" else lo
+            hi + 1
+            if self.cfg.snapshot_mode
+            in ("schema_only", "schema_only_recovery")
+            else lo
         )
         span = self.cfg.batch_lsn_span
         results = []

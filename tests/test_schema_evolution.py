@@ -395,6 +395,140 @@ def test_streaming_config_injected_changes_apply(spark, tmp_root):
     assert n_sized > 0  # injected change actually took effect
 
 
+# -- schema-only recovery (history-loss healing) ----------------------------
+# (connector/mysql/MySqlConnectorConfig.java:159 SCHEMA_ONLY_RECOVERY)
+
+
+def _evolved_world(spark, tmp_root):
+    """Full log with in-stream 'm' rows; returns (src, log, data_log,
+    changes). batch_lsn_span=150 puts each change in its own batch."""
+    from debezium_spark.generator import schema_change_envelopes
+
+    changes = _changes()
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, N_REPOS, PPR).write.parquet(src_path)
+    data_log = gen_change_log(
+        spark, N_REPOS, PPR, n_events=N_EVENTS, snapshot_lsn_base=BASE,
+        schema_change_lsns={c["schema_version"]: c["lsn"] for c in changes},
+    )
+    data_log.unionByName(
+        schema_change_envelopes(spark, changes)
+    ).write.parquet(log_path)
+    return src_path, log_path, data_log, changes
+
+
+def test_schema_history_recovered_from_lake_after_log_purge(
+    spark, tmp_root
+):
+    """The log head holding every op='m' row is purged AFTER the engine
+    committed those schema versions — exactly the data-loss situation
+    ``when_needed`` heals for rows. A cold restart must re-derive the
+    missing tracker versions from the lake's committed manifests
+    (schema_only_recovery, MySqlConnectorConfig.java:159) and keep
+    streaming evolved-schema events to the correct final state."""
+    src_path, log_path, data_log, changes = _evolved_world(spark, tmp_root)
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=os.path.join(tmp_root, "lake_sor"),
+        source_table_path=src_path,
+        batch_lsn_span=150,
+        n_buckets=8,
+    )
+    eng = Engine(spark, cfg)
+    eng.run(max_batches=3)  # snapshot + batches through the v3 change
+    assert eng.lake.table_schema().version == 3
+    applied_hi = max(eng.lake.committed_offsets().values())
+    full = spark.read.parquet(log_path)
+    assert full.filter(f"lsn > {applied_hi}").count() > 0  # tail remains
+
+    # purge the head: every 'm' row (lsns 250/400/500) is below the
+    # frontier and vanishes with it
+    purged_path = os.path.join(tmp_root, "log_purged")
+    full.filter(f"lsn > {changes[-1]['lsn']}").write.parquet(purged_path)
+
+    cfg2 = EngineConfig(
+        changelog_path=purged_path,
+        lake_root=os.path.join(tmp_root, "lake_sor"),
+        source_table_path=src_path,
+        batch_lsn_span=150,
+        n_buckets=8,
+        snapshot_mode="schema_only_recovery",
+    )
+    eng2 = Engine(spark, cfg2)
+    # the log alone says v0; the lake manifests restored v1..v3
+    assert eng2.tracker.latest_version == 3
+    assert eng2.tracker.added_at_version("size_bytes") == 1
+    eng2.run()
+
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = data_log.toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in eng2.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_sized = 0
+    for k, row in got.items():
+        assert row["content"] == oracle[k]["content"], k
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+        n_sized += row["size_bytes"] is not None
+    assert n_sized > 0  # evolved column survived the history loss
+
+
+def test_schema_history_unrecoverable_fails_loudly(spark, tmp_root):
+    """When the purged 'm' rows' versions are recorded by NO surviving
+    manifest either (expiry/corruption), the engine must refuse to
+    start instead of silently running with a v0 tracker (which would
+    project evolved columns to NULL)."""
+    import json as _json
+
+    src_path, log_path, _, changes = _evolved_world(spark, tmp_root)
+    lake_root = os.path.join(tmp_root, "lake_sor_bad")
+    cfg = EngineConfig(
+        changelog_path=log_path,
+        lake_root=lake_root,
+        source_table_path=src_path,
+        batch_lsn_span=150,
+        n_buckets=8,
+    )
+    eng = Engine(spark, cfg)
+    eng.run()
+    assert eng.lake.table_schema().version == 3
+
+    purged_path = os.path.join(tmp_root, "log_purged_bad")
+    spark.read.parquet(log_path).filter(
+        f"lsn > {changes[-1]['lsn']}"
+    ).write.parquet(purged_path)
+    # simulate expiry/corruption: drop every manifest recording the
+    # intermediate versions 1 and 2
+    commits = os.path.join(lake_root, "_commits")
+    for n in os.listdir(commits):
+        if not n.endswith(".json"):
+            continue
+        with open(os.path.join(commits, n)) as f:
+            m = _json.load(f)
+        if m["schema_version"] in (1, 2):
+            os.unlink(os.path.join(commits, n))
+
+    with pytest.raises(ValueError, match="schema history unrecoverable"):
+        Engine(
+            spark,
+            EngineConfig(
+                changelog_path=purged_path,
+                lake_root=lake_root,
+                source_table_path=src_path,
+                batch_lsn_span=150,
+                n_buckets=8,
+            ),
+        )
+
+
 # -- schema-history hardening ----------------------------------------------
 # (relational/history/SchemaHistory.java:46-66,
 #  AbstractSchemaHistory.java:133-151)
