@@ -6,11 +6,13 @@ The CDC operator family is expressed over the driver's ``events``
 table, read as a change stream: ``event_id`` is the LSN (unique,
 monotone), ``user_id`` the key, and ``event_type`` maps onto Debezium
 op codes (``signup→c``, ``error→d``, else ``u`` — the envelope ops of
-``data/Envelope.java:34-78``). The engine-proper (synthetic repo-table
-CDC with snapshot/restart/schema evolution) lives in
-:mod:`debezium_spark.streaming.engine` and is exercised by
-``cdc_replay_final_state`` (rows-only check — multi-phase stateful
-replay is not one SQL statement).
+``data/Envelope.java:34-78``). The engine-proper (repo-table CDC with
+snapshot/restart/schema evolution) lives in
+:mod:`debezium_spark.streaming.engine` and is exercised end-to-end by
+the flagship ``cdc_replay_final_state`` (multi-batch fenced replay +
+snapshot survivorship) and ``cdc_engine_replay_events`` (dense
+single-batch) — both over events-derived deterministic logs, both
+value-hash-checked against SQL oracles.
 
 Determinism rules for oracle hash-matching:
 - every computed double is either carried verbatim from parquet or
@@ -4735,38 +4737,140 @@ def events_retention_cohorts(spark, sf_dir):
 # ===========================================================================
 
 
-@_q("cdc_replay_final_state")  # rows-only: multi-phase stateful replay
+@_q(
+    "cdc_replay_final_state",
+    f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    fin AS (
+      SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id, {_OP_SQL} AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND op <> 'd'
+    )
+    SELECT 'r' || CAST(user_id % 8 AS VARCHAR) AS repo,
+           'p' || CAST(user_id AS VARCHAR) AS path,
+           md5(CAST(event_id AS VARCHAR)) AS commit,
+           event_type AS lang,
+           sha256('v:' || CAST(event_id AS VARCHAR)) AS content_sha256
+    FROM fin
+    UNION ALL
+    SELECT 'r' || CAST(user_id % 8 AS VARCHAR),
+           'q' || CAST(user_id AS VARCHAR), 'c0', 'init',
+           sha256('snap:' || CAST(user_id AS VARCHAR))
+    FROM users WHERE user_id % 5 = 0
+    """,
+)
 def cdc_replay_final_state(spark, sf_dir):
-    """Full engine end-to-end: snapshot + LSN-ordered change-log replay
-    with LWW compaction and fenced merges over the synthetic repo-file
-    table (north_rule target shape). Returns the final table state with
-    per-row content sha256 — the invariant column the judge checks.
-    Not one SQL statement (multi-batch stateful apply) → rows-only."""
-    import tempfile
-
-    from debezium_spark.generator import gen_change_log, gen_source_table
-    from debezium_spark.streaming.engine import Engine, EngineConfig
-
+    """FLAGSHIP: the full engine end-to-end — snapshot phase (FIRST/
+    LAST markers, lsn-0 base rows), multi-batch LSN-ordered change-log
+    replay, LWW compaction, fenced bucket merges, final-state read —
+    returning per-row content sha256, the exact invariant the north
+    rule names. The envelope log derives DETERMINISTICALLY from the
+    ``events`` fixture (key = (r<user%8>, p<user>), lsn = event_id+1,
+    op per the catalog's event_type mapping, content = v:<event_id>),
+    which makes the multi-phase stateful replay's final state
+    expressible as one SQL statement: per key the LWW winner (absent
+    when its last op is DELETE), plus the snapshot-only q-keys
+    (user%5=0) that no stream event touches — they must survive from
+    the snapshot phase verbatim. Distinct from
+    ``cdc_engine_replay_events`` by exercising MULTI-batch fenced
+    replay (batch_lsn_span splits the log into several commits) and
+    snapshot survivorship, the two behaviors a single dense batch
+    cannot show. Reference: the embedded engine's snapshot-then-
+    streaming contract (``ChangeEventSourceCoordinator.java``,
+    ``RelationalSnapshotChangeEventSource.java`` FIRST/LAST marker
+    protocol)."""
     import atexit
     import shutil
+    import tempfile
 
+    from debezium_spark.streaming.engine import Engine, EngineConfig
+
+    ev = _t(spark, sf_dir, "events")
+    repo = F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string"))
+    path = F.concat(F.lit("p"), F.col("user_id").cast("string"))
+    img = F.struct(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat(F.lit("v:"), F.col("event_id").cast("string")).alias(
+            "content"
+        ),
+        F.lit(None).cast("long").alias("size_bytes"),
+    )
+    before_img = F.struct(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("long").alias("size_bytes"),
+    )
+    is_del = _op_col() == "d"
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    log = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+        (F.col("event_id") + 1).alias("lsn"),
+        _op_col().alias("op"),
+        F.struct(repo.alias("repo"), path.alias("path")).alias("key"),
+        F.when(is_del, before_img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            ts_ms.alias("ts_ms"),
+            F.lit("false").alias("snapshot"),
+            F.lit(-1).cast("long").alias("txId"),
+            F.lit("repo_files").alias("table"),
+        ).alias("source"),
+        ts_ms.alias("ts_ms"),
+        F.lit(0).alias("schema_version"),
+        F.lit(False).alias("is_tombstone"),
+        F.lit(None).cast("string").alias("message"),
+    )
+    # snapshot: a p-key base row per user (always overwritten — every
+    # user has >=1 stream event) plus untouched q-keys that must
+    # survive the whole replay from the snapshot phase alone
+    users = ev.select("user_id").distinct()
+    src = users.select(
+        F.concat(F.lit("r"), (F.col("user_id") % 8).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(F.lit("p"), F.col("user_id").cast("string")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("init").alias("lang"),
+        F.concat(F.lit("init:"), F.col("user_id").cast("string")).alias(
+            "content"
+        ),
+    ).unionByName(
+        users.filter(F.col("user_id") % 5 == 0).select(
+            F.concat(
+                F.lit("r"), (F.col("user_id") % 8).cast("string")
+            ).alias("repo"),
+            F.concat(F.lit("q"), F.col("user_id").cast("string")).alias(
+                "path"
+            ),
+            F.lit("c0").alias("commit"),
+            F.lit("init").alias("lang"),
+            F.concat(
+                F.lit("snap:"), F.col("user_id").cast("string")
+            ).alias("content"),
+        )
+    )
     tmp = tempfile.mkdtemp(prefix="cdc_entry_")
     atexit.register(shutil.rmtree, tmp, True)
-    src = gen_source_table(spark, n_repos=4, paths_per_repo=25)
-    log = gen_change_log(
-        spark, n_repos=4, paths_per_repo=25, n_events=2000, partitions=4
-    )
-    src_path = f"{tmp}/source"
-    log_path = f"{tmp}/changelog"
-    src.write.mode("overwrite").parquet(src_path)
-    log.write.mode("overwrite").parquet(log_path)
+    src.write.mode("overwrite").parquet(f"{tmp}/source")
+    log.write.mode("overwrite").parquet(f"{tmp}/changelog")
     eng = Engine(
         spark,
         EngineConfig(
-            changelog_path=log_path,
+            changelog_path=f"{tmp}/changelog",
             lake_root=f"{tmp}/lake",
-            source_table_path=src_path,
-            batch_lsn_span=2048,
+            source_table_path=f"{tmp}/source",
+            batch_lsn_span=4096,  # several fenced stream batches
+            n_buckets=8,
+            merge_scope="full",
         ),
     )
     eng.run()
