@@ -12,12 +12,14 @@ and parse such a statement back into the structured dict, so a schema
 history written as DDL strings recovers identically on cold restart
 (engine._parse_schema_change accepts either form).
 
-Dialect (exactly the three change types the lake applies,
-schema_evolution.py:14):
+Dialect (exactly the four change types the lake applies,
+schema_evolution.py:14; column removal per the reference's
+``history/TableChanges.java:23-53`` IR):
 
   ALTER TABLE t ADD COLUMN c <type>
   ALTER TABLE t RENAME COLUMN a TO b
   ALTER TABLE t ALTER COLUMN c SET DATA TYPE <type>
+  ALTER TABLE t DROP COLUMN c
 
 Identifiers are ``[A-Za-z_][A-Za-z0-9_]*``; types additionally allow a
 parenthesized precision suffix (``decimal(10,2)``). Keywords are
@@ -56,6 +58,10 @@ _WIDEN_RE = re.compile(
     rf"\s+SET\s+DATA\s+TYPE\s+({_TYPE})\s*;?\s*$",
     re.IGNORECASE,
 )
+_DROP_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+COLUMN\s+({_ID})\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _norm_type(t: str) -> str:
@@ -78,6 +84,8 @@ def change_to_ddl(change: dict, table: str = "repo_content") -> str:
             f"ALTER TABLE {tbl} ALTER COLUMN {change['column_name']} "
             f"SET DATA TYPE {change['new_type']}"
         )
+    if ct == "ALTER_DROP_COLUMN":
+        return f"ALTER TABLE {tbl} DROP COLUMN {change['column_name']}"
     raise ValueError(f"unknown change_type {ct!r}")
 
 
@@ -118,6 +126,15 @@ def parse_ddl(ddl: str) -> dict:
             "new_type": _norm_type(m.group(3)),
             "prev_name": None,
         }
+    m = _DROP_RE.match(ddl)
+    if m:
+        return {
+            "change_type": "ALTER_DROP_COLUMN",
+            "table": m.group(1),
+            "column_name": m.group(2),
+            "new_type": None,
+            "prev_name": None,
+        }
     raise ValueError(f"unparseable DDL: {ddl!r}")
 
 
@@ -138,6 +155,7 @@ def parse_ddl_cols(ddl: Column) -> list[Column]:
         rf"(?i)^\s*ALTER\s+TABLE\s+({_ID})\s+ALTER\s+COLUMN\s+({_ID})"
         rf"\s+SET\s+DATA\s+TYPE\s+({_TYPE})\s*;?\s*$"
     )
+    drp = rf"(?i)^\s*ALTER\s+TABLE\s+({_ID})\s+DROP\s+COLUMN\s+({_ID})\s*;?\s*$"
 
     def _x(pat: str, grp: int) -> Column:
         return F.nullif(F.regexp_extract(ddl, pat, grp), F.lit(""))
@@ -145,14 +163,16 @@ def parse_ddl_cols(ddl: Column) -> list[Column]:
     is_add = ddl.rlike(add)
     is_ren = ddl.rlike(ren)
     is_wid = ddl.rlike(wid)
+    is_drp = ddl.rlike(drp)
     change_type = (
         F.when(is_add, F.lit("ALTER_ADD_COLUMN"))
         .when(is_ren, F.lit("ALTER_RENAME_COLUMN"))
         .when(is_wid, F.lit("ALTER_WIDEN_TYPE"))
+        .when(is_drp, F.lit("ALTER_DROP_COLUMN"))
         .otherwise(F.lit("UNPARSEABLE"))
     )
-    table = F.coalesce(_x(add, 1), _x(ren, 1), _x(wid, 1))
-    column_name = F.coalesce(_x(add, 2), _x(ren, 3), _x(wid, 2))
+    table = F.coalesce(_x(add, 1), _x(ren, 1), _x(wid, 1), _x(drp, 1))
+    column_name = F.coalesce(_x(add, 2), _x(ren, 3), _x(wid, 2), _x(drp, 2))
     raw_type = F.coalesce(_x(add, 3), _x(wid, 3))
     new_type = F.lower(F.regexp_replace(raw_type, r"\s+", ""))
     prev_name = _x(ren, 2)

@@ -5539,21 +5539,23 @@ def dedup_passages(spark, sf_dir):
     "cdc_ddl_parse",
     """
     SELECT p_partkey AS stmt_id,
-           CASE p_partkey % 4
+           CASE p_partkey % 5
              WHEN 0 THEN 'ALTER_ADD_COLUMN'
              WHEN 1 THEN 'ALTER_RENAME_COLUMN'
              WHEN 2 THEN 'ALTER_WIDEN_TYPE'
+             WHEN 3 THEN 'ALTER_DROP_COLUMN'
              ELSE 'UNPARSEABLE' END AS change_type,
-           CASE WHEN p_partkey % 4 = 3 THEN NULL
+           CASE WHEN p_partkey % 5 = 4 THEN NULL
                 ELSE 't_' || (p_partkey % 7) END AS table_name,
-           CASE WHEN p_partkey % 4 = 3 THEN NULL
+           CASE WHEN p_partkey % 5 = 4 THEN NULL
                 ELSE 'c_' || (p_partkey % 100) END AS column_name,
-           CASE WHEN p_partkey % 4 IN (0, 2) THEN
-             CASE p_partkey % 5 WHEN 0 THEN 'int' WHEN 1 THEN 'bigint'
+           CASE WHEN p_partkey % 5 IN (0, 2) THEN
+             CASE (p_partkey // 5) % 5
+               WHEN 0 THEN 'int' WHEN 1 THEN 'bigint'
                WHEN 2 THEN 'float' WHEN 3 THEN 'double'
                ELSE 'decimal(10,2)' END
            END AS new_type,
-           CASE WHEN p_partkey % 4 = 1
+           CASE WHEN p_partkey % 5 = 1
                 THEN 'c_' || (p_partkey % 100) || '_old' END AS prev_name
     FROM part
     """,
@@ -5565,7 +5567,7 @@ def cdc_ddl_parse(spark, sf_dir):
     column (``ddl.parse_ddl_cols``).
 
     The query synthesizes one ALTER statement per `part` row
-    (add / rename / widen / an out-of-dialect statement, with
+    (add / rename / widen / drop / an out-of-dialect statement, with
     alternating keyword case and type-spelling noise) and parses it
     back to structured change fields. The oracle derives the EXPECTED
     fields arithmetically from the key — it never runs the parser — so
@@ -5578,14 +5580,15 @@ def cdc_ddl_parse(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    kind = k % 4
+    kind = k % 5
     tbl = F.concat(F.lit("t_"), (k % 7).cast("string"))
     col = F.concat(F.lit("c_"), (k % 100).cast("string"))
+    tix = F.expr("(p_partkey div 5) % 5")
     typ = (
-        F.when(k % 5 == 0, "int")
-        .when(k % 5 == 1, "bigint")
-        .when(k % 5 == 2, "float")
-        .when(k % 5 == 3, "double")
+        F.when(tix == 0, "int")
+        .when(tix == 1, "bigint")
+        .when(tix == 2, "float")
+        .when(tix == 3, "double")
         .otherwise("decimal(10,2)")
     )
     # keyword/type case alternates per row; add-column rows carry a
@@ -5600,6 +5603,8 @@ def cdc_ddl_parse(spark, sf_dir):
         .when(kind == 2, F.concat(F.lit("alter table "), tbl,
                                   F.lit(" alter column "), col,
                                   F.lit(" set data type "), typ))
+        .when(kind == 3, F.concat(F.lit("alter table "), tbl,
+                                  F.lit(" drop column "), col))
         .otherwise(F.concat(F.lit("drop table "), tbl))
     )
     ddl = F.when(k % 2 == 0, lo).otherwise(F.upper(lo))

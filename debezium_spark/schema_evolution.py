@@ -82,6 +82,19 @@ class TableSchema:
                     f"non-widening type change {c['type']} -> {change['new_type']}"
                 )
             c["type"] = change["new_type"]
+        elif ct == "ALTER_DROP_COLUMN":
+            # metadata-only drop (Iceberg semantics): the column leaves
+            # the schema, old files keep the physical data, reads stop
+            # projecting it, time travel to a pre-drop version still
+            # sees it. The table PK is never droppable — the merge
+            # keys on it (history/TableChanges.java:23-53 models the
+            # same column-removal IR).
+            c = out.col(change["column_name"])
+            if c["physical"] in ("repo", "path"):
+                raise ValueError(
+                    f"cannot drop key column {change['column_name']!r}"
+                )
+            out.columns = [x for x in out.columns if x is not c]
         else:
             raise ValueError(f"unknown change_type {ct!r}")
         return out

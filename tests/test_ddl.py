@@ -72,6 +72,8 @@ _STATEMENTS = [
     "alter table t_2 add column c_10 decimal(10,2)",
     "ALTER TABLE t_3 RENAME COLUMN old_c TO new_c",
     "alter table t_4 alter column c_11 set data type DOUBLE",
+    "ALTER TABLE t_6 DROP COLUMN c_12;",
+    "alter  table t_7  drop column c_13",
     "DROP TABLE t_5",
     "not ddl at all",
 ]
@@ -146,6 +148,118 @@ def test_ddl_form_history_replays_identically(spark, tmp_root):
     assert a.columns == b.columns
     assert "size_bytes" in a.columns and "language" in a.columns
     assert a.schema == b.schema  # widen applied in both
+
+
+def test_drop_column_roundtrip_through_history_replay():
+    """DROP COLUMN (history/TableChanges.java:23-53 column-removal IR)
+    rendered to DDL, re-parsed, and replayed through the tracker: the
+    column leaves the schema at its version and earlier versions still
+    carry it."""
+    from debezium_spark.schema_evolution import SchemaTracker
+
+    changes = [
+        {
+            "lsn": 10,
+            "schema_version": 1,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+        },
+        {
+            "lsn": 20,
+            "schema_version": 2,
+            "change_type": "ALTER_DROP_COLUMN",
+            "column_name": "size_bytes",
+        },
+    ]
+    # render -> parse round trip preserves the change
+    replayed = []
+    for ch in changes:
+        back = parse_ddl(change_to_ddl(ch))
+        assert back["change_type"] == ch["change_type"]
+        assert back["column_name"] == ch["column_name"]
+        replayed.append(
+            {**back, "lsn": ch["lsn"], "schema_version": ch["schema_version"]}
+        )
+    tr = SchemaTracker(replayed)
+    assert tr.latest_version == 2
+    assert "size_bytes" in tr.schemas[1].logical_names
+    assert "size_bytes" not in tr.schemas[2].logical_names
+    assert tr.added_at_version("size_bytes") == 1  # history intact
+
+
+def test_drop_column_is_metadata_only_on_the_lake(spark, tmp_root):
+    """Iceberg drop semantics: reads stop projecting the column, old
+    files keep the bytes, time travel to a pre-drop version still sees
+    the values; dropping a key column is rejected."""
+    from debezium_spark.lake import LakeTable
+
+    lake = LakeTable(spark, os.path.join(tmp_root, "lake_drop"), n_buckets=2)
+    lake.create()
+    lake.apply_schema_change(
+        {
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+            "schema_version": 1,
+            "lsn": 1,
+        }
+    )
+    ddl = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, size_bytes: long, op: string, lsn: long"
+    )
+    lake.merge(
+        spark.createDataFrame(
+            [("r", "a", "c1", "py", "xxxx", 4, "c", 2)], ddl
+        ),
+        1,
+    )
+    v_before = lake.current_version()
+    assert [r["size_bytes"] for r in lake.read_state().collect()] == [4]
+
+    lake.apply_schema_change(
+        {
+            "change_type": "ALTER_DROP_COLUMN",
+            "column_name": "size_bytes",
+            "schema_version": 2,
+            "lsn": 3,
+        }
+    )
+    cur = lake.read_state()
+    assert "size_bytes" not in cur.columns
+    assert cur.count() == 1  # data intact
+    # time travel to the pre-drop version still projects the column
+    old = lake.read_state(version=v_before)
+    assert [r["size_bytes"] for r in old.collect()] == [4]
+
+    with pytest.raises(ValueError, match="cannot drop key column"):
+        lake.apply_schema_change(
+            {
+                "change_type": "ALTER_DROP_COLUMN",
+                "column_name": "path",
+                "schema_version": 3,
+                "lsn": 4,
+            }
+        )
+
+
+def test_narrowing_ddl_is_rejected_at_apply():
+    """A parsed SET DATA TYPE statement that would NARROW the column
+    raises at apply (DdlParser accepts the syntax; the relational model
+    rejects the change) — type evolution stays widen-only."""
+    from debezium_spark.schema_evolution import TableSchema
+
+    s = TableSchema().apply_change(
+        {
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "n",
+            "new_type": "bigint",
+        }
+    )
+    ch = parse_ddl("ALTER TABLE t ALTER COLUMN n SET DATA TYPE int")
+    with pytest.raises(ValueError, match="non-widening"):
+        s.apply_change(ch)
 
 
 def test_ddl_form_unparseable_respects_hardening(spark, tmp_root):
