@@ -5944,6 +5944,136 @@ def ann_recall_eval(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_cap_recall",
+    _SHINGLE_CTE
+    + """
+    , posts AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh WHERE len(s) > 0)
+    , dfc AS (SELECT g, COUNT(*)::BIGINT AS df FROM posts GROUP BY g)
+    , base AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS n_a, b.n AS n_b, dfc.df AS df
+        FROM posts a JOIN posts b USING (g) JOIN dfc USING (g)
+        WHERE a.doc_id < b.doc_id
+    )
+    , truth AS (
+        SELECT id_a, id_b FROM (
+          SELECT id_a, id_b, n_a, n_b, COUNT(*) AS inter
+          FROM base GROUP BY id_a, id_b, n_a, n_b)
+        WHERE floor(inter::DOUBLE / (n_a + n_b - inter) * 1e6) >= 500000
+    )
+    , caps(cap) AS (VALUES (1), (2), (4), (64))
+    , found AS (
+        SELECT cap, id_a, id_b FROM (
+          SELECT cap, id_a, id_b, n_a, n_b, COUNT(*) AS inter
+          FROM base JOIN caps ON base.df <= caps.cap
+          GROUP BY cap, id_a, id_b, n_a, n_b)
+        WHERE floor(inter::DOUBLE / (n_a + n_b - inter) * 1e6) >= 500000
+    )
+    , f AS (SELECT cap, COUNT(*)::BIGINT AS n_found FROM found GROUP BY cap)
+    , t AS (SELECT COUNT(*)::BIGINT AS n_true FROM truth)
+    SELECT caps.cap::BIGINT AS cap, t.n_true AS n_true_pairs,
+           COALESCE(f.n_found, 0)::BIGINT AS n_found,
+           floor(COALESCE(f.n_found, 0) * 1000000.0 / t.n_true)::BIGINT
+             AS recall_micro
+    FROM caps CROSS JOIN t LEFT JOIN f USING (cap)
+    """,
+)
+def dedup_cap_recall(spark, sf_dir):
+    """Recall-vs-cap sensitivity for the capped candidate stages: the
+    ``max_postings`` discipline bounds pair work (≤ cap² per posting
+    list) but silently bounds recall — this entry MEASURES the trade.
+    For each cap in {1, 2, 4, 64} it counts the threshold-0.5 3-gram
+    Jaccard near-dup pairs the capped pipeline finds vs the uncapped
+    ground truth, in exact micro-units. A capped-passing pair is
+    always truth-passing (capped intersection ≤ true intersection and
+    jaccard is monotone in it), so found/true IS recall. cap=64 (the
+    production setting in ``dedup_ngram_jaccard`` etc.) is lossless on
+    this fixture — its max posting-list is 7 — while the tight caps
+    chart the decay shape as the cap crosses the df distribution; the
+    reference-scale analogue is the incremental-snapshot chunk bound
+    publishing its discipline (``AbstractIncrementalSnapshotContext``).
+
+    Scale: ONE shingle pass + one df agg + one inverted-index
+    equi-join shared by all caps (the cap dimension rides a 4-element
+    array explode on the already-joined pair rows, not four pipeline
+    runs). The uncapped truth side is fixture-feasible by measurement
+    (sum df² bounded); at production scale the sweep runs on a sampled
+    corpus exactly like ``ann_recall_eval``'s query sampling."""
+    d = _t(spark, sf_dir, "documents")
+    caps = [1, 2, 4, 64]
+    sized = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            D.word_shingles(F.col("text"), 3).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .filter(F.col("n") > 0)
+    )
+    posts = sized.select("id", "n", F.explode("sh").alias("g"))
+    dfc = posts.groupBy("g").agg(F.count("*").cast("long").alias("df"))
+    p2 = posts.join(dfc, "g")
+    a = p2.select(
+        "g",
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        "df",
+    )
+    b = p2.select(
+        "g", F.col("id").alias("id_b"), F.col("n").alias("n_b")
+    )
+    base = a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+    jm = F.floor(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")) * 1e6
+    )
+    truth_n = (
+        base.groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .filter(jm >= 500_000)
+        .agg(F.count("*").cast("long").alias("n_true_pairs"))
+    )
+    caps_arr = F.array(*[F.lit(c) for c in caps])
+    found = (
+        base.select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.explode(
+                F.filter(caps_arr, lambda c: F.col("df") <= c)
+            ).alias("cap"),
+        )
+        .groupBy("cap", "id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .filter(jm >= 500_000)
+        .groupBy("cap")
+        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    caps_df = (
+        spark.range(1)
+        .select(F.explode(caps_arr).alias("c"))
+        .select(F.col("c").cast("long").alias("cap"))
+    )
+    return (
+        caps_df.join(found, "cap", "left")
+        .crossJoin(F.broadcast(truth_n))
+        .select(
+            "cap",
+            "n_true_pairs",
+            F.coalesce(F.col("n_found"), F.lit(0))
+            .cast("long")
+            .alias("n_found"),
+            F.floor(
+                F.coalesce(F.col("n_found"), F.lit(0))
+                * F.lit(1000000.0)
+                / F.col("n_true_pairs")
+            )
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
 # --- code-corpus curation (the north-star table is source code) ------
 
 # The synthesized-code-lines + per-file-metrics CTE chain, shared by
