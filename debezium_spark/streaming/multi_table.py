@@ -312,6 +312,17 @@ class MultiTableEngine:
         = (epoch_ordinal, tables_applied_first) injects exactly that
         failure for tests.
 
+        The SHARED signal channel stays live while streaming: after
+        each epoch's fan-out every engine polls ``signal_path`` once
+        (the reference's signal-table poll cadence,
+        ``pipeline/signal/SignalProcessor.java`` interval poll) — one
+        signal fires ONCE PER CONSUMER, acked into that consumer's own
+        ledger, so a data-collection-addressed snapshot runs on the
+        addressed table mid-stream while siblings ack it as a no-op.
+        A crash between a signal's action and its ack re-fires it on
+        restart (at-least-once), and the action's fenced batches make
+        the re-fire idempotent.
+
         Requires ``route='filter'``: the streaming source tails the
         mixed log directly; the routed-topics copy is a bulk-replay
         layout that would go stale under a growing log.
@@ -350,6 +361,11 @@ class MultiTableEngine:
                     phase="stream",
                 )
                 done += 1
+            # epoch-boundary poll of the shared file-signal channel
+            # (control-plane: a few jsonl rows; no-op when unset)
+            for eng in engines.values():
+                if eng.cfg.signal_path:
+                    eng.process_signals()
 
         q = (
             stream_changelog(

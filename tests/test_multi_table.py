@@ -305,7 +305,8 @@ def test_per_table_snapshot_and_independence(spark, tmp_root):
 
 def test_streaming_multi_table_matches_batch_replay(spark, tmp_root):
     """One streaming query over the mixed log == per-table batch
-    replay: same final state per captured table."""
+    replay == an independent SINGLE-table engine per table: same final
+    state everywhere."""
     tables = [TABLE_NAME, T2]
     log_path = _mixed_log(spark, tmp_root, tables, n_events=900)
     mt = MultiTableEngine(
@@ -320,8 +321,77 @@ def test_streaming_multi_table_matches_batch_replay(spark, tmp_root):
         snapshot_mode="never", n_buckets=4, partitions=4,
     )
     batch.run()
+    for i, t in enumerate(tables):
+        got = _rows(mt.final_state(t))
+        assert got == _rows(batch.final_state(t))
+        assert got == _rows(
+            _single_table_final(spark, tmp_root, log_path, t, f"st{i}")
+        )
+
+
+def test_streaming_shared_signal_fires_once_per_consumer(
+    spark, tmp_root
+):
+    """The shared file-signal channel stays live through the streaming
+    front-end: a data-collection-addressed execute-snapshot sent
+    before the stream starts fires EXACTLY ONCE per consumer at an
+    epoch boundary — the addressed table runs its snapshot mid-stream,
+    siblings ack the same signal as a no-op into their own ledgers,
+    and a second streaming run re-fires nothing."""
+    from debezium_spark.signals import SignalChannel
+
+    tables = [TABLE_NAME, T2]
+    log_path = _mixed_log(spark, tmp_root, tables, n_events=800)
+    sig = f"{tmp_root}/signals_stream.jsonl"
+    SignalChannel(sig).send(
+        "sig-st-1",
+        "execute-snapshot",
+        {"data-collections": [T2], "chunk_size": 50},
+    )
+
+    def make():
+        return MultiTableEngine(
+            spark, log_path, f"{tmp_root}/lake_sigstream",
+            route="filter", snapshot_mode="never", n_buckets=4,
+            partitions=4, signal_path=sig,
+        )
+
+    mt = make()
+    mt.run_streaming(f"{tmp_root}/ckpt_sigstream", max_files_per_trigger=4)
+    summary = mt.metrics_summary()["tables"]
+    # the addressed table committed incremental-snapshot batches
+    # mid-stream; its sibling never entered the incremental phase
+    incr = {
+        t: mt.engines()[t].lake.last_batch_id("incremental")
+        for t in tables
+    }
+    assert incr[T2] >= 0
+    assert incr[TABLE_NAME] == -1
+    # exactly one ack per consumer, in per-consumer ledgers
+    import os
+
     for t in tables:
-        assert _rows(mt.final_state(t)) == _rows(batch.final_state(t))
+        ledger = f"{mt.lake_root}/{t}/_signals.processed"
+        assert os.path.exists(ledger)
+        with open(ledger) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        assert ids.count("sig-st-1") == 1, (t, ids)
+    # final states still match an independent single-table engine
+    # (snapshot re-read is LWW-idempotent against the streamed state)
+    for i, t in enumerate(tables):
+        assert _rows(mt.final_state(t)) == _rows(
+            _single_table_final(spark, tmp_root, log_path, t, f"sg{i}")
+        )
+    # a fresh streaming run over the same checkpoint re-fires nothing
+    before = {t: summary[t]["batches"] for t in tables}
+    mt2 = make()
+    mt2.run_streaming(
+        f"{tmp_root}/ckpt_sigstream", max_files_per_trigger=4
+    )
+    after = {
+        t: v["batches"] for t, v in mt2.metrics_summary()["tables"].items()
+    }
+    assert after == before
 
 
 def test_streaming_multi_table_crash_mid_fan_recovers(spark, tmp_root):
