@@ -1958,6 +1958,82 @@ def cdc_avro_binary_export(spark, sf_dir):
     )
 
 
+def _cloudevents_avro_oracle() -> str:
+    from debezium_spark.functions import serde_binary as B
+
+    zz = B.zigzag_varint_sql
+    cents = "CAST(floor(value * 100) AS BIGINT)"
+    after = (
+        "CASE WHEN event_type = 'error' OR value IS NULL THEN '00'"
+        f" ELSE concat('02', {zz(cents)}) END"
+    )
+    body = (
+        f"concat('00', '00000001', {zz('event_id')}, "
+        f"'02', {B.avro_string_sql(f'({_OP_SQL})')}, "
+        f"'02', {zz('user_id')}, {after})"
+    )
+    return f"""
+    SELECT event_id,
+           '{{"ce_specversion":"1.0","ce_id":"' || event_id
+             || '","ce_source":"/debezium/postgresql/server1"'
+             || ',"ce_type":"io.debezium.postgresql.datachangeevent"'
+             || ',"ce_time":"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             || '","content-type":"application/avro"}}' AS ce_headers,
+           {body} AS ce_data_hex
+    FROM events
+    """
+
+
+@_q("cdc_cloudevents_avro_export", _cloudevents_avro_oracle())
+def cdc_cloudevents_avro_export(spark, sf_dir):
+    """CloudEvents BINARY content mode with Avro data
+    (converters/CloudEventsConverter.java, ``data.serializer.type=
+    avro``): the CE context attributes travel as transport headers
+    (``ce_*`` + content-type, here one deterministic JSON column — the
+    Kafka-header map's canonical form) and the payload is the RAW
+    Confluent-framed binary-Avro envelope, byte-identical to
+    ``cdc_avro_binary_export``'s frame. This composes the two
+    previously-separate exports exactly as the reference's converter
+    does: structured-JSON CloudEvents would have to base64 the Avro
+    bytes; binary content mode ships them untouched. Pure column
+    expressions, whole-stage codegen, hex-surfaced for the bit-exact
+    oracle."""
+    from debezium_spark.functions import serde_binary as B
+
+    ev = _t(spark, sf_dir, "events")
+    zz = B.zigzag_varint_hex
+    cents = F.floor(F.col("value") * 100).cast("long")
+    no_after = (F.col("event_type") == "error") | F.col("value").isNull()
+    body = F.concat(
+        zz(F.col("event_id")),
+        F.lit("02"),
+        B.avro_string_hex(_op_col()),
+        F.lit("02"),
+        zz(F.col("user_id").cast("long")),
+        F.when(no_after, F.lit("00")).otherwise(
+            F.concat(F.lit("02"), zz(cents))
+        ),
+    )
+    headers = F.concat(
+        F.lit('{"ce_specversion":"1.0","ce_id":"'),
+        F.col("event_id").cast("string"),
+        F.lit(
+            '","ce_source":"/debezium/postgresql/server1"'
+            ',"ce_type":"io.debezium.postgresql.datachangeevent"'
+            ',"ce_time":"'
+        ),
+        F.date_format(
+            F.col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ),
+        F.lit('","content-type":"application/avro"}'),
+    )
+    return ev.select(
+        "event_id",
+        headers.alias("ce_headers"),
+        B.confluent_frame_hex(body, schema_id=1).alias("ce_data_hex"),
+    )
+
+
 def _protobuf_oracle() -> str:
     from debezium_spark.functions import serde_binary as B
 
@@ -5994,11 +6070,14 @@ def dedup_cap_recall(spark, sf_dir):
     reference-scale analogue is the incremental-snapshot chunk bound
     publishing its discipline (``AbstractIncrementalSnapshotContext``).
 
-    Scale: ONE shingle pass + one df agg + one inverted-index
-    equi-join shared by all caps (the cap dimension rides a 4-element
-    array explode on the already-joined pair rows, not four pipeline
-    runs). The uncapped truth side is fixture-feasible by measurement
-    (sum df² bounded); at production scale the sweep runs on a sampled
+    Scale: ONE pipeline for all caps AND the truth — shingle pass →
+    df agg → inverted-index equi-join → ONE pair-grain aggregation
+    whose conditional counts (``count(when(df <= c))``) carry every
+    cap's intersection alongside the uncapped one, collapsed to a
+    single summary row; the 4 output rows are a literal-array pivot
+    of that row. No fork recomputes the upstream, no per-cap rerun.
+    The uncapped truth side is fixture-feasible by measurement (max
+    df 25 at sf0.1); at production scale the sweep runs on a sampled
     corpus exactly like ``ann_recall_eval``'s query sampling."""
     d = _t(spark, sf_dir, "documents")
     caps = [1, 2, 4, 64]
@@ -6011,66 +6090,82 @@ def dedup_cap_recall(spark, sf_dir):
         .filter(F.col("n") > 0)
     )
     posts = sized.select("id", "n", F.explode("sh").alias("g"))
-    dfc = posts.groupBy("g").agg(F.count("*").cast("long").alias("df"))
-    p2 = posts.join(dfc, "g")
-    a = p2.select(
-        "g",
-        F.col("id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        "df",
-    )
-    b = p2.select(
-        "g", F.col("id").alias("id_b"), F.col("n").alias("n_b")
-    )
-    base = a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
-    jm = F.floor(
-        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")) * 1e6
-    )
-    truth_n = (
-        base.groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
-        .filter(jm >= 500_000)
-        .agg(F.count("*").cast("long").alias("n_true_pairs"))
-    )
-    caps_arr = F.array(*[F.lit(c) for c in caps])
-    found = (
-        base.select(
-            "id_a",
-            "id_b",
-            "n_a",
-            "n_b",
-            F.explode(
-                F.filter(caps_arr, lambda c: F.col("df") <= c)
-            ).alias("cap"),
+    # ONE groupBy(shingle) builds the posting list AND its df; pairs
+    # explode locally from the list (no self-join — the upstream
+    # tokenize/explode runs once, not once per join side)
+    lists = (
+        posts.groupBy("g")
+        .agg(F.collect_list(F.struct("id", "n")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+        .select(
+            F.array_sort("ps").alias("ps"),
+            F.size("ps").cast("long").alias("df"),
         )
-        .groupBy("cap", "id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
-        .filter(jm >= 500_000)
-        .groupBy("cap")
-        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    base = (
+        lists.select("df", F.explode(pairs_arr).alias("p"))
+        .filter(F.col("p.a.id") < F.col("p.b.id"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.b.n").alias("n_b"),
+            "df",
+        )
+    )
+
+    def jm(ic):  # exact micro-jaccard from an intersection count
+        return F.floor(
+            ic / (F.col("n_a") + F.col("n_b") - ic) * 1e6
+        )
+
+    pairs = base.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count("*").alias("inter"),
+        *[
+            F.count(F.when(F.col("df") <= c, True)).alias(f"i{c}")
+            for c in caps
+        ],
+    )
+    # capped jaccard uses the capped intersection but the FULL shingle
+    # counts (mirroring dedup_ngram_jaccard); capped-passing implies
+    # truth-passing, so the summary row holds recall directly
+    summary = pairs.agg(
+        F.count(F.when(jm(F.col("inter")) >= 500_000, True))
+        .cast("long")
+        .alias("n_true_pairs"),
+        *[
+            F.count(F.when(jm(F.col(f"i{c}")) >= 500_000, True))
+            .cast("long")
+            .alias(f"f{c}")
+            for c in caps
+        ],
     )
     caps_df = (
         spark.range(1)
-        .select(F.explode(caps_arr).alias("c"))
+        .select(F.explode(F.array(*[F.lit(c) for c in caps])).alias("c"))
         .select(F.col("c").cast("long").alias("cap"))
     )
-    return (
-        caps_df.join(found, "cap", "left")
-        .crossJoin(F.broadcast(truth_n))
-        .select(
-            "cap",
-            "n_true_pairs",
-            F.coalesce(F.col("n_found"), F.lit(0))
-            .cast("long")
-            .alias("n_found"),
-            F.floor(
-                F.coalesce(F.col("n_found"), F.lit(0))
-                * F.lit(1000000.0)
-                / F.col("n_true_pairs")
-            )
-            .cast("long")
-            .alias("recall_micro"),
+    n_found = F.col(f"f{caps[0]}")
+    for c in caps[1:]:
+        n_found = F.when(F.col("cap") == c, F.col(f"f{c}")).otherwise(
+            n_found
         )
+    return caps_df.crossJoin(F.broadcast(summary)).select(
+        "cap",
+        "n_true_pairs",
+        n_found.cast("long").alias("n_found"),
+        F.floor(n_found * F.lit(1000000.0) / F.col("n_true_pairs"))
+        .cast("long")
+        .alias("recall_micro"),
     )
 
 
