@@ -16,10 +16,14 @@ Dialect (exactly the four change types the lake applies,
 schema_evolution.py:14; column removal per the reference's
 ``history/TableChanges.java:23-53`` IR):
 
-  ALTER TABLE t ADD COLUMN c <type>
+  ALTER TABLE t ADD COLUMN c <type> [DEFAULT <literal>]
   ALTER TABLE t RENAME COLUMN a TO b
   ALTER TABLE t ALTER COLUMN c SET DATA TYPE <type>
   ALTER TABLE t DROP COLUMN c
+
+where <literal> is an integer, a decimal number, or a single-quoted
+string (the DefaultValueConverter subset:
+``relational/DefaultValueConverter.java`` / ``Column.defaultValue``).
 
 Identifiers are ``[A-Za-z_][A-Za-z0-9_]*``; types additionally allow a
 parenthesized precision suffix (``decimal(10,2)``). Keywords are
@@ -44,9 +48,11 @@ from pyspark.sql import functions as F
 
 _ID = r"[A-Za-z_][A-Za-z0-9_]*"
 _TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+_LIT = r"-?\d+(?:\.\d+)?|'[^']*'"
 
 _ADD_RE = re.compile(
-    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMN\s+({_ID})\s+({_TYPE})\s*;?\s*$",
+    rf"^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMN\s+({_ID})\s+({_TYPE})"
+    rf"(?:\s+DEFAULT\s+({_LIT}))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _RENAME_RE = re.compile(
@@ -68,12 +74,30 @@ def _norm_type(t: str) -> str:
     return re.sub(r"\s+", "", t).lower()
 
 
+def _render_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "") + "'"
+    return str(v)
+
+
+def _parse_literal(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    return float(tok) if "." in tok else int(tok)
+
+
 def change_to_ddl(change: dict, table: str = "repo_content") -> str:
     """Render a structured schema change as one ALTER statement."""
     ct = change["change_type"]
     tbl = change.get("table") or table
     if ct == "ALTER_ADD_COLUMN":
-        return f"ALTER TABLE {tbl} ADD COLUMN {change['column_name']} {change['new_type']}"
+        ddl = (
+            f"ALTER TABLE {tbl} ADD COLUMN "
+            f"{change['column_name']} {change['new_type']}"
+        )
+        if change.get("default") is not None:
+            ddl += f" DEFAULT {_render_literal(change['default'])}"
+        return ddl
     if ct == "ALTER_RENAME_COLUMN":
         return (
             f"ALTER TABLE {tbl} RENAME COLUMN {change['prev_name']} "
@@ -101,13 +125,16 @@ def parse_ddl(ddl: str) -> dict:
     """
     m = _ADD_RE.match(ddl)
     if m:
-        return {
+        out = {
             "change_type": "ALTER_ADD_COLUMN",
             "table": m.group(1),
             "column_name": m.group(2),
             "new_type": _norm_type(m.group(3)),
             "prev_name": None,
         }
+        if m.group(4) is not None:
+            out["default"] = _parse_literal(m.group(4))
+        return out
     m = _RENAME_RE.match(ddl)
     if m:
         return {
@@ -149,7 +176,10 @@ def parse_ddl_cols(ddl: Column) -> list[Column]:
     hardening modes).
     """
     # regexp_extract returns '' on no-match; '' -> NULL via nullif
-    add = rf"(?i)^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMN\s+({_ID})\s+({_TYPE})\s*;?\s*$"
+    add = (
+        rf"(?i)^\s*ALTER\s+TABLE\s+({_ID})\s+ADD\s+COLUMN\s+({_ID})"
+        rf"\s+({_TYPE})(?:\s+DEFAULT\s+(?:{_LIT}))?\s*;?\s*$"
+    )
     ren = rf"(?i)^\s*ALTER\s+TABLE\s+({_ID})\s+RENAME\s+COLUMN\s+({_ID})\s+TO\s+({_ID})\s*;?\s*$"
     wid = (
         rf"(?i)^\s*ALTER\s+TABLE\s+({_ID})\s+ALTER\s+COLUMN\s+({_ID})"

@@ -238,7 +238,13 @@ class LakeTable:
                 if c["physical"] in present:
                     cols.append(F.col(c["physical"]).cast(c["type"]).alias(name))
                 else:
-                    cols.append(F.lit(None).cast(c["type"]).alias(name))
+                    # file predates the column: Iceberg initial-default
+                    # semantics — project the column's default (NULL
+                    # when none). Rows written AFTER the add with an
+                    # explicit NULL take the branch above and stay NULL.
+                    cols.append(
+                        F.lit(c.get("default")).cast(c["type"]).alias(name)
+                    )
             for n, t in sys_cols:
                 # `_deleted` may predate retention being switched on
                 # (or the file was written by a non-retaining merge) —

@@ -34,6 +34,10 @@ def fold_final_state(
     state: dict[tuple[str, str], dict] = {}
     visible_cols = ["repo", "path", "commit", "lang", "content"]
     renames: dict[str, str] = {}
+    # per-column (added_at_schema_version, default): events stamped
+    # BELOW the add version contribute the default, not their (absent
+    # → NULL) struct field — DefaultValueConverter semantics
+    added_at: dict[str, tuple[int, object]] = {}
 
     if source_pdf is not None:
         for rec in source_pdf.to_dict("records"):
@@ -49,22 +53,32 @@ def fold_final_state(
             ch = pending.pop(0)
             if ch["change_type"] == "ALTER_ADD_COLUMN":
                 visible_cols.append(ch["column_name"])
+                added_at[ch["column_name"]] = (
+                    int(ch.get("schema_version", 0)),
+                    ch.get("default"),
+                )
                 for row in state.values():
-                    row[ch["column_name"]] = None
+                    row[ch["column_name"]] = ch.get("default")
             elif ch["change_type"] == "ALTER_RENAME_COLUMN":
                 old, new = ch["prev_name"], ch["column_name"]
                 src = renames.get(old, old)
                 renames[new] = src
                 visible_cols[visible_cols.index(old)] = new
+                if old in added_at:
+                    added_at[new] = added_at.pop(old)
                 for row in state.values():
                     row[new] = row.pop(old, None)
             elif ch["change_type"] == "ALTER_WIDEN_TYPE":
                 pass  # value-preserving; nothing to do in Python
 
-    def project(image: dict) -> dict:
-        return {
-            c: image.get(renames.get(c, c)) for c in visible_cols
-        }
+    def project(image: dict, sv: int) -> dict:
+        out = {}
+        for c in visible_cols:
+            v = image.get(renames.get(c, c))
+            if c in added_at and sv < added_at[c][0]:
+                v = added_at[c][1]  # pre-add event -> column default
+            out[c] = v
+        return out
 
     df = changelog_pdf.sort_values("lsn")
     for rec in df.to_dict("records"):
@@ -82,7 +96,9 @@ def fold_final_state(
                 # PK-change: DELETE(old)+CREATE(new)
                 # (RelationalChangeRecordEmitter.java:171-185).
                 state.pop(key, None)
-            state[new_key] = project(after)
+            state[new_key] = project(
+                after, int(rec.get("schema_version") or 0)
+            )
         elif op == "t":
             state.clear()
     apply_schema_changes_upto(2**62)

@@ -64,14 +64,22 @@ class TableSchema:
         ct = change["change_type"]
         if ct == "ALTER_ADD_COLUMN":
             fid = max(c["field_id"] for c in out.columns) + 1
-            out.columns.append(
-                {
-                    "field_id": fid,
-                    "name": change["column_name"],
-                    "type": change["new_type"],
-                    "physical": change["column_name"],
-                }
-            )
+            col = {
+                "field_id": fid,
+                "name": change["column_name"],
+                "type": change["new_type"],
+                "physical": change["column_name"],
+            }
+            # column default (relational/DefaultValueConverter.java,
+            # Column.defaultValue; Iceberg's `initial-default`): rows
+            # that PREDATE the add read as the default — files written
+            # before the column existed project it at read, and events
+            # stamped with pre-add schema versions apply it at merge.
+            # Rows written after the add with an explicit NULL stay
+            # NULL (the file carries the column).
+            if change.get("default") is not None:
+                col["default"] = change["default"]
+            out.columns.append(col)
         elif ct == "ALTER_RENAME_COLUMN":
             c = out.col(change["prev_name"])
             c["name"] = change["column_name"]

@@ -1710,7 +1710,13 @@ class Engine:
             except KeyError:
                 va = 0
             if va > 0:
-                val = F.when(F.col("schema_version") >= va, val)
+                # events predating the ADD COLUMN contribute the
+                # column's DEFAULT (DefaultValueConverter semantics —
+                # a pre-alter row reads as the default after the
+                # alter), NULL when none is declared
+                val = F.when(F.col("schema_version") >= va, val).otherwise(
+                    F.lit(c.get("default"))
+                )
             cols.append(val.cast(c["type"]).alias(p))
         return compacted.select(*cols)
 

@@ -244,6 +244,125 @@ def test_drop_column_is_metadata_only_on_the_lake(spark, tmp_root):
         )
 
 
+def test_add_column_default_roundtrip_and_semantics(spark, tmp_root):
+    """Column default propagation (relational/DefaultValueConverter.
+    java, Column.defaultValue; Iceberg initial-default): DDL round-
+    trips the literal; rows written BEFORE the add read as the default;
+    rows written after with an explicit NULL stay NULL — including
+    after a merge rewrites the pre-add file."""
+    from debezium_spark.lake import LakeTable
+
+    ch = parse_ddl(
+        "ALTER TABLE repo_content ADD COLUMN size_bytes bigint DEFAULT 7"
+    )
+    assert ch["default"] == 7
+    assert (
+        change_to_ddl({**ch, "change_type": "ALTER_ADD_COLUMN"})
+        == "ALTER TABLE repo_content ADD COLUMN size_bytes bigint DEFAULT 7"
+    )
+    assert parse_ddl(
+        "alter table t add column tag varchar DEFAULT 'x y'"
+    )["default"] == "x y"
+
+    lake = LakeTable(spark, os.path.join(tmp_root, "lake_dflt"), n_buckets=2)
+    lake.create()
+    ddl0 = (
+        "repo: string, path: string, commit: string, lang: string, "
+        "content: string, op: string, lsn: long"
+    )
+    lake.merge(
+        spark.createDataFrame([("r", "a", "c1", "py", "xx", "c", 1)], ddl0),
+        1,
+    )
+    lake.apply_schema_change(
+        {**ch, "schema_version": 1, "lsn": 2}
+    )
+    got = {r["path"]: r["size_bytes"] for r in lake.read_state().collect()}
+    assert got == {"a": 7}  # pre-add row reads the default
+
+    # post-add merge: explicit NULL stays NULL; the rewrite of the
+    # pre-add row materializes the default
+    ddl1 = ddl0.replace(
+        "content: string", "content: string, size_bytes: long"
+    )
+    lake.merge(
+        spark.createDataFrame(
+            [
+                ("r", "a", "c2", "py", "xxx", None, "u", 3),
+                ("r", "b", "c2", "go", "yy", None, "c", 4),
+            ],
+            ddl1,
+        ),
+        2,
+    )
+    got = {r["path"]: r["size_bytes"] for r in lake.read_state().collect()}
+    assert got == {"a": None, "b": None}
+
+
+def test_engine_applies_default_to_pre_add_events(spark, tmp_root):
+    """Events stamped with pre-add schema versions contribute the
+    column DEFAULT at merge (not NULL), matching the fold oracle."""
+    import json as _json
+
+    from debezium_spark.generator import schema_change_envelopes
+    from debezium_spark.oracle import fold_final_state
+    from debezium_spark.generator import gen_change_log, gen_source_table
+
+    changes = [
+        {
+            "lsn": BASE + int(2 * 250 * 0.5),
+            "schema_version": 1,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+            "default": 42,
+        }
+    ]
+    src_path = os.path.join(tmp_root, "src")
+    log_path = os.path.join(tmp_root, "log")
+    gen_source_table(spark, 5, 20).write.parquet(src_path)
+    data_log = gen_change_log(
+        spark, 5, 20, n_events=250, snapshot_lsn_base=BASE,
+        schema_change_lsns={1: changes[0]["lsn"]},
+    )
+    data_log.unionByName(
+        schema_change_envelopes(spark, changes)
+    ).write.parquet(log_path)
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=log_path,
+            lake_root=os.path.join(tmp_root, "lake_evdflt"),
+            source_table_path=src_path,
+            batch_lsn_span=977,
+            n_buckets=8,
+        ),
+    )
+    eng.run()
+
+    src_pdf = spark.read.parquet(src_path).toPandas()
+    log_pdf = data_log.toPandas()
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=changes)
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in eng.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_default = n_real = 0
+    for k, row in got.items():
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+        if row["size_bytes"] == 42:
+            n_default += 1
+        elif row["size_bytes"] is not None:
+            n_real += 1
+    # both populations exist: pre-add rows defaulted, post-add rows real
+    assert n_default > 0 and n_real > 0
+
+
 def test_narrowing_ddl_is_rejected_at_apply():
     """A parsed SET DATA TYPE statement that would NARROW the column
     raises at apply (DdlParser accepts the syntax; the relational model
