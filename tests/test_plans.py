@@ -627,3 +627,33 @@ def test_incremental_agg_is_delta_fanout_no_join(spark):
     assert "BatchEvalPython" not in plan
     assert n_exchanges(plan) == 2
     assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_cap_recall_is_single_pipeline_no_selfjoin(spark):
+    """dedup_cap_recall: one posting-list groupBy + one pair-grain
+    aggregation carry every cap AND the uncapped truth — no self-join
+    (the upstream tokenize/explode would be recomputed per side), no
+    per-cap rerun, no Python. The only join is the broadcast of the
+    1-row summary onto the 4-row caps literal."""
+    from debezium_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["dedup_cap_recall"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row summary x 4 caps
+    # shingle-grain groupBy + pair-grain groupBy + the two
+    # SinglePartition collapses (summary row, caps literal)
+    assert plan.count("Arguments: hashpartitioning") <= 2
+
+
+def test_cloudevents_avro_export_is_pure_projection(spark):
+    """CloudEvents binary-content-mode Avro export: zero exchanges,
+    zero joins, zero Python — one codegen projection over the scan."""
+    from debezium_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["cdc_cloudevents_avro_export"](spark, SF_DIR))
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "\n* Project" in plan  # the codegen star on the projection
