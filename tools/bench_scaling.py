@@ -102,12 +102,16 @@ c1 = _cpu(); d = [y - x for x, y in zip(c0, c1)]
 mix = {k: round(v / max(sum(d), 1) * 100, 1)
        for k, v in zip(["user","nice","sys","idle","iow","irq","sirq","steal"], d)}
 rows = eng.final_state().count()
+from bench import _classify_window, _cpu_probe_mbps
+probe = _cpu_probe_mbps()
 print("RESULT", json.dumps({
     "cores": cores, "events": total, "snapshot_s": round(t_snap, 2),
     "stream_s": round(t_stream, 2),
     "events_per_sec": round(total / (t_snap + t_stream), 1),
     "stream_events_per_sec": round(total / t_stream, 1),
-    "cpu_mix": mix, "final_rows": rows}))
+    "cpu_mix": mix, "final_rows": rows,
+    "cpu_probe_mbps": probe,
+    "window_class": _classify_window(mix, [probe])}))
 import shutil; shutil.rmtree(tmp, ignore_errors=True)
 """
 
