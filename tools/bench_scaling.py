@@ -201,6 +201,24 @@ def main() -> None:
         / (ratio * best[lo]["stream_events_per_sec"]),
         3,
     )
+    # leg-level window assessment: the sha256 probe catches per-cycle
+    # slowness but NOT the shared-guest-kernel parallel-shuffle
+    # ceiling (a window can read probe-clean while both legs run far
+    # below their documented clean rates — r4 session 1 measured
+    # exactly that). Compare each leg's best stream rate to the
+    # historical clean-window reference and mark the run accordingly.
+    CLEAN_STREAM_REF = {2: 259_000.0, 8: 891_000.0, 32: 1_140_000.0}
+    legs = {}
+    for c in (lo, hi):
+        ref = CLEAN_STREAM_REF.get(c)
+        if ref:
+            legs[str(c)] = round(best[c]["stream_events_per_sec"] / ref, 3)
+    worst = min(legs.values(), default=1.0)
+    assessment = (
+        "clean" if worst >= 0.8
+        else "moderate" if worst >= 0.6
+        else "degraded_parallel"
+    )
     result = {
         "events": events,
         "repeats": repeats,
@@ -209,6 +227,8 @@ def main() -> None:
         "p_hi": best[hi],
         f"scaling_efficiency_{lo}_to_{hi}": eff,
         f"stream_scaling_efficiency_{lo}_to_{hi}": eff_stream,
+        "leg_vs_clean_ref": legs,
+        "window_assessment": assessment,
         "all_runs": runs,
     }
     out_name = (
