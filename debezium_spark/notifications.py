@@ -79,3 +79,22 @@ class NotificationLog:
             return []
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+def topic_notification_channel(topic_dir: str):
+    """Broker-topic notification channel — the
+    ``SinkNotificationChannel`` analogue (``pipeline/notification/
+    channels/SinkNotificationChannel.java`` routes notification
+    records to a configured Kafka topic). Returns a channel callable
+    for ``NotificationLog(channels=(...,))`` that appends each record
+    to a segmented file-topic (the same append-only transport as
+    :class:`debezium_spark.signals.TopicSignalChannel`); any number of
+    consumers tail it with independent ledgers."""
+    from debezium_spark.signals import TopicSignalChannel
+
+    topic = TopicSignalChannel(topic_dir)
+
+    def channel(rec: dict) -> None:
+        topic.send(f"notif-{rec['id']}", "notification", rec)
+
+    return channel

@@ -136,6 +136,116 @@ class SignalChannel:
             for ln in kept:
                 f.write(ln + "\n")
 
+class TopicSignalChannel(SignalChannel):
+    """Broker-topic signal channel — the ``KafkaSignalChannel``
+    analogue (``pipeline/signal/channels/KafkaSignalChannel.java``:
+    one single-partition topic of (id, type, data) records, consumers
+    tail it with their own committed offsets). The sandbox has no
+    broker, but the transport semantics are fully expressible over an
+    append-only SEGMENTED directory — the same file-topic shape
+    :mod:`debezium_spark.publisher` uses for the outbound leg:
+
+    - the topic is a directory of ``segment-NNNNNNNN.jsonl`` files,
+      append-only within a segment, ordered by (segment, line) —
+      a partition's offset order;
+    - producers ``send`` to the tail segment (flock-exclusive) and may
+      ``roll()`` a new segment (broker segment rotation);
+    - each consumer keeps its OWN processed ledger (consumer-group
+      offsets), so with several engines tailing one topic a signal
+      fires once per consumer — identical ack semantics to the file
+      channel, same at-least-once contract;
+    - ``delete`` is NOT supported: a log is append-only, exactly as
+      Kafka cannot delete a record — engines using the
+      ``insert_delete`` watermarking strategy must keep the file or
+      source channel (the reference's window-close-by-DELETE also
+      requires the signal *table*, not the topic).
+    """
+
+    SEG_PREFIX = "segment-"
+
+    def __init__(self, path: str, processed_path: str | None = None):
+        os.makedirs(path, exist_ok=True)
+        super().__init__(
+            path,
+            processed_path
+            or os.path.join(path, "_consumer.default.processed"),
+        )
+
+    # -- segment layout -------------------------------------------------
+    def _segments(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.startswith(self.SEG_PREFIX) and n.endswith(".jsonl")
+        )
+
+    def _tail_segment(self) -> str:
+        segs = self._segments()
+        if segs:
+            return os.path.join(self.path, segs[-1])
+        return os.path.join(self.path, f"{self.SEG_PREFIX}00000001.jsonl")
+
+    def roll(self) -> str:
+        """Start a new tail segment (broker segment rotation); older
+        segments stay readable until retention removes them."""
+        segs = self._segments()
+        n = 1 + (
+            int(segs[-1][len(self.SEG_PREFIX) :].split(".")[0])
+            if segs
+            else 0
+        )
+        p = os.path.join(self.path, f"{self.SEG_PREFIX}{n:08d}.jsonl")
+        open(p, "a").close()
+        return p
+
+    # -- producer / consumer -------------------------------------------
+    def send(self, sid: str, stype: str, data: dict | None = None) -> None:
+        import fcntl
+
+        with open(self._tail_segment(), "a") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            f.write(
+                json.dumps({"id": sid, "type": stype, "data": data or {}})
+                + "\n"
+            )
+
+    def poll(self) -> list[dict]:
+        done = self._processed()
+        out = []
+        for seg in self._segments():
+            with open(os.path.join(self.path, seg)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    sig = json.loads(line)
+                    if sig["id"] in done:
+                        continue
+                    out.append(sig)
+        return out
+
+    def delete(self, sid: str) -> None:
+        raise NotImplementedError(
+            "a topic channel is append-only (Kafka cannot delete a "
+            "record); use the file or source channel for the "
+            "insert_delete watermarking strategy"
+        )
+
+
+def open_signal_channel(
+    path: str, kind: str = "file", processed_path: str | None = None
+) -> SignalChannel:
+    """Channel factory: ``file`` (JSON-lines control file) or
+    ``topic`` (segmented append-only directory, KafkaSignalChannel
+    analogue). The engine picks via ``EngineConfig.
+    signal_channel_kind``."""
+    if kind == "file":
+        return SignalChannel(path, processed_path=processed_path)
+    if kind == "topic":
+        return TopicSignalChannel(path, processed_path=processed_path)
+    raise ValueError(f"signal_channel_kind must be file|topic, got {kind!r}")
+
+
 # ---------------------------------------------------------------------------
 # Source channel — signals riding the change stream itself
 # (pipeline/signal/channels/SourceSignalChannel.java: a dedicated

@@ -85,6 +85,10 @@ class EngineConfig:
     error_mode: str = "fail"
     # JSON-lines control file polled between batches (SignalProcessor)
     signal_path: str | None = None
+    # channel transport: "file" (control file) or "topic" (segmented
+    # append-only dir — the KafkaSignalChannel analogue; append-only,
+    # so incompatible with the insert_delete watermarking strategy)
+    signal_channel_kind: str = "file"
     # consumer-scoped ack ledger for a SHARED signal channel (several
     # engines tailing one file under multi-table capture); None keeps
     # the channel-local default sidecar
@@ -286,6 +290,23 @@ class Engine:
             raise ValueError(
                 "watermarking_strategy must be insert_insert | "
                 f"insert_delete | read_only, got {cfg.watermarking_strategy!r}"
+            )
+        if cfg.signal_channel_kind not in ("file", "topic"):
+            raise ValueError(
+                "signal_channel_kind must be file | topic, got "
+                f"{cfg.signal_channel_kind!r}"
+            )
+        if (
+            cfg.signal_channel_kind == "topic"
+            and cfg.watermarking_strategy == "insert_delete"
+        ):
+            # fail at init, not at the first window close: a topic is
+            # append-only (Kafka cannot delete a record), so the
+            # DELETE-based window closer cannot run over it
+            raise ValueError(
+                "insert_delete watermarking needs a deletable signal "
+                "collection; the topic channel is append-only — use "
+                "the file channel or insert_insert/read_only"
             )
         if cfg.offset_commit_policy not in ("always", "periodic"):
             raise ValueError(
@@ -1018,10 +1039,12 @@ class Engine:
             or self.cfg.watermarking_strategy == "read_only"
         ):
             return
-        from debezium_spark.signals import SignalChannel
+        from debezium_spark.signals import open_signal_channel
 
-        channel = SignalChannel(
-            self.cfg.signal_path, processed_path=self.cfg.signal_ack_path
+        channel = open_signal_channel(
+            self.cfg.signal_path,
+            kind=self.cfg.signal_channel_kind,
+            processed_path=self.cfg.signal_ack_path,
         )
         if side == "open":
             channel.send(f"{chunk_id}-open", "snapshot-window-open")
@@ -1104,10 +1127,12 @@ class Engine:
         re-fire idempotent."""
         if not self.cfg.signal_path:
             return []
-        from debezium_spark.signals import SignalChannel
+        from debezium_spark.signals import open_signal_channel
 
-        channel = SignalChannel(
-            self.cfg.signal_path, processed_path=self.cfg.signal_ack_path
+        channel = open_signal_channel(
+            self.cfg.signal_path,
+            kind=self.cfg.signal_channel_kind,
+            processed_path=self.cfg.signal_ack_path,
         )
         handled = []
         for sig in channel.poll():
