@@ -39,6 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # best single-thread sha256 rate observed in a clean window on this
 # host (MB/s); re-calibrate if the sandbox hardware changes
 _PROBE_REF_MBPS = 1500.0
+# best clean-window full-payload replay at the DEFAULT bench config
+# (BENCH_HISTORY r3_catalog117_session7). The r4 scaling session
+# showed a window can read probe-clean while parallel Spark work runs
+# far below clean rates (the shared-guest-kernel ceiling) — so the
+# replay itself is cross-checked against this reference whenever the
+# default config ran, and a probe-clean-but-slow run is downgraded to
+# degraded_parallel instead of mislabeled clean.
+_REPLAY_CLEAN_REF = 89_100.0
 
 
 def _cpu_probe_mbps(iters: int = 2000) -> float:
@@ -221,12 +229,22 @@ def main() -> None:
             d,
         )
     }
+    default_cfg = n_events == 1_000_000 and cdc_kw["n_repos"] == 50 and (
+        cdc_kw["paths"] == 200 and cpus == 32
+    )
     host_window = {
         "class": _classify_window(mix, probes),
         "cpu_mix": mix,
         "cpu_probe_mbps": probes,
         "probe_ref_mbps": _PROBE_REF_MBPS,
     }
+    if default_cfg:
+        ratio = round(replay["events_per_sec"] / _REPLAY_CLEAN_REF, 3)
+        host_window["replay_vs_clean_ref"] = ratio
+        if host_window["class"] == "clean" and ratio < 0.6:
+            # probe-clean but the parallel leg is crawling: the
+            # shared-kernel ceiling a single-thread probe cannot see
+            host_window["class"] = "degraded_parallel"
 
     print(
         json.dumps(
