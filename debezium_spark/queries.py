@@ -6079,7 +6079,9 @@ def dedup_cap_recall(spark, sf_dir):
     The uncapped truth side is fixture-feasible by measurement (max
     df 25 at sf0.1); at production scale the sweep runs on a sampled
     corpus exactly like ``ann_recall_eval``'s query sampling."""
-    d = _t(spark, sf_dir, "documents")
+    from debezium_spark.functions.util import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     caps = [1, 2, 4, 64]
     sized = (
         d.select(
