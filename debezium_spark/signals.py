@@ -231,6 +231,30 @@ class TopicSignalChannel(SignalChannel):
             "insert_delete watermarking strategy"
         )
 
+    def expire_segments(self, keep_last: int = 2) -> dict:
+        """Broker retention: drop the oldest segments, keeping the
+        newest ``keep_last`` (the tail segment always survives).
+        Exactly like Kafka's time/size retention this is CONSUMER-
+        BLIND — a consumer that lags past retention silently loses the
+        expired records (its ledger keeps any acks; unacked expired
+        records simply stop appearing in :meth:`poll`). Returns
+        removal counts for ops visibility."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        segs = self._segments()
+        drop = segs[:-keep_last]
+        removed_records = 0
+        for n in drop:
+            p = os.path.join(self.path, n)
+            with open(p) as f:
+                removed_records += sum(1 for ln in f if ln.strip())
+            os.unlink(p)
+        return {
+            "removed_segments": len(drop),
+            "removed_records": removed_records,
+            "retained_segments": len(segs) - len(drop),
+        }
+
 
 def open_signal_channel(
     path: str, kind: str = "file", processed_path: str | None = None

@@ -53,6 +53,31 @@ def test_topic_channel_is_append_only(tmp_root):
         ch.delete("s1")
 
 
+def test_topic_retention_is_consumer_blind(tmp_root):
+    """Broker-style retention drops the oldest segments regardless of
+    consumer progress; a lagging consumer loses the expired records
+    silently (Kafka semantics), the tail segment always survives."""
+    ch = TopicSignalChannel(f"{tmp_root}/topic")
+    ch.send("s1", "log")
+    ch.roll()
+    ch.send("s2", "log")
+    ch.roll()
+    ch.send("s3", "log")
+    lagger = TopicSignalChannel(
+        f"{tmp_root}/topic", processed_path=f"{tmp_root}/lag.processed"
+    )
+    assert len(lagger.poll()) == 3
+    r = ch.expire_segments(keep_last=1)
+    assert r == {
+        "removed_segments": 2,
+        "removed_records": 2,
+        "retained_segments": 1,
+    }
+    assert [s["id"] for s in lagger.poll()] == ["s3"]  # s1/s2 gone
+    with pytest.raises(ValueError):
+        ch.expire_segments(keep_last=0)
+
+
 def test_factory_and_config_validation(spark, tmp_root):
     assert isinstance(
         open_signal_channel(f"{tmp_root}/t", kind="topic"),
