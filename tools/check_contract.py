@@ -155,7 +155,18 @@ def main() -> int:
         + (f"; FAILURES: {failures}" if failures else "")
     )
     if json_out:
+        import subprocess
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, cwd="."
+            ).stdout.strip()
+        except Exception:
+            head = None
         summary = {
+            "git_head": head,
+            "generated_unix": int(time.time()),
             "sf_dir": sf_dir,
             "entries": len(records),
             "pass": sum(
