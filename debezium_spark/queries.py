@@ -1958,6 +1958,62 @@ def cdc_avro_binary_export(spark, sf_dir):
     )
 
 
+@_q(
+    "cdc_logical_messages",
+    """
+    WITH m AS (
+      SELECT event_id,
+             (CASE WHEN user_id % 5 = 0 THEN 'internal.' ELSE 'app.' END
+              || CAST(user_id % 4 AS VARCHAR)) AS prefix,
+             'm:' || CAST(event_id AS VARCHAR) AS content,
+             user_id % 2 = 0 AS transactional,
+             epoch_ms(ts) AS ts_ms
+      FROM events
+    )
+    SELECT event_id, 'server1.message' AS topic, prefix AS key_prefix,
+           'm' AS op, transactional, ts_ms,
+           base64(encode(content)) AS content_base64,
+           lower(hex(encode(content))) AS content_hex
+    FROM m WHERE regexp_matches(prefix, '^app\\.')
+    """,
+)
+def cdc_logical_messages(spark, sf_dir):
+    """Logical decoding messages (``pg_logical_emit_message``) as
+    consumer-visible MESSAGE events — the dedicated-topic delivery of
+    ``connector/postgresql/LogicalDecodingMessageMonitor.java``: value
+    = {op:'m', ts_ms, message:{prefix, content}} with the payload
+    enriched by the transactional flag, key = {prefix}, topic =
+    ``<server>.message``; prefix include/exclude filtering per
+    ``LogicalDecodingMessageFilter.java`` (here include ``^app\\.`` —
+    the ``internal.*`` prefixes are dropped before emission); content
+    converted per ``binary.handling.mode`` (both base64 and hex text
+    forms carried, as in ``cdc_type_handling_modes``).
+
+    Scale: one codegen projection + a scan-level prefix filter — zero
+    exchanges, zero Python; message events are control-plane-rare in a
+    real stream, and this plan costs the same either way."""
+    ev = _t(spark, sf_dir, "events")
+    prefix = F.concat(
+        F.when(F.col("user_id") % 5 == 0, "internal.").otherwise("app."),
+        (F.col("user_id") % 4).cast("string"),
+    )
+    content = F.concat(F.lit("m:"), F.col("event_id").cast("string"))
+    raw = F.encode(content, "utf-8")
+    return (
+        ev.select(
+            "event_id",
+            F.lit("server1.message").alias("topic"),
+            prefix.alias("key_prefix"),
+            F.lit("m").alias("op"),
+            (F.col("user_id") % 2 == 0).alias("transactional"),
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.base64(raw).alias("content_base64"),
+            F.lower(F.hex(raw)).alias("content_hex"),
+        )
+        .filter(F.col("key_prefix").rlike(r"^app\."))
+    )
+
+
 def _cloudevents_avro_oracle() -> str:
     from debezium_spark.functions import serde_binary as B
 

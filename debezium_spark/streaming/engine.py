@@ -89,6 +89,13 @@ class EngineConfig:
     # append-only dir — the KafkaSignalChannel analogue; append-only,
     # so incompatible with the insert_delete watermarking strategy)
     signal_channel_kind: str = "file"
+    # logical decoding messages (pg_logical_emit_message →
+    # LogicalDecodingMessageMonitor.java): op='m' rows carrying
+    # {"message": {prefix, content}} are routed, prefix-filtered
+    # (LogicalDecodingMessageFilter.java include/exclude regexes), to
+    # the lake's _messages log — the <server>.message topic analogue
+    logical_message_prefix_include: str | None = None
+    logical_message_prefix_exclude: str | None = None
     # consumer-scoped ack ledger for a SHARED signal channel (several
     # engines tailing one file under multi-table capture); None keeps
     # the channel-local default sidecar
@@ -462,10 +469,15 @@ class Engine:
 
         from debezium_spark.signals import is_source_signal_payload
 
-        # source-channel signal rows share the op='m' transport but are
-        # NOT schema changes — they dispatch through the signal path
-        # (_apply_batch's control pass / _recover_source_signals)
+        from debezium_spark.messages import is_logical_message_payload
+
+        # source-channel signal rows and logical decoding messages
+        # share the op='m' transport but are NOT schema changes — they
+        # dispatch through their own paths (_apply_batch's control
+        # pass: signal actions / the _messages log)
         if is_source_signal_payload(message):
+            return None
+        if is_logical_message_payload(message):
             return None
         if self.cfg.schema_history_ddl_filter and re.search(
             self.cfg.schema_history_ddl_filter, message
@@ -1467,6 +1479,37 @@ class Engine:
                                 {**sig, "__applied": True}
                             )
                     continue
+                from debezium_spark.messages import (
+                    is_logical_message_payload,
+                    parse_logical_message,
+                )
+
+                if is_logical_message_payload(r["message"]):
+                    # consumer-visible MESSAGE event
+                    # (LogicalDecodingMessageMonitor.java): route to
+                    # the dedicated message log after the prefix
+                    # filter; malformed rows warn-and-skip like the
+                    # reference's undecodable messages. LSN-dedup in
+                    # the log keeps redelivered batches idempotent.
+                    try:
+                        msg = parse_logical_message(r["message"])
+                    except ValueError:
+                        continue
+                    import re as _re
+
+                    inc = self.cfg.logical_message_prefix_include
+                    exc = self.cfg.logical_message_prefix_exclude
+                    if inc and not _re.search(inc, msg["prefix"]):
+                        continue
+                    if exc and _re.search(exc, msg["prefix"]):
+                        continue
+                    self.messages.deliver(
+                        int(r["lsn"]),
+                        msg["prefix"],
+                        msg["content"],
+                        None,
+                    )
+                    continue
                 ch = self._parse_schema_change(r["message"])
                 if ch is None:
                     continue
@@ -1746,6 +1789,15 @@ class Engine:
         return compacted.select(*cols)
 
     # -- introspection ------------------------------------------------------
+    @property
+    def messages(self):
+        """The dedicated logical-message topic analogue
+        (``<server>.message``): delivered MESSAGE events, prefix-
+        filtered, LSN-deduped."""
+        from debezium_spark.messages import LogicalMessageLog
+
+        return LogicalMessageLog(self.cfg.lake_root)
+
     def final_state(self) -> DataFrame:
         return self.lake.read_state(logical=True)
 
