@@ -657,3 +657,15 @@ def test_cloudevents_avro_export_is_pure_projection(spark):
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "\n* Project" in plan  # the codegen star on the projection
+
+
+def test_logical_messages_is_pure_projection(spark):
+    """MESSAGE-event emission: scan -> filter -> codegen projection,
+    zero exchanges, zero joins, zero Python."""
+    from debezium_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["cdc_logical_messages"](spark, SF_DIR))
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "\n* " in plan  # codegen star present
