@@ -4,15 +4,18 @@ Image/audio/video payloads are ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas``.
 
-Codec status: ``image/bmp`` decodes FOR REAL through a pure-numpy
-24-bit BMP codec (:func:`decode_bmp` / :func:`encode_bmp` — no
-external image library needed), with real grid-mean features
-(:func:`bmp_features`) and a real nearest-neighbor resize
-(:func:`resize_images`). ``text/plain`` keeps the deterministic
-digest stand-in so the catalog's SQL oracles can value-check the
-Arrow pipeline; other mimes (jpeg/png/audio/video) raise
-``NotImplementedError`` — PIL/ffmpeg are not in this container, and a
-loud unsupported-codec error is a real decoder's behavior too.
+Codec status: ``image/bmp`` AND ``image/png`` decode FOR REAL through
+dependency-free codecs — 24-bit BMP as pure-numpy reshapes
+(:func:`decode_bmp` / :func:`encode_bmp`) and 8-bit PNG via stdlib
+zlib + spec-exact scanline unfiltering (:func:`decode_png` /
+:func:`encode_png`) — with real grid-mean features
+(:func:`bmp_features`) and a real nearest-neighbor resize that
+re-encodes in the source format (:func:`resize_images`).
+``text/plain`` keeps the deterministic digest stand-in so the
+catalog's SQL oracles can value-check the Arrow pipeline; the
+remaining mimes (jpeg/audio/video) raise ``NotImplementedError`` —
+PIL/ffmpeg are not in this container, and a loud unsupported-codec
+error is a real decoder's behavior too.
 """
 
 from __future__ import annotations
@@ -154,6 +157,179 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + rows.tobytes()
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python/numpy PNG codec (8-bit RGB / RGBA / grayscale,
+# non-interlaced — the common web profile). Nothing beyond stdlib zlib:
+# chunk walk, IDAT inflate, scanline unfiltering per the PNG spec
+# (filters 0-4). Sub/None/Up rows unfilter vectorized; Average/Paeth
+# rows carry an up+left dependency and run per-pixel — inside the
+# Arrow codec slot, where a C codec's inner loop would sit anyway.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (color types 0 gray, 2 RGB,
+    6 RGBA) to an ``(h, w, 3)`` uint8 RGB array (alpha dropped, gray
+    replicated). Raises ValueError on a non-PNG payload and
+    NotImplementedError on profiles outside this subset (palette,
+    16-bit, interlaced)."""
+    import zlib
+
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG payload")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ct not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNGs are decoded "
+            f"(got depth={depth}, colortype={ct}, interlace={interlace})"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}[ct]
+    raw = zlib.decompress(idat)
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: cumsum per byte lane, vectorized
+            rec = row.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) % 256
+        elif ftype == 2:  # Up
+            rec = (row + prior) % 256
+        elif ftype in (3, 4):  # Average / Paeth: left+up dependency
+            rec = np.zeros(stride, dtype=np.int64)
+            pr = prior.astype(np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = pr[x]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = pr[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else up if pb <= pc else ul
+                    )
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prior = out[y]
+    px = out.reshape(h, w, bpp)
+    if ct == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(arr: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit PNG.
+    ``row_filters`` optionally picks the per-row filter (0-4; default
+    all 0) — tests use it to exercise every unfilter path against the
+    decoder. Deterministic bytes (fixed zlib level)."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) array, got {arr.shape}")
+    h, w, _ = arr.shape
+    bpp = 3
+    filters = row_filters or [0] * h
+    if len(filters) != h:
+        raise ValueError("row_filters must have one entry per row")
+    rows = arr.astype(np.int64).reshape(h, w * bpp)
+    body = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y, f in enumerate(filters):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prior) % 256
+        elif f == 3:
+            filt = (cur - (left + prior) // 2) % 256
+        elif f == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        body.append(f)
+        body.extend(filt.astype(np.uint8).tobytes())
+        prior = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(mime: str, payload: bytes) -> np.ndarray:
+    """Codec dispatch for the REAL in-sandbox formats."""
+    if mime == "image/bmp":
+        return decode_bmp(payload)
+    if mime == "image/png":
+        return decode_png(payload)
+    raise NotImplementedError(f"no decoder for {mime!r}")
+
+
+def encode_image(mime: str, arr: np.ndarray) -> bytes:
+    if mime == "image/bmp":
+        return encode_bmp(arr)
+    if mime == "image/png":
+        return encode_png(arr)
+    raise NotImplementedError(f"no encoder for {mime!r}")
+
+
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via numpy index maps (PIL NEAREST's
     sampling grid: source index = floor((i + 0.5) * src / dst)) —
@@ -224,12 +400,12 @@ def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
     def one(mime: str, payload) -> list[float]:
-        if mime == "image/bmp":
-            return bmp_features(decode_bmp(bytes(payload)), dim)
+        if mime in ("image/bmp", "image/png"):
+            return bmp_features(decode_image(mime, bytes(payload)), dim)
         if mime == "text/plain":
             return _fake_feature(bytes(payload), dim)
         raise NotImplementedError(
-            f"no decoder for {mime!r}; jpeg/png/audio/video decode "
+            f"no decoder for {mime!r}; jpeg/audio/video decode "
             "requires PIL/ffmpeg"
         )
 
@@ -349,11 +525,12 @@ def resize_images(
                 "resized": [], "out_md5": [],
             }
             for m, p in zip(pdf["mime"], pdf["payload"]):
-                if m != "image/bmp":
+                if m not in ("image/bmp", "image/png"):
                     raise NotImplementedError(
-                        f"resize_images decodes image/bmp only, got {m!r}"
+                        "resize_images decodes image/bmp and image/png"
+                        f" only, got {m!r}"
                     )
-                px = decode_bmp(bytes(p))
+                px = decode_image(m, bytes(p))
                 h, w = px.shape[:2]
                 if w <= max_w and h <= max_h:
                     ow, oh = w, h
@@ -361,7 +538,8 @@ def resize_images(
                     ow, oh = max_w, max(1, (h * max_w) // w)
                 else:
                     ow, oh = max(1, (w * max_h) // h), max_h
-                data = encode_bmp(resize_nearest(px, ow, oh))
+                # re-encode canonically in the SOURCE format
+                data = encode_image(m, resize_nearest(px, ow, oh))
                 out["src_w"].append(w)
                 out["src_h"].append(h)
                 out["out_w"].append(ow)

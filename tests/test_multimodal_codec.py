@@ -189,3 +189,119 @@ def test_spark_mixed_mime_batch_decodes_both_paths(spark):
     }
     assert got[0][:2] == [2.0, 2.0]  # real decode: w, h
     assert all(0.0 <= v <= 1.0 for v in got[1])  # digest stand-in
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib + numpy unfiltering — no image library)
+# ---------------------------------------------------------------------------
+
+import zlib as _zlib
+
+from debezium_spark.functions.multimodal import (  # noqa: E402
+    decode_png,
+    encode_png,
+    resize_images as _resize_images,
+)
+
+
+def _hand_png(width, height, colortype, scanlines):
+    """Independent PNG builder: raw chunk assembly with stdlib zlib
+    only — no shared code with encode_png. ``scanlines`` = list of
+    (filter_byte, raw_bytes) per row, already filtered by hand."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (_zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    body = b"".join(bytes([f]) + raw for f, raw in scanlines)
+    return (
+        sig + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_type(filt):
+    img = _rand_img(6, 5, seed=filt + 10)
+    data = encode_png(img, row_filters=[filt] * 6)
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_mixed_filters_roundtrip():
+    img = _rand_img(5, 7, seed=99)
+    data = encode_png(img, row_filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(decode_png(data), img)
+
+
+def test_png_decode_against_hand_built_scanlines():
+    """Hand-filtered scanlines (Sub then Up) with hand-computed
+    expected reconstruction — the decoder must match the arithmetic of
+    the PNG spec, not our encoder."""
+    # 2x2 RGB. Row 0 uses Sub: raw = [10,20,30, 5,6,7]
+    #   recon row0 = [10,20,30, 15,26,37]
+    # Row 1 uses Up: raw = [1,1,1, 2,2,2]
+    #   recon row1 = [11,21,31, 17,28,39]
+    data = _hand_png(
+        2, 2, 2,
+        [(1, bytes([10, 20, 30, 5, 6, 7])), (2, bytes([1, 1, 1, 2, 2, 2]))],
+    )
+    px = decode_png(data)
+    assert px.tolist() == [
+        [[10, 20, 30], [15, 26, 37]],
+        [[11, 21, 31], [17, 28, 39]],
+    ]
+
+
+def test_png_gray_and_rgba_profiles():
+    # grayscale (ct 0): replicated into RGB
+    g = _hand_png(2, 1, 0, [(0, bytes([7, 200]))])
+    assert decode_png(g).tolist() == [[[7, 7, 7], [200, 200, 200]]]
+    # RGBA (ct 6): alpha dropped
+    a = _hand_png(1, 1, 6, [(0, bytes([1, 2, 3, 128]))])
+    assert decode_png(a).tolist() == [[[1, 2, 3]]]
+
+
+def test_png_rejects_unsupported_profiles():
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xff\xe0" + b"\x00" * 40)  # jpeg magic
+    # 16-bit depth
+    bad = bytearray(_hand_png(1, 1, 2, [(0, bytes([1, 2, 3]))]))
+    bad[24] = 16  # IHDR bit depth byte
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(bytes(bad))
+
+
+def test_spark_decode_and_resize_png(spark):
+    imgs = [_rand_img(6, 9, seed=i + 50) for i in range(2)]
+    payloads = [
+        encode_png(im, row_filters=[4] * 6) for im in imgs  # Paeth rows
+    ]
+    rows = [
+        (i, bytearray(p), ("image/png", len(p), "x"))
+        for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in decode_stub_features(df, dim=5).collect()
+    }
+    for i, im in enumerate(imgs):
+        assert feats[i][:2] == [9.0, 6.0]  # real dims from the codec
+    out = {r["media_id"]: r for r in _resize_images(df, 3, 3).collect()}
+    for i, im in enumerate(imgs):
+        assert (out[i]["out_w"], out[i]["out_h"]) == (3, 2)
+        resized = decode_png(bytes(out[i]["resized"]))  # PNG in, PNG out
+        assert np.array_equal(
+            resized,
+            __import__(
+                "debezium_spark.functions.multimodal", fromlist=["x"]
+            ).resize_nearest(im, 3, 2),
+        )
