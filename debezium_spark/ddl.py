@@ -76,7 +76,14 @@ def _norm_type(t: str) -> str:
 
 def _render_literal(v) -> str:
     if isinstance(v, str):
-        return "'" + v.replace("'", "") + "'"
+        if "'" in v:
+            # outside the documented '[^']*' literal dialect — refuse
+            # loudly rather than silently corrupt the stored default
+            raise ValueError(
+                f"string default {v!r} contains a single quote; "
+                "unsupported in the DDL literal dialect"
+            )
+        return "'" + v + "'"
     return str(v)
 
 

@@ -68,8 +68,20 @@ def fold_final_state(
                     added_at[new] = added_at.pop(old)
                 for row in state.values():
                     row[new] = row.pop(old, None)
+            elif ch["change_type"] == "ALTER_DROP_COLUMN":
+                name = ch["column_name"]
+                visible_cols.remove(name)
+                added_at.pop(name, None)
+                renames.pop(name, None)
+                for row in state.values():
+                    row.pop(name, None)
             elif ch["change_type"] == "ALTER_WIDEN_TYPE":
                 pass  # value-preserving; nothing to do in Python
+            else:
+                raise ValueError(
+                    f"unknown schema change type {ch['change_type']!r} "
+                    "in reference fold"
+                )
 
     def project(image: dict, sv: int) -> dict:
         out = {}

@@ -210,10 +210,16 @@ class TopicSignalChannel(SignalChannel):
             )
 
     def poll(self) -> list[dict]:
+        import fcntl
+
         done = self._processed()
         out = []
         for seg in self._segments():
+            # shared lock against a concurrent send()'s LOCK_EX append,
+            # so we never observe a torn mid-append line (the base
+            # channel's poll takes the same flock)
             with open(os.path.join(self.path, seg)) as f:
+                fcntl.flock(f, fcntl.LOCK_SH)
                 for line in f:
                     line = line.strip()
                     if not line:

@@ -1425,8 +1425,10 @@ class Engine:
         import json
 
         truncate_lsn = None
-        ctl_cols = ["lsn", "op"] + (
-            ["message"] if "message" in events.columns else []
+        ctl_cols = (
+            ["lsn", "op"]
+            + (["message"] if "message" in events.columns else [])
+            + (["ts_ms"] if "ts_ms" in events.columns else [])
         )
         ctl = (
             events.filter(F.col("op").isin("t", "m"))
@@ -1507,7 +1509,11 @@ class Engine:
                         int(r["lsn"]),
                         msg["prefix"],
                         msg["content"],
-                        None,
+                        (
+                            int(r["ts_ms"])
+                            if "ts_ms" in ctl_cols and r["ts_ms"] is not None
+                            else None
+                        ),
                     )
                     continue
                 ch = self._parse_schema_change(r["message"])

@@ -363,6 +363,87 @@ def test_engine_applies_default_to_pre_add_events(spark, tmp_root):
     assert n_default > 0 and n_real > 0
 
 
+def test_quoted_default_literal_is_rejected_loudly():
+    """A string default containing a single quote sits outside the
+    documented '[^']*' literal dialect — rendering must refuse rather
+    than silently strip the quote and corrupt the stored default."""
+    with pytest.raises(ValueError, match="single quote"):
+        change_to_ddl(
+            {
+                "change_type": "ALTER_ADD_COLUMN",
+                "column_name": "tag",
+                "new_type": "varchar",
+                "default": "ab'c",
+            }
+        )
+
+
+def test_oracle_fold_applies_drop_and_rejects_unknown_change():
+    """The Python reference fold must mirror the engine on DROP COLUMN
+    (column leaves the folded state) and fail loudly on change types it
+    does not know, so new kinds can't be silently skipped."""
+    import pandas as pd
+
+    from debezium_spark.oracle import fold_final_state
+
+    log_pdf = pd.DataFrame(
+        [
+            {
+                "lsn": 1,
+                "op": "c",
+                "key": {"repo": "r", "path": "a"},
+                "before": None,
+                "after": {
+                    "repo": "r", "path": "a", "commit": "c1",
+                    "lang": "py", "content": "x", "size_bytes": 9,
+                },
+                "is_tombstone": False,
+                "schema_version": 1,
+            },
+            {
+                "lsn": 30,
+                "op": "u",
+                "key": {"repo": "r", "path": "a"},
+                "before": None,
+                "after": {
+                    "repo": "r", "path": "a", "commit": "c2",
+                    "lang": "py", "content": "xy",
+                },
+                "is_tombstone": False,
+                "schema_version": 2,
+            },
+        ]
+    )
+    changes = [
+        {
+            "lsn": 0,
+            "schema_version": 1,
+            "change_type": "ALTER_ADD_COLUMN",
+            "column_name": "size_bytes",
+            "new_type": "bigint",
+        },
+        {
+            "lsn": 20,
+            "schema_version": 2,
+            "change_type": "ALTER_DROP_COLUMN",
+            "column_name": "size_bytes",
+        },
+    ]
+    state = fold_final_state(None, log_pdf, schema_changes=changes)
+    assert set(state) == {("r", "a")}
+    assert "size_bytes" not in state[("r", "a")]
+    assert state[("r", "a")]["commit"] == "c2"
+
+    with pytest.raises(ValueError, match="unknown schema change"):
+        fold_final_state(
+            None,
+            log_pdf,
+            schema_changes=[
+                {"lsn": 0, "schema_version": 1, "change_type": "BOGUS"}
+            ],
+        )
+
+
 def test_narrowing_ddl_is_rejected_at_apply():
     """A parsed SET DATA TYPE statement that would NARROW the column
     raises at apply (DdlParser accepts the syntax; the relational model

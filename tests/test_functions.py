@@ -442,7 +442,9 @@ def test_decode_stub_features_deterministic(spark, docs):
     assert f1[0] != f1[3]
 
 
-def test_decode_stub_rejects_unknown_mime(spark, docs):
+def test_decode_rejects_malformed_png(spark, docs):
+    # A text payload relabelled image/png reaches the real PNG codec and
+    # must fail loudly on the missing signature, not silently feature-ise.
     media = M.to_media_table(docs).withColumn(
         "meta",
         F.struct(
@@ -451,7 +453,22 @@ def test_decode_stub_rejects_unknown_mime(spark, docs):
             F.col("meta.sha256").alias("sha256"),
         ),
     )
-    with pytest.raises(Exception, match="NotImplementedError|no decoder stub"):
+    with pytest.raises(Exception, match="not a PNG payload"):
+        M.decode_stub_features(media).collect()
+
+
+def test_decode_stub_rejects_unknown_mime(spark, docs):
+    # A mime with no decoder at all (tiff) must raise the loud
+    # no-decoder error rather than fall back to a fake feature.
+    media = M.to_media_table(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/tiff").alias("mime"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.sha256").alias("sha256"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         M.decode_stub_features(media).collect()
 
 

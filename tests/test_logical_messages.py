@@ -105,6 +105,14 @@ def test_messages_routed_filtered_and_deduped_across_restart(
 
     assert recs[0]["content_base64"] == base64.b64encode(b"hello").decode()
     assert recs[0]["content_hex"] == b"hello".hex()
+    # MESSAGE events carry the source timestamp
+    # (LogicalDecodingMessageMonitor includes ts_ms), not null
+    from debezium_spark.generator import BASE_TS_MS
+
+    assert [r["ts_ms"] for r in recs] == [
+        BASE_TS_MS + BASE + 50,
+        BASE_TS_MS + BASE + 400,
+    ]
     # the schema change riding the same transport still applied
     assert eng2.lake.table_schema().version == 1
     assert "size_bytes" in [
