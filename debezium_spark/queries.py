@@ -6111,7 +6111,7 @@ def ann_recall_eval(spark, sf_dir):
     FROM caps CROSS JOIN t LEFT JOIN f USING (cap)
     """,
 )
-def dedup_cap_recall(spark, sf_dir):
+def dedup_cap_recall(spark, sf_dir, truth_df_ceiling=4096):
     """Recall-vs-cap sensitivity for the capped candidate stages: the
     ``max_postings`` discipline bounds pair work (≤ cap² per posting
     list) but silently bounds recall — this entry MEASURES the trade.
@@ -6134,7 +6134,12 @@ def dedup_cap_recall(spark, sf_dir):
     of that row. No fork recomputes the upstream, no per-cap rerun.
     The uncapped truth side is fixture-feasible by measurement (max
     df 25 at sf0.1); at production scale the sweep runs on a sampled
-    corpus exactly like ``ann_recall_eval``'s query sampling."""
+    corpus exactly like ``ann_recall_eval``'s query sampling — and
+    that advice is ENFORCED, not advised: any posting list whose df
+    exceeds ``truth_df_ceiling`` (default 4096, far above every
+    fixture) raises in-plan via ``raise_error`` before the C(df,2)
+    pair explosion can run, so pointing the diagnostic at a full
+    corpus fails loudly instead of melting one task."""
     from debezium_spark.functions.util import ensure_parallelism
 
     d = ensure_parallelism(_t(spark, sf_dir, "documents"))
@@ -6158,6 +6163,29 @@ def dedup_cap_recall(spark, sf_dir):
         .select(
             F.array_sort("ps").alias("ps"),
             F.size("ps").cast("long").alias("df"),
+        )
+        # the truth stage is deliberately UNCAPPED (that is what it
+        # measures) — so it must be impossible to run it silently at a
+        # scale where C(df,2) explodes: the ceiling check rides the
+        # same projection (no extra job) and aborts the stage loudly
+        .withColumn(
+            "df",
+            F.when(
+                F.col("df") > F.lit(int(truth_df_ceiling)),
+                F.raise_error(
+                    F.concat(
+                        F.lit("dedup_cap_recall: posting-list df="),
+                        F.col("df").cast("string"),
+                        F.lit(
+                            f" exceeds truth_df_ceiling="
+                            f"{int(truth_df_ceiling)}; the uncapped "
+                            "truth stage is diagnostic-scale only — "
+                            "re-run on a document sample or raise the "
+                            "ceiling deliberately"
+                        ),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("df")),
         )
     )
     pairs_arr = F.flatten(

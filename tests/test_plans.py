@@ -647,6 +647,21 @@ def test_cap_recall_is_single_pipeline_no_selfjoin(spark):
     assert plan.count("Arguments: hashpartitioning") <= 2
 
 
+def test_cap_recall_truth_ceiling_guard(spark):
+    """The uncapped truth stage aborts loudly when a posting list's df
+    exceeds truth_df_ceiling (the C(df,2) explosion may never run
+    silently at corpus scale); the default ceiling clears the fixture."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from debezium_spark.queries import dedup_cap_recall
+
+    with pytest.raises(SparkRuntimeException, match="truth_df_ceiling"):
+        dedup_cap_recall(spark, SF_DIR, truth_df_ceiling=1).collect()
+    # default ceiling: the fixture passes untouched
+    assert dedup_cap_recall(spark, SF_DIR).count() == 4
+
+
 def test_cloudevents_avro_export_is_pure_projection(spark):
     """CloudEvents binary-content-mode Avro export: zero exchanges,
     zero joins, zero Python — one codegen projection over the scan."""
