@@ -153,6 +153,102 @@ def bench_cdc_replay(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_multi_table_streaming(
+    spark,
+    n_events_per_table: int,
+    partitions: int,
+    n_tables: int = 3,
+) -> dict:
+    """Streaming front-end over a mixed N-table log (VERDICT r4 item
+    6): ONE Structured Streaming query tails the interleaved log and
+    fans each epoch across per-table engines, with the shared signal
+    channel polled at every epoch boundary. Reports per-table ev/s
+    and quantifies the shared-signal poll overhead by running the
+    same input once WITHOUT a signal channel and once WITH one (empty
+    channel — the poll cost itself, not signal work)."""
+    from debezium_spark.generator import gen_change_log
+    from debezium_spark.sources.changelog import write_changelog_ordered
+    from debezium_spark.streaming.multi_table import (
+        MultiTableEngine,
+        with_table_name,
+    )
+
+    from pyspark.sql import functions as F
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_mt_", dir=shm)
+    try:
+        tables = [f"repo_content_{i}" for i in range(n_tables)]
+        parts = []
+        for i, t in enumerate(tables):
+            log = gen_change_log(
+                spark,
+                n_repos=20,
+                paths_per_repo=100,
+                n_events=n_events_per_table,
+                seed=42 + i,
+                partitions=partitions,
+            )
+            parts.append(with_table_name(log, t))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        log_path = f"{tmp}/mixed_log"
+        write_changelog_ordered(df, log_path)
+        per_table_events = {
+            r["t"]: r["n"]
+            for r in spark.read.parquet(log_path)
+            .groupBy(F.col("source.table").alias("t"))
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        total = sum(per_table_events.values())
+
+        def one_run(tag: str, signal_path: str | None) -> dict:
+            kw = dict(
+                snapshot_mode="never",
+                n_buckets=32,
+                partitions=partitions,
+            )
+            if signal_path is not None:
+                os.makedirs(os.path.dirname(signal_path), exist_ok=True)
+                open(signal_path, "a").close()
+                kw["signal_path"] = signal_path
+            mt = MultiTableEngine(
+                spark, log_path, f"{tmp}/lake_{tag}", route="filter", **kw
+            )
+            t0 = time.time()
+            mt.run_streaming(
+                f"{tmp}/ckpt_{tag}", max_files_per_trigger=8
+            )
+            wall = time.time() - t0
+            rows = {t: mt.final_state(t).count() for t in tables}
+            return {"wall_s": round(wall, 2), "final_rows": rows}
+
+        base = one_run("nosig", None)
+        withsig = one_run("sig", f"{tmp}/signals/channel.jsonl")
+        wall = base["wall_s"]
+        return {
+            "tables": n_tables,
+            "events": total,
+            "wall_s": wall,
+            "events_per_sec": round(total / wall, 1),
+            "per_table": {
+                t: {
+                    "events": per_table_events[t],
+                    "events_per_sec": round(per_table_events[t] / wall, 1),
+                    "final_rows": base["final_rows"][t],
+                }
+                for t in tables
+            },
+            "signal_poll_wall_s": withsig["wall_s"],
+            "signal_poll_overhead_s": round(withsig["wall_s"] - wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -220,6 +316,15 @@ def main() -> None:
     replay = max(reps, key=lambda r: r["events_per_sec"])
     replay = dict(replay, all_reps=[r["events_per_sec"] for r in reps])
 
+    mt_events = int(os.environ.get("BENCH_MT_EVENTS", "200000"))
+    multi_table = (
+        bench_multi_table_streaming(
+            spark, n_events_per_table=mt_events, partitions=cpus
+        )
+        if mt_events > 0
+        else None
+    )
+
     probes.append(_cpu_probe_mbps())
     d = [b - a for a, b in zip(cstat0, _cpu_stat())]
     mix = {
@@ -256,6 +361,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "cdc_replay": replay,
+                "multi_table_streaming": multi_table,
                 "catalog_total_s": round(sum(per_query.values()), 2),
                 "host_window": host_window,
             }

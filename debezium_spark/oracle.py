@@ -51,6 +51,17 @@ def fold_final_state(
         nonlocal pending
         while pending and pending[0]["lsn"] <= lsn:
             ch = pending.pop(0)
+            if ch["change_type"] == "ALTER_MULTI":
+                # one statement, actions folded in order at one version
+                pending[:0] = [
+                    {
+                        **a,
+                        "lsn": ch["lsn"],
+                        "schema_version": ch.get("schema_version", 0),
+                    }
+                    for a in ch["actions"]
+                ]
+                continue
             if ch["change_type"] == "ALTER_ADD_COLUMN":
                 visible_cols.append(ch["column_name"])
                 added_at[ch["column_name"]] = (

@@ -5671,24 +5671,31 @@ def dedup_passages(spark, sf_dir):
     "cdc_ddl_parse",
     """
     SELECT p_partkey AS stmt_id,
-           CASE p_partkey % 5
+           CASE p_partkey % 7
              WHEN 0 THEN 'ALTER_ADD_COLUMN'
              WHEN 1 THEN 'ALTER_RENAME_COLUMN'
              WHEN 2 THEN 'ALTER_WIDEN_TYPE'
              WHEN 3 THEN 'ALTER_DROP_COLUMN'
-             ELSE 'UNPARSEABLE' END AS change_type,
-           CASE WHEN p_partkey % 5 = 4 THEN NULL
-                ELSE 't_' || (p_partkey % 7) END AS table_name,
-           CASE WHEN p_partkey % 5 = 4 THEN NULL
-                ELSE 'c_' || (p_partkey % 100) END AS column_name,
-           CASE WHEN p_partkey % 5 IN (0, 2) THEN
-             CASE (p_partkey // 5) % 5
+             WHEN 4 THEN 'UNPARSEABLE'
+             WHEN 5 THEN 'CREATE_TABLE'
+             ELSE 'ALTER_MULTI' END AS change_type,
+           CASE WHEN p_partkey % 7 = 4 THEN NULL
+                ELSE 't_' || (p_partkey % 9) END AS table_name,
+           CASE WHEN p_partkey % 7 IN (0, 1, 2, 3)
+                THEN 'c_' || (p_partkey % 100) END AS column_name,
+           CASE WHEN p_partkey % 7 IN (0, 2) THEN
+             CASE (p_partkey // 7) % 5
                WHEN 0 THEN 'int' WHEN 1 THEN 'bigint'
                WHEN 2 THEN 'float' WHEN 3 THEN 'double'
                ELSE 'decimal(10,2)' END
            END AS new_type,
-           CASE WHEN p_partkey % 5 = 1
-                THEN 'c_' || (p_partkey % 100) || '_old' END AS prev_name
+           CASE WHEN p_partkey % 7 = 1
+                THEN 'c_' || (p_partkey % 100) || '_old' END AS prev_name,
+           CASE WHEN p_partkey % 7 = 5
+                THEN 2 + (p_partkey // 7) % 3
+                WHEN p_partkey % 7 = 6
+                THEN 2 + (p_partkey // 7) % 2 END::BIGINT AS n_items,
+           CASE WHEN p_partkey % 7 = 5 THEN 'id' END AS pk_cols
     FROM part
     """,
 )
@@ -5698,12 +5705,17 @@ def cdc_ddl_parse(spark, sf_dir):
     ``debezium-ddl-parser/``) as pure regexp codegen over a DDL audit
     column (``ddl.parse_ddl_cols``).
 
-    The query synthesizes one ALTER statement per `part` row
-    (add / rename / widen / drop / an out-of-dialect statement, with
-    alternating keyword case and type-spelling noise) and parses it
-    back to structured change fields. The oracle derives the EXPECTED
-    fields arithmetically from the key — it never runs the parser — so
-    any parser defect hash-mismatches instead of being mirrored.
+    The query synthesizes one statement per `part` row (the four
+    single-action ALTERs / an out-of-dialect statement / a CREATE
+    TABLE with columns + DEFAULT + PRIMARY KEY / a multi-action
+    ALTER, with alternating keyword case and type-spelling noise) and
+    parses it back to structured change fields — compound statements
+    additionally yield their item count (column defs / actions) and
+    the CREATE's primary-key list, all still inside codegen (the
+    top-level-comma count is a Java-regex lookahead). The oracle
+    derives the EXPECTED fields arithmetically from the key — it
+    never runs the parser — so any parser defect hash-mismatches
+    instead of being mirrored.
 
     Scale: zero shuffles, zero Python — generate + parse is one
     narrow whole-stage-codegen projection (plan-pinned,
@@ -5712,16 +5724,48 @@ def cdc_ddl_parse(spark, sf_dir):
 
     p = _t(spark, sf_dir, "part")
     k = F.col("p_partkey")
-    kind = k % 5
-    tbl = F.concat(F.lit("t_"), (k % 7).cast("string"))
+    kind = k % 7
+    tbl = F.concat(F.lit("t_"), (k % 9).cast("string"))
     col = F.concat(F.lit("c_"), (k % 100).cast("string"))
-    tix = F.expr("(p_partkey div 5) % 5")
+    vr = F.expr("p_partkey div 7")
+    tix = vr % 5
     typ = (
         F.when(tix == 0, "int")
         .when(tix == 1, "bigint")
         .when(tix == 2, "float")
         .when(tix == 3, "double")
         .otherwise("decimal(10,2)")
+    )
+
+    def _c(j):  # extra CREATE column name c_{(k+j)%100}
+        return F.concat(F.lit("c_"), ((k + j) % 100).cast("string"))
+
+    # CREATE body: id + 1..3 extra columns (first may carry DEFAULT 7)
+    # + PRIMARY KEY (id); MULTI: add+drop (+rename on odd variants)
+    create_stmt = F.concat(
+        F.lit("create table "), tbl, F.lit(" (id bigint, "),
+        _c(0), F.lit(" "), typ,
+        F.when(vr % 2 == 0, F.lit(" default 7")).otherwise(F.lit("")),
+        F.when(
+            vr % 3 >= 1, F.concat(F.lit(", "), _c(1), F.lit(" "), typ)
+        ).otherwise(F.lit("")),
+        F.when(
+            vr % 3 == 2, F.concat(F.lit(", "), _c(2), F.lit(" "), typ)
+        ).otherwise(F.lit("")),
+        F.lit(", primary key (id))"),
+    )
+    multi_stmt = F.concat(
+        F.lit("alter table "), tbl,
+        F.lit(" add column "), _c(0), F.lit(" "), typ,
+        F.lit(", drop column "), _c(1),
+        F.when(
+            vr % 2 == 1,
+            F.concat(
+                F.lit(", rename column "), _c(2), F.lit(" to "), _c(2),
+                F.lit("_n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(";"),
     )
     # keyword/type case alternates per row; add-column rows carry a
     # trailing ';' — dump-formatted-DDL tolerance, like the reference
@@ -5737,18 +5781,23 @@ def cdc_ddl_parse(spark, sf_dir):
                                   F.lit(" set data type "), typ))
         .when(kind == 3, F.concat(F.lit("alter table "), tbl,
                                   F.lit(" drop column "), col))
+        .when(kind == 5, create_stmt)
+        .when(kind == 6, multi_stmt)
         .otherwise(F.concat(F.lit("drop table "), tbl))
     )
     ddl = F.when(k % 2 == 0, lo).otherwise(F.upper(lo))
     # materialize the generated statement in its own projection: the
-    # parser references its input ~15 times (rlike + extracts), and
+    # parser references its input ~20 times (rlike + extracts), and
     # inlining the whole generator when-chain into each reference
-    # multiplies the expression tree ~15x — correctness unchanged, but
+    # multiplies the expression tree ~20x — correctness unchanged, but
     # the generated code blows up (9.9 s of Janino compile for a 0.3 s
     # query at sf0.1). A named column keeps the tree linear.
     gen = p.select(k.alias("stmt_id"), ddl.alias("ddl"))
     parsed = parse_ddl_cols(F.col("ddl"))
-    names = ["change_type", "table_name", "column_name", "new_type", "prev_name"]
+    names = [
+        "change_type", "table_name", "column_name", "new_type",
+        "prev_name", "n_items", "pk_cols",
+    ]
     out = gen.select(
         "stmt_id", *[c.alias(n) for c, n in zip(parsed, names)]
     )
@@ -5761,6 +5810,8 @@ def cdc_ddl_parse(spark, sf_dir):
         F.lower("column_name").alias("column_name"),
         "new_type",
         F.lower("prev_name").alias("prev_name"),
+        "n_items",
+        F.lower("pk_cols").alias("pk_cols"),
     )
 
 

@@ -44,6 +44,30 @@ class TableSchema:
     columns: list[dict] = field(default_factory=lambda: copy.deepcopy(BASE_SCHEMA))
     version: int = 0
 
+    @classmethod
+    def from_create(cls, change: dict) -> "TableSchema":
+        """Build a version-0 schema from a parsed CREATE TABLE change
+        (``history/TableChanges.java`` CREATE entry: full column list +
+        primary key) — field ids assigned 1..n in declaration order,
+        physical = logical at creation, defaults carried per column."""
+        cols = []
+        for i, c in enumerate(change["columns"]):
+            col = {
+                "field_id": i + 1,
+                "name": c["name"],
+                "type": c["type"],
+                "physical": c["name"],
+            }
+            if c.get("default") is not None:
+                col["default"] = c["default"]
+            cols.append(col)
+        names = {c["name"] for c in cols}
+        if unknown := [k for k in change.get("primary_key", []) if k not in names]:
+            raise ValueError(
+                f"PRIMARY KEY references unknown columns {unknown}"
+            )
+        return cls(cols, 0)
+
     @property
     def logical_names(self) -> list[str]:
         return [c["name"] for c in self.columns]
@@ -103,6 +127,19 @@ class TableSchema:
                     f"cannot drop key column {change['column_name']!r}"
                 )
             out.columns = [x for x in out.columns if x is not c]
+        elif ct == "ALTER_MULTI":
+            # one statement = one new table shape = ONE version bump
+            # (the reference emits one SchemaChangeEvent per statement
+            # however many actions it carries); actions fold in order
+            folded = self
+            for a in change["actions"]:
+                folded = folded.apply_change(a)
+            return TableSchema(folded.columns, self.version + 1)
+        elif ct == "CREATE_TABLE":
+            raise ValueError(
+                "CREATE TABLE is the version-0 history head, not an "
+                "evolution of an existing schema"
+            )
         else:
             raise ValueError(f"unknown change_type {ct!r}")
         return out
@@ -138,6 +175,24 @@ class SchemaTracker:
 
     def apply(self, change: dict) -> TableSchema:
         v = int(change["schema_version"])
+        if change["change_type"] == "CREATE_TABLE":
+            # the history-head record: re-establishes the base shape a
+            # cold replay starts from (the reference's history begins
+            # with the captured table's CREATE). Only legal at v0 and
+            # before any evolution has been folded.
+            if v != 0:
+                raise ValueError(
+                    "CREATE TABLE only supported as the version-0 "
+                    f"history head (got schema_version={v})"
+                )
+            if self.changes_by_version:
+                raise ValueError(
+                    "CREATE TABLE must precede all schema evolution "
+                    "in the history"
+                )
+            self.schemas[0] = TableSchema.from_create(change)
+            self.changes_by_version[0] = change
+            return self.schemas[0]
         base = self.schemas[v - 1]
         self.schemas[v] = base.apply_change(change)
         self.changes_by_version[v] = change

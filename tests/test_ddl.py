@@ -58,13 +58,62 @@ def test_parse_tolerance():
         "DROP TABLE t",
         "ALTER TABLE t ADD COLUMN c",  # missing type
         "ALTER TABLE t RENAME COLUMN a b",  # missing TO
-        "CREATE TABLE t (a int)",
+        "CREATE TABLE t (a int",  # unbalanced parens
         "",
     ],
 )
 def test_parse_rejects_out_of_dialect(bad):
     with pytest.raises(ValueError, match="unparseable DDL"):
         parse_ddl(bad)
+
+
+def test_parse_create_table():
+    ch = parse_ddl(
+        "create TABLE repo_content ( repo varchar, path varchar, "
+        "commit varchar, lang varchar, content varchar, "
+        "size_bytes bigint DEFAULT 7, tag varchar default 'x y', "
+        "PRIMARY key ( repo , path ) );"
+    )
+    assert ch["change_type"] == "CREATE_TABLE"
+    assert ch["table"] == "repo_content"
+    assert [c["name"] for c in ch["columns"]] == [
+        "repo", "path", "commit", "lang", "content", "size_bytes", "tag",
+    ]
+    assert ch["columns"][5]["default"] == 7
+    assert ch["columns"][6]["default"] == "x y"
+    assert ch["primary_key"] == ["repo", "path"]
+    # render -> parse round trip
+    assert parse_ddl(change_to_ddl(ch)) == ch
+    # PK referencing an unknown column is rejected
+    with pytest.raises(ValueError, match="unknown columns"):
+        parse_ddl("CREATE TABLE t (a int, PRIMARY KEY (b))")
+    with pytest.raises(ValueError, match="unparseable column"):
+        parse_ddl("CREATE TABLE t (a int, CHECK (a > 0))")
+
+
+def test_parse_multi_action_alter():
+    ch = parse_ddl(
+        "alter table t add column a decimal( 10 , 2 ) DEFAULT 1.5, "
+        "DROP COLUMN b, rename column c to d, "
+        "alter column e set data type bigint;"
+    )
+    assert ch["change_type"] == "ALTER_MULTI"
+    assert ch["table"] == "t"
+    assert [a["change_type"] for a in ch["actions"]] == [
+        "ALTER_ADD_COLUMN", "ALTER_DROP_COLUMN",
+        "ALTER_RENAME_COLUMN", "ALTER_WIDEN_TYPE",
+    ]
+    assert ch["actions"][0]["new_type"] == "decimal(10,2)"
+    assert ch["actions"][0]["default"] == 1.5
+    assert ch["actions"][2] == {
+        "change_type": "ALTER_RENAME_COLUMN",
+        "column_name": "d",
+        "new_type": None,
+        "prev_name": "c",
+    }
+    assert parse_ddl(change_to_ddl(ch)) == ch
+    with pytest.raises(ValueError, match="unparseable ALTER action"):
+        parse_ddl("ALTER TABLE t ADD COLUMN a int, FROB b")
 
 
 _STATEMENTS = [
@@ -76,6 +125,11 @@ _STATEMENTS = [
     "alter  table t_7  drop column c_13",
     "DROP TABLE t_5",
     "not ddl at all",
+    "CREATE TABLE t_8 (a int, b decimal(10,2) DEFAULT 1.5, c varchar)",
+    "create table t_9 (a bigint, b int, PRIMARY KEY (a, b));",
+    "ALTER TABLE t_10 ADD COLUMN a decimal(10,2), DROP COLUMN b",
+    "alter table t_11 drop column a, rename column b to c, "
+    "alter column d set data type bigint;",
 ]
 
 
@@ -84,7 +138,10 @@ def test_column_parser_matches_driver_parser(spark):
     import pyspark.sql.functions as F
 
     cols = parse_ddl_cols(F.col("ddl"))
-    names = ["change_type", "table", "column_name", "new_type", "prev_name"]
+    names = [
+        "change_type", "table", "column_name", "new_type", "prev_name",
+        "n_items", "pk_cols",
+    ]
     rows = {
         r["ddl"]: r
         for r in df.select(
@@ -93,15 +150,23 @@ def test_column_parser_matches_driver_parser(spark):
     }
     for s in _STATEMENTS:
         try:
-            exp = parse_ddl(s)
+            full = parse_ddl(s)
+            exp = {k: full.get(k) for k in names[:5]}
+            # the codegen parser's compound tail fields derive from
+            # the driver parse's structure
+            if full["change_type"] == "CREATE_TABLE":
+                exp["n_items"] = len(full["columns"])
+                exp["pk_cols"] = (
+                    ",".join(full["primary_key"]) or None
+                )
+            elif full["change_type"] == "ALTER_MULTI":
+                exp["n_items"] = len(full["actions"])
+                exp["pk_cols"] = None
+            else:
+                exp["n_items"] = exp["pk_cols"] = None
         except ValueError:
-            exp = {
-                "change_type": "UNPARSEABLE",
-                "table": None,
-                "column_name": None,
-                "new_type": None,
-                "prev_name": None,
-            }
+            exp = {k: None for k in names}
+            exp["change_type"] = "UNPARSEABLE"
         got = rows[s]
         for k in names:
             assert got[k] == exp[k], (s, k, got[k], exp[k])
@@ -460,6 +525,95 @@ def test_narrowing_ddl_is_rejected_at_apply():
     ch = parse_ddl("ALTER TABLE t ALTER COLUMN n SET DATA TYPE int")
     with pytest.raises(ValueError, match="non-widening"):
         s.apply_change(ch)
+
+
+def test_create_head_and_multi_alter_replay_through_engine(
+    spark, tmp_root
+):
+    """The reference's schema history BEGINS with the captured table's
+    CREATE and accepts multi-action ALTERs (DdlParser + TableChanges
+    CREATE/ALTER entries) — both DDL-form records replay through the
+    engine: the CREATE re-establishes the version-0 base, the multi
+    ALTER folds all its actions into ONE schema version, and the final
+    state matches the reference fold."""
+    from debezium_spark.oracle import fold_final_state
+    from debezium_spark.schema_evolution import BASE_SCHEMA
+
+    create_ddl = (
+        "CREATE TABLE repo_content (repo string, path string, "
+        "commit string, lang string, content string, "
+        "PRIMARY KEY (repo, path))"
+    )
+    multi_ddl = (
+        "ALTER TABLE repo_content ADD COLUMN size_bytes int DEFAULT 42, "
+        "RENAME COLUMN lang TO language"
+    )
+    mid = BASE + int(2 * 200 * 0.5)
+    msgs = [
+        json.dumps({"lsn": BASE - 50, "schema_version": 0, "ddl": create_ddl}),
+        json.dumps({"lsn": mid, "schema_version": 1, "ddl": multi_ddl}),
+    ]
+    src, log = _world_with_messages(
+        spark, os.path.join(tmp_root, "cmh"), msgs, lsns=[BASE - 50, mid]
+    )
+    eng = Engine(
+        spark,
+        EngineConfig(
+            changelog_path=log,
+            lake_root=os.path.join(tmp_root, "cmh", "lake"),
+            source_table_path=src,
+            batch_lsn_span=977,
+            n_buckets=8,
+        ),
+    )
+    # the CREATE head rebuilt version 0 exactly (names, order, ids)
+    assert eng.tracker.schemas[0].columns == BASE_SCHEMA
+    # ONE statement -> ONE version: both actions live at v1
+    assert eng.tracker.latest_version == 1
+    v1 = eng.tracker.schemas[1]
+    assert "language" in v1.logical_names
+    assert "lang" not in v1.logical_names
+    assert v1.col("size_bytes")["default"] == 42
+    eng.run()
+
+    src_pdf = spark.read.parquet(src).toPandas()
+    log_pdf = (
+        spark.read.parquet(log).filter("op <> 'm'").toPandas()
+    )
+    for c in ("key", "before", "after"):
+        log_pdf[c] = log_pdf[c].map(
+            lambda v: v.asDict() if hasattr(v, "asDict") else v
+        )
+    from debezium_spark.ddl import parse_ddl
+
+    multi = {**parse_ddl(multi_ddl), "lsn": mid, "schema_version": 1}
+    oracle = fold_final_state(src_pdf, log_pdf, schema_changes=[multi])
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in eng.final_state().collect()
+    }
+    assert set(got) == set(oracle)
+    n_default = 0
+    for k, row in got.items():
+        assert "language" in row and "lang" not in row
+        assert row["size_bytes"] == oracle[k].get("size_bytes"), k
+        n_default += row["size_bytes"] == 42
+    assert n_default > 0  # pre-add rows read the multi-ALTER's default
+
+
+def test_create_table_only_legal_as_history_head():
+    from debezium_spark.schema_evolution import SchemaTracker
+
+    create = {
+        "change_type": "CREATE_TABLE",
+        "columns": [{"name": "a", "type": "int"}],
+        "primary_key": ["a"],
+    }
+    with pytest.raises(ValueError, match="version-0"):
+        SchemaTracker().apply({**create, "lsn": 5, "schema_version": 1})
+    tr = SchemaTracker(_changes())
+    with pytest.raises(ValueError, match="precede"):
+        tr.apply({**create, "lsn": 999, "schema_version": 0})
 
 
 def test_ddl_form_unparseable_respects_hardening(spark, tmp_root):
