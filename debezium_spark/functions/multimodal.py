@@ -4,18 +4,20 @@ Image/audio/video payloads are ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas``.
 
-Codec status: ``image/bmp`` AND ``image/png`` decode FOR REAL through
-dependency-free codecs — 24-bit BMP as pure-numpy reshapes
-(:func:`decode_bmp` / :func:`encode_bmp`) and 8-bit PNG via stdlib
-zlib + spec-exact scanline unfiltering (:func:`decode_png` /
-:func:`encode_png`) — with real grid-mean features
-(:func:`bmp_features`) and a real nearest-neighbor resize that
-re-encodes in the source format (:func:`resize_images`).
-``text/plain`` keeps the deterministic digest stand-in so the
-catalog's SQL oracles can value-check the Arrow pipeline; the
-remaining mimes (jpeg/audio/video) raise ``NotImplementedError`` —
-PIL/ffmpeg are not in this container, and a loud unsupported-codec
-error is a real decoder's behavior too.
+Codec status: ``image/bmp``, ``image/png`` AND ``image/jpeg`` decode
+FOR REAL through dependency-free codecs — 24-bit BMP as pure-numpy
+reshapes (:func:`decode_bmp` / :func:`encode_bmp`), 8-bit PNG via
+stdlib zlib + spec-exact scanline unfiltering (:func:`decode_png` /
+:func:`encode_png`), and baseline-sequential 4:4:4 JPEG with generic
+DHT Huffman decode + numpy DCT (:mod:`debezium_spark.functions.jpeg`)
+— with real grid-mean features (:func:`bmp_features`) and a real
+nearest-neighbor resize that re-encodes in the source format
+(:func:`resize_images`). ``text/plain`` keeps the deterministic
+digest stand-in so the catalog's SQL oracles can value-check the
+Arrow pipeline; the remaining mimes (audio/video, and image profiles
+outside each codec's documented subset) raise ``NotImplementedError``
+— ffmpeg is not in this container, and a loud unsupported-codec error
+is a real decoder's behavior too.
 """
 
 from __future__ import annotations
@@ -319,6 +321,10 @@ def decode_image(mime: str, payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if mime == "image/png":
         return decode_png(payload)
+    if mime == "image/jpeg":
+        from debezium_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(f"no decoder for {mime!r}")
 
 
@@ -327,6 +333,10 @@ def encode_image(mime: str, arr: np.ndarray) -> bytes:
         return encode_bmp(arr)
     if mime == "image/png":
         return encode_png(arr)
+    if mime == "image/jpeg":
+        from debezium_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
     raise NotImplementedError(f"no encoder for {mime!r}")
 
 
@@ -400,13 +410,13 @@ def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
     def one(mime: str, payload) -> list[float]:
-        if mime in ("image/bmp", "image/png"):
+        if mime in ("image/bmp", "image/png", "image/jpeg"):
             return bmp_features(decode_image(mime, bytes(payload)), dim)
         if mime == "text/plain":
             return _fake_feature(bytes(payload), dim)
         raise NotImplementedError(
-            f"no decoder for {mime!r}; jpeg/audio/video decode "
-            "requires PIL/ffmpeg"
+            f"no decoder for {mime!r}; audio/video decode "
+            "requires ffmpeg"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -525,10 +535,10 @@ def resize_images(
                 "resized": [], "out_md5": [],
             }
             for m, p in zip(pdf["mime"], pdf["payload"]):
-                if m not in ("image/bmp", "image/png"):
+                if m not in ("image/bmp", "image/png", "image/jpeg"):
                     raise NotImplementedError(
-                        "resize_images decodes image/bmp and image/png"
-                        f" only, got {m!r}"
+                        "resize_images decodes image/bmp, image/png "
+                        f"and image/jpeg only, got {m!r}"
                     )
                 px = decode_image(m, bytes(p))
                 h, w = px.shape[:2]

@@ -305,3 +305,106 @@ def test_spark_decode_and_resize_png(spark):
                 "debezium_spark.functions.multimodal", fromlist=["x"]
             ).resize_nearest(im, 3, 2),
         )
+
+
+# --- baseline JPEG codec (functions/jpeg.py) -------------------------
+
+from debezium_spark.functions.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _tiled(th, tw, tiles_seed, tile=8):
+    rng = np.random.default_rng(tiles_seed)
+    tiles = rng.integers(0, 256, (th, tw, 3), dtype=np.uint8)
+    return np.kron(tiles, np.ones((tile, tile, 1), dtype=np.uint8))
+
+
+def test_jpeg_block_constant_roundtrip_bit_exact():
+    """With the all-ones quant table a block-constant image has only
+    exact-integer DC terms (AC exactly zero), so encode->decode is
+    BIT-EXACT — the codec's provable-correctness fixture."""
+    img = _tiled(3, 4, tiles_seed=7)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+
+def test_jpeg_gradient_bounded_rounding():
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(x * 6) % 256, (y * 9) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    # non-multiple-of-8 dims: edge-replicated pad is trimmed on decode
+    odd = img[:19, :13]
+    dec_odd = decode_jpeg(encode_jpeg(odd))
+    assert dec_odd.shape == odd.shape
+    assert np.abs(dec_odd.astype(int) - odd.astype(int)).max() <= 2
+
+
+def test_jpeg_decode_hand_built_stream():
+    """Independent oracle: a minimal grayscale JPEG hand-assembled
+    byte-by-byte (NOT via encode_jpeg), with hand-derived Huffman
+    tables and hand-computed entropy bits. One 8x8 block of constant
+    200: DC = 8*(200-128) = 576 (orthonormal DCT), category 10; the
+    hand DHT gives category-10 the single length-1 code '0' and EOB
+    the AC length-1 code '0', so the stream is
+    0 1001000000 0 + 1111 padding = 0x48 0x0F."""
+    import struct
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)  # table 0, all ones
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dc_bits = bytes([1] + [0] * 15)  # one code of length 1
+    dht_dc = seg(0xC4, b"\x00" + dc_bits + bytes([10]))  # -> category 10
+    dht_ac = seg(0xC4, b"\x10" + dc_bits + bytes([0x00]))  # -> EOB
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 0x3F, 0]))
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bytes([0x48, 0x0F]) + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 200, dtype=np.uint8))
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+    good = bytearray(encode_jpeg(_tiled(1, 1, 3)))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytes(good[:i]) + b"\xff\xc2" + bytes(good[i + 2 :])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    # claim 2x2 sampling on component 1 (chroma subsampling)
+    sub = bytearray(good)
+    sub[i + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[:-8]))
+
+
+def test_spark_decode_and_resize_jpeg(spark):
+    # 16x16-constant tiles: nearest 2x downsample lands on tile
+    # centers, so the resized image is 8x8-block-constant and the
+    # JPEG re-encode in resize_images stays BIT-EXACT end to end
+    img = _tiled(2, 3, tiles_seed=11, tile=16)  # 32 x 48
+    p = encode_jpeg(img)
+    rows = [(0, bytearray(p), ("image/jpeg", len(p), "x"))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_stub_features(df, dim=5).collect()[0]["feature"]
+    assert feats[:2] == [48.0, 32.0]  # real dims from the codec
+    out = _resize_images(df, 24, 16).collect()[0]
+    assert (out["out_w"], out["out_h"]) == (24, 16)
+    from debezium_spark.functions.multimodal import resize_nearest
+
+    assert np.array_equal(
+        decode_jpeg(bytes(out["resized"])), resize_nearest(img, 24, 16)
+    )
