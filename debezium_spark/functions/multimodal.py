@@ -14,7 +14,9 @@ DHT Huffman decode + numpy DCT (:mod:`debezium_spark.functions.jpeg`)
 nearest-neighbor resize that re-encodes in the source format
 (:func:`resize_images`). ``text/plain`` keeps the deterministic
 digest stand-in so the catalog's SQL oracles can value-check the
-Arrow pipeline; the remaining mimes (audio/video, and image profiles
+Arrow pipeline. ``audio/wav`` also decodes for real (RIFF integer PCM
+via :mod:`debezium_spark.functions.wav` — lossless, bit-exact round
+trip). The remaining mimes (compressed audio/video, and profiles
 outside each codec's documented subset) raise ``NotImplementedError``
 — ffmpeg is not in this container, and a loud unsupported-codec error
 is a real decoder's behavior too.
@@ -412,10 +414,17 @@ def decode_stub_features(df: DataFrame, dim: int = 16) -> DataFrame:
     def one(mime: str, payload) -> list[float]:
         if mime in ("image/bmp", "image/png", "image/jpeg"):
             return bmp_features(decode_image(mime, bytes(payload)), dim)
+        if mime == "audio/wav":
+            from debezium_spark.functions.wav import (
+                decode_wav,
+                wav_features,
+            )
+
+            return wav_features(*decode_wav(bytes(payload)), dim=dim)
         if mime == "text/plain":
             return _fake_feature(bytes(payload), dim)
         raise NotImplementedError(
-            f"no decoder for {mime!r}; audio/video decode "
+            f"no decoder for {mime!r}; compressed audio/video decode "
             "requires ffmpeg"
         )
 

@@ -408,3 +408,95 @@ def test_spark_decode_and_resize_jpeg(spark):
     assert np.array_equal(
         decode_jpeg(bytes(out["resized"])), resize_nearest(img, 24, 16)
     )
+
+
+# --- WAV (RIFF PCM) codec (functions/wav.py) -------------------------
+
+from debezium_spark.functions.wav import (  # noqa: E402
+    decode_wav,
+    encode_wav,
+    wav_features,
+)
+
+
+def _tone(n=800, rate=8000, channels=2, seed=5):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(-20000, 20000, (n, channels)).astype(np.int16),
+        rate,
+    )
+
+
+def test_wav_roundtrip_bit_exact():
+    s, rate = _tone()
+    dec, r2 = decode_wav(encode_wav(s, rate))
+    assert r2 == rate
+    assert np.array_equal(dec, s)  # PCM is lossless
+
+
+def test_wav_decode_hand_built_stream():
+    """Independent oracle: a minimal mono 16-bit WAV hand-assembled
+    byte-by-byte with an extra LIST chunk (must be skipped) and an odd
+    -sized chunk (word-aligned padding must be honored)."""
+    import struct
+
+    samples = [0, 1000, -1000, 32767, -32768]
+    data = b"".join(struct.pack("<h", v) for v in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+    odd = b"liss" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # pad byte
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + odd
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec, rate = decode_wav(wav)
+    assert rate == 44100
+    assert dec[:, 0].tolist() == samples
+
+
+def test_wav_8bit_widening_and_rejections():
+    import struct
+
+    # 8-bit unsigned: 0 -> -32768, 255 -> 32767 (exact full-scale map)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 3) + bytes([0, 128, 255]) + b"\x00"
+    )
+    dec, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert dec[:, 0].tolist() == [-32768, 128 * 257 - 32768, 32767]
+
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40)
+    # float PCM (tag 3)
+    ffmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    fb = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + ffmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError, match="integer PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(fb)) + fb)
+
+
+def test_wav_features_exact():
+    s = np.array([[100], [-100], [300], [-300]], dtype=np.int16)
+    f = wav_features(s, rate=1000, dim=16)
+    assert f[0] == 1000.0 and f[1] == 1.0 and f[2] == 4.0
+    assert f[3] == 0.004
+    assert f[4] == 0.0  # exact mean
+    assert f[5] == np.sqrt((100**2 + 100**2 + 300**2 + 300**2) / 4)
+    assert f[6] == 300.0
+    assert f[7] == 3.0  # three sign crossings
+
+
+def test_spark_decode_features_wav(spark):
+    s, rate = _tone(seed=9)
+    p = encode_wav(s, rate)
+    rows = [(0, bytearray(p), ("audio/wav", len(p), "x"))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_stub_features(df, dim=8).collect()[0]["feature"]
+    exp = wav_features(s, rate, dim=8)
+    assert feats == [np.float32(v) for v in exp]
